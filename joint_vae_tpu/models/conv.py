@@ -1,0 +1,324 @@
+"""Conv/deconv stacks built from the reference's string DSL.
+
+Grammar (ref module/vae_layers/conv.py:20-105 and conv-models.ini header):
+
+- layers separated by ``-``; a leading ``[...]`` block sets per-type defaults
+- conv token ``CxK+P:S``: C out-channels, K kernel, P padding, S stride
+- ``M.../A...``: max/avg pooling; ``U:S`` nearest upsampling by S
+- deconv tokens additionally take ``++P`` output padding; ``!Cx..`` embeds a
+  plain conv inside a deconv (upsampler) stack
+- padding ``*`` means 'same' (K//2) for conv, 0 for pooling
+- named stacks (vgg11/13/16/19, conv32, deconv32, ivgg...) resolve to strings
+
+TPU-first implementation notes:
+
+- Compute is NHWC (TPU-native conv layout); the public API keeps the
+  reference's (C, H, W) convention and transposes at the stack boundary.
+- Deconvs are fractionally-strided convs via ``lax.conv_general_dilated`` with
+  ``lhs_dilation`` so the output-shape arithmetic matches torch's
+  ConvTranspose2d exactly: out = (in-1)*s - 2p + k + op.
+- Shape inference is done statically at plan time (ref conv.py:187-213), so
+  everything under jit has static shapes.
+"""
+
+import dataclasses
+import re
+from typing import List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+# ---------------------------------------------------------------------------
+# Named architectures (same strings as the reference registry,
+# ref module/vae_layers/conv-models.ini:11-30)
+# ---------------------------------------------------------------------------
+
+FEATURES_ARCHS = {
+    'vgg11': '[x3-Mx2]64-M-128-M-256-256-M-512-512-M-512-512-M-Ax1',
+    'vgg11-a': '[x3-Ax2]64-A-128-A-256-256-A-512-512-A-512-512-A-Ax1',
+    'vgg13': '[x3-Mx2]64-64-M-128-128-M-256-256-M-512-512-M-512-512-M-Ax1',
+    'vgg16': ('[x3-Mx2]64-64-M-128-128-M-256-256-256-M-512-512-512-M-'
+              '512-512-512-M-Ax1'),
+    'vgg19': ('[x3-Mx2]64-64-M-128-128-M-256-256-256-256-M-512-512-512-512-M-'
+              '512-512-512-512-M-Ax1'),
+    'vgg19-a': ('[x3-Ax2]64-64-A-128-128-A-256-256-256-256-A-512-512-512-512-A-'
+                '512-512-512-512-A-Ax1'),
+    'conv32': '[x5+2]32-32:2-64-64:2-200x7+0',
+    'conv32-': '[x3+1]32-32-32-32:2-64-64-64-64:2-200x7+0',
+    'conv32+': '[x5+2]32-32:2-64-64:2-128-128:2-200x3+0',
+}
+
+UPSAMPLER_ARCHS = {
+    'deconv32': '[x5+2]64x8+0-64-64:2++1-32-32:2++1-32-!3x5+2',
+    'deconv32-': '[x3+1]64x8+0-64-64-64-64:2++1-32-32-32-32:2++1-32-!3x5+2',
+    'deconv32+': '[x5+2]128x4+0-128-128:2++1-64-64:2++1-32-32:2++1-32-!3x5+2',
+    'ivgg': '[!x3+1-U:2]U-!128-U-!64-U-!32-U-!3',
+    'ivgg19': ('[!x3+1-U:2]U-!512-!512-!512-!512-U-!512-!512-!512-!512-U-'
+               '!256-!256-!256-!256-U-!128-!128-U-!64-!64-!3'),
+    'ivgg11': '[!x3+1-U:2]U-!512-!512-U-!512-!512-U-!256-!256-U-!128-U-!64-!3',
+}
+
+
+def parse_conv_layer_name(s: str, ltype: str = 'conv', out_channels: int = 32,
+                          kernel_size: int = 5, padding='*', stride=None,
+                          output_padding: int = 0, where: str = 'input') -> dict:
+    """Parse one layer token (ref parse_conv_layer_name, conv.py:20-86)."""
+    delimiters = {'out_channels': '^', 'kernel_size': 'x',
+                  'padding': r'\+', 'stride': ':'}
+    if where == 'output':
+        delimiters['output_padding'] = r'\+\+'
+        delimiters['conv_in_deconv'] = '!'
+        ltype = 'deconv'
+
+    if s and s[0].lower() in 'am':
+        ltype = s[0].lower() + 'pooling'
+        s = s[1:]
+    elif s and s[0].lower() == 'u':
+        ltype = 'upsampler'
+        s = s[1:]
+
+    params = dict(ltype=ltype, out_channels=out_channels,
+                  kernel_size=kernel_size, padding=padding, stride=stride)
+    if ltype == 'deconv':
+        params['output_padding'] = output_padding
+    if ltype.endswith('pooling') or ltype == 'upsampler':
+        params.pop('out_channels')
+        delimiters.pop('out_channels')
+
+    for k, c in delimiters.items():
+        res = re.search('{}(?P<{}>[0-9|*]*)'.format(c, k), s)
+        if res:
+            try:
+                params[k] = int(res.groupdict()[k])
+            except ValueError:
+                params[k] = params.get(k)
+
+    # the leading integer (no delimiter) is out_channels
+    lead = re.match(r'^\d+', s)
+    if lead and 'out_channels' in params:
+        params['out_channels'] = int(lead.group())
+
+    if 'conv_in_deconv' in params:
+        params['ltype'] = 'conv'
+        params['out_channels'] = params.pop('conv_in_deconv')
+        params.pop('output_padding', None)
+        ltype = 'conv'
+
+    if params.get('padding') == '*':
+        params['padding'] = params['kernel_size'] // 2 if params['ltype'].endswith('conv') \
+            and params['ltype'] == 'conv' else (
+            params['kernel_size'] // 2 if params['ltype'] == 'deconv' else 0)
+    if params['ltype'].endswith('pooling') and params.get('padding') == '*':
+        params['padding'] = 0
+    if params['stride'] is None:
+        params['stride'] = 1 if params['ltype'].endswith('conv') else params['kernel_size']
+    return params
+
+
+@dataclasses.dataclass(frozen=True)
+class LayerPlan:
+    ltype: str                       # conv | deconv | mpooling | apooling | upsampler
+    out_channels: Optional[int]
+    kernel_size: int
+    padding: int
+    stride: int
+    output_padding: int = 0
+    batch_norm: bool = False
+    activation: Optional[str] = 'relu'   # None = no activation after
+    out_shape: Tuple[int, int, int] = (0, 0, 0)   # (C, H, W)
+
+    @property
+    def token(self) -> str:
+        """Canonical token (ref conv_layer_name, conv.py:89-105)."""
+        if self.ltype in ('conv', 'deconv'):
+            s = '{}x{}'.format(self.out_channels, self.kernel_size)
+            if self.padding != self.kernel_size // 2:
+                s += '+{}'.format(self.padding)
+            if self.stride != 1:
+                s += ':{}'.format(self.stride)
+            return s
+        if self.ltype.endswith('pooling'):
+            s = '{}x{}'.format(self.ltype[0].upper(), self.kernel_size)
+            if self.stride != self.kernel_size:
+                s += ':{}'.format(self.stride)
+            return s
+        return 'u:{}'.format(self.stride)
+
+
+def conv_stack_plan(input_shape: Sequence[int], layers_name: str,
+                    where: str = 'input', batch_norm: bool = False,
+                    activation: str = 'relu', output_activation: str = 'linear',
+                    output_distribution: str = 'gaussian'):
+    """Resolve a DSL string into a static list of LayerPlans with inferred
+    shapes (ref build_de_conv_layers, conv.py:128-244).
+
+    Returns (name, [LayerPlan...], output_shape) — output_shape is (256, C, H, W)
+    prepended for categorical output stacks.
+    """
+    name = None
+    if where == 'input' and layers_name in FEATURES_ARCHS:
+        name, layers_name = layers_name, FEATURES_ARCHS[layers_name]
+    if where == 'output' and layers_name in UPSAMPLER_ARCHS:
+        name, layers_name = layers_name, UPSAMPLER_ARCHS[layers_name]
+
+    if isinstance(input_shape, int):
+        input_shape = (input_shape, 1, 1)
+
+    default_params = {}
+    if layers_name.startswith('['):
+        end = layers_name.find(']')
+        for tok in layers_name[1:end].split('-'):
+            p = parse_conv_layer_name(tok, where=where)
+            default_params[p.pop('ltype')] = p
+        layers_name = layers_name[end + 1:]
+
+    tokens = layers_name.split('-')
+    plans: List[LayerPlan] = []
+    c, h, w = input_shape
+
+    for i, tok in enumerate(tokens):
+        last = i == len(tokens) - 1
+        p0 = parse_conv_layer_name(tok, where=where)
+        p = parse_conv_layer_name(tok, **default_params.get(p0['ltype'], {}), where=where)
+        ltype = p.pop('ltype')
+
+        if where == 'output' and last and output_distribution == 'categorical':
+            p['out_channels'] = 256 * p['out_channels']
+
+        k, pad, s = p['kernel_size'], p['padding'], p['stride']
+        act = activation if ltype.endswith('conv') else None
+        bn = batch_norm and ltype.endswith('conv')
+        if ltype == 'conv':
+            c = p['out_channels']
+            h = (h + 2 * pad - k) // s + 1
+            w = (w + 2 * pad - k) // s + 1
+        elif ltype == 'deconv':
+            c = p['out_channels']
+            h = (h - 1) * s - 2 * pad + k + p.get('output_padding', 0)
+            w = (w - 1) * s - 2 * pad + k + p.get('output_padding', 0)
+        elif ltype.endswith('pooling'):
+            h = (h + 2 * pad - k) // s + 1
+            w = (w + 2 * pad - k) // s + 1
+        elif ltype == 'upsampler':
+            h, w = int(h * s), int(w * s)
+        else:
+            raise ValueError(ltype)
+
+        plans.append(LayerPlan(ltype=ltype, out_channels=p.get('out_channels'),
+                               kernel_size=k, padding=pad, stride=s,
+                               output_padding=p.get('output_padding', 0),
+                               batch_norm=bn, activation=act,
+                               out_shape=(c, h, w)))
+
+    # the last activation of an output stack becomes the output activation
+    if where == 'output':
+        for j in range(len(plans) - 1, -1, -1):
+            if plans[j].activation is not None:
+                plans[j] = dataclasses.replace(plans[j], activation=output_activation)
+                break
+
+    out_shape = (c, h, w)
+    if where == 'output' and output_distribution == 'categorical':
+        out_shape = (256, c // 256, h, w)
+    name = name or '-'.join(pl.token for pl in plans)
+    return name, tuple(plans), out_shape
+
+
+def find_input_shape(layers_name: str, wanted_output_shape: Sequence[int],
+                     input_shape: Tuple[int, int] = (1, 1)) -> Tuple[int, int]:
+    """Smallest (H, W) whose deconv output matches wanted (H, W)
+    (ref find_input_shape, conv.py:108-125)."""
+    h, w = input_shape
+    while True:
+        _, _, out = conv_stack_plan((1, h, w), layers_name, where='output')
+        oh, ow = out[-2], out[-1]
+        if (oh, ow) == tuple(wanted_output_shape):
+            return (h, w)
+        if oh > wanted_output_shape[0] or ow > wanted_output_shape[1]:
+            raise ValueError('Did not find an input shape yielding output size '
+                             '({}, {}) for {}'.format(*wanted_output_shape, layers_name))
+        h += int(oh < wanted_output_shape[0])
+        w += int(ow < wanted_output_shape[1])
+
+
+ACTIVATIONS = {
+    'relu': nn.relu,
+    'leaky': lambda x: nn.leaky_relu(x, negative_slope=0.2),
+    'sigmoid': nn.sigmoid,
+    'tanh': nn.tanh,
+    'linear': lambda x: x,
+}
+
+
+class ConvStack(nn.Module):
+    """A (de)conv stack executing a static plan.
+
+    Input/output follow the reference's (..., C, H, W) layout; compute is NHWC.
+    Leading batch axes of any rank are flattened for the conv and restored
+    after (the (L+1, C, N) axes ride through as one fused batch).
+    """
+    input_shape: Tuple[int, int, int]         # (C, H, W)
+    plans: Tuple[LayerPlan, ...]
+    output_distribution: str = 'gaussian'
+    where: str = 'input'
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        lead = x.shape[:-3]
+        c0, h0, w0 = self.input_shape
+        x = x.reshape((-1, c0, h0, w0)).transpose(0, 2, 3, 1)  # NCHW->NHWC
+        x = x.astype(self.dtype)
+
+        for i, pl in enumerate(self.plans):
+            if pl.ltype == 'conv':
+                x = nn.Conv(pl.out_channels, (pl.kernel_size, pl.kernel_size),
+                            strides=(pl.stride, pl.stride),
+                            padding=[(pl.padding, pl.padding)] * 2,
+                            dtype=self.dtype, name='conv_{}'.format(i))(x)
+            elif pl.ltype == 'deconv':
+                x = _DeconvLayer(pl, dtype=self.dtype, name='deconv_{}'.format(i))(x)
+            elif pl.ltype == 'mpooling':
+                x = nn.max_pool(x, (pl.kernel_size, pl.kernel_size),
+                                strides=(pl.stride, pl.stride),
+                                padding=[(pl.padding, pl.padding)] * 2)
+            elif pl.ltype == 'apooling':
+                x = nn.avg_pool(x, (pl.kernel_size, pl.kernel_size),
+                                strides=(pl.stride, pl.stride),
+                                padding=[(pl.padding, pl.padding)] * 2)
+            elif pl.ltype == 'upsampler':
+                x = jnp.repeat(jnp.repeat(x, pl.stride, axis=1), pl.stride, axis=2)
+            if pl.batch_norm:
+                x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
+                                 name='bn_{}'.format(i))(x)
+            if pl.activation is not None:
+                x = ACTIVATIONS[pl.activation](x)
+
+        x = x.transpose(0, 3, 1, 2)  # NHWC->NCHW
+        c, h, w = self.plans[-1].out_shape
+        if self.where == 'output' and self.output_distribution == 'categorical':
+            return x.reshape(lead + (256, c // 256, h, w))
+        return x.reshape(lead + (c, h, w))
+
+
+class _DeconvLayer(nn.Module):
+    """Fractionally-strided conv matching torch ConvTranspose2d shape math."""
+    plan: LayerPlan
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pl = self.plan
+        k, p, s, op = pl.kernel_size, pl.padding, pl.stride, pl.output_padding
+        in_ch = x.shape[-1]
+        kernel = self.param('kernel', nn.initializers.lecun_normal(),
+                            (k, k, in_ch, pl.out_channels), jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros, (pl.out_channels,), jnp.float32)
+        pad = (k - 1 - p, k - 1 - p + op)
+        y = lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype),
+            window_strides=(1, 1), padding=[pad, pad], lhs_dilation=(s, s),
+            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        return y + bias.astype(self.dtype)

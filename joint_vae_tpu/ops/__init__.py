@@ -1,0 +1,12 @@
+"""Pure math primitives: losses, priors, sampling, sigma, scores, ROC.
+
+Everything here is a jittable pure function on arrays/pytrees — no Python-side
+state, no host sync.  These are the TPU-native equivalents of the reference's
+``module/losses.py``, ``module/priors.py``, ``module/vae_layers/layers.py``
+(Sampling/Sigma) and ``utils/roc_curves.py``.
+"""
+
+from .losses import mse_loss, categorical_loss, x_loss  # noqa: F401
+from .priors import PriorConfig, init_prior_params, prior_kl, prior_log_density  # noqa: F401
+from .sampling import reparameterize  # noqa: F401
+from .sigma import SigmaConfig, SigmaState  # noqa: F401

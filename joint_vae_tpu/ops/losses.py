@@ -1,0 +1,85 @@
+"""Reconstruction and classification loss primitives.
+
+Behavioral spec from the reference ``module/losses.py``:
+
+- ``mse_loss`` (ref module/losses.py:8): mean squared error over the trailing
+  ``ndim`` image dims, broadcasting the target over leading sampling/class axes.
+- ``categorical_loss`` (ref module/losses.py:30): 256-way per-pixel cross
+  entropy; target pixels quantized with ``floor(x * 255)`` (torch ``.long()``
+  truncation), summed over image dims.
+- ``x_loss`` (ref module/losses.py:52): label cross entropy over a leading
+  latent-sample axis L; when the label is None, returns the per-class negative
+  log posterior, class axis moved first (used by per-class evaluation).
+
+All functions are pure and jittable; reductions happen in float32 regardless of
+the input compute dtype (bf16-safe).
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def _image_axes(x: jax.Array, ndim: int):
+    return tuple(range(x.ndim - ndim, x.ndim))
+
+
+def mse_loss(x_output: jax.Array, x_target: jax.Array, ndim: int = 3,
+             batch_mean: bool = True) -> jax.Array:
+    """Per-sample MSE over the last ``ndim`` dims.
+
+    x_target: (N1..Ng, D1..Dt);  x_output: (L, [C,] N1..Ng, D1..Dt).
+    Returns (L, [C,] N1..Ng) if not batch_mean, else scalar mean.
+    """
+    diff = (x_output - x_target).astype(jnp.float32)
+    per = jnp.mean(jnp.square(diff), axis=_image_axes(diff, ndim))
+    return jnp.mean(per) if batch_mean else per
+
+
+def categorical_loss(x_output: jax.Array, x_target: jax.Array, ndim: int = 3,
+                     batch_mean: bool = True) -> jax.Array:
+    """256-way per-pixel cross entropy.
+
+    x_output: (..., 256, D1..Dt) logits; x_target: (N1..Ng, D1..Dt) in [0, 1].
+    Returns per-item CE summed over image dims (ref module/losses.py:47).
+    """
+    # torch ``(x * 255).long()`` truncates toward zero; pixels are >= 0.
+    labels = jnp.clip(jnp.floor(x_target * 255.0), 0, 255).astype(jnp.int32)
+    class_axis = x_output.ndim - ndim - 1
+    logp = jax.nn.log_softmax(x_output.astype(jnp.float32), axis=class_axis)
+    # Broadcast labels over the leading axes of logp, then gather along class_axis.
+    lead = logp.shape[:class_axis]
+    labels_b = jnp.broadcast_to(labels, lead + labels.shape[-ndim:])
+    gathered = jnp.take_along_axis(
+        logp, jnp.expand_dims(labels_b, class_axis), axis=class_axis)
+    ce = -jnp.squeeze(gathered, axis=class_axis)
+    ce = jnp.sum(ce.reshape(ce.shape[:-ndim] + (-1,)), axis=-1)
+    return jnp.mean(ce) if batch_mean else ce
+
+
+def x_loss(y_target: Optional[jax.Array], logits: jax.Array,
+           batch_mean: bool = True) -> jax.Array:
+    """Label cross entropy with a leading sample axis L on logits.
+
+    - y_target: (N1..Ng) int labels, or None.
+    - logits: (L, N1..Ng, C).
+
+    With labels: CE averaged over the sample axis (and the batch if
+    ``batch_mean``) — ref module/losses.py:73-86.
+
+    Without labels (per-class evaluation): -log(softmax + 1e-6), averaged over
+    samples 1: (the non-mean samples) when L > 1, class axis moved first so the
+    output is (C, N1..Ng) — ref module/losses.py:62-71.
+    """
+    logits = logits.astype(jnp.float32)
+    if y_target is None:
+        log_p = jnp.log(jax.nn.softmax(logits, axis=-1) + 1e-6)
+        lp = -jnp.mean(log_p[1:], axis=0) if logits.shape[0] > 1 else -log_p[0]
+        return jnp.moveaxis(lp, -1, 0)
+
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    y_b = jnp.broadcast_to(y_target, logp.shape[:-1])
+    ce = -jnp.take_along_axis(logp, y_b[..., None], axis=-1)[..., 0]
+    ce = jnp.mean(ce, axis=0)  # over all L samples (incl. the mean sample)
+    return jnp.mean(ce) if batch_mean else ce

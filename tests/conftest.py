@@ -1,0 +1,31 @@
+"""Test harness config.
+
+Two jobs, both of which must happen before the first JAX dispatch:
+
+1. Route tests to the CPU backend.  The sandbox bakes a ``sitecustomize``
+   (PYTHONPATH=/root/.axon_site) that imports jax at interpreter start and
+   registers the remote-TPU 'axon' backend with JAX_PLATFORMS=axon; its relay
+   handshake intermittently stalls the first dispatch for ~90s.  Because jax
+   is already imported before this conftest runs, setting the env var is too
+   late — we must update jax.config directly.
+
+2. Force an 8-device virtual CPU mesh so multi-chip sharding tests run
+   without TPU hardware (SURVEY.md section 4 implication d).
+"""
+
+import os
+
+_flags = os.environ.get('XLA_FLAGS', '')
+if 'xla_force_host_platform_device_count' not in _flags:
+    os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
+
+# Persistent compilation cache across pytest runs.
+os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
+os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.1')
+
+os.environ['JAX_PLATFORMS'] = 'cpu'
+
+import jax  # noqa: E402
+
+jax.config.update('jax_platforms', 'cpu')
