@@ -1,4 +1,4 @@
-"""CVNet — the one model covering the five types (vae / cvae / jvae / xvae / vib).
+r"""CVNet — the one model covering the five types (vae / cvae / jvae / xvae / vib).
 
 TPU-native re-design of the reference's ``ClassificationVariationalNetwork``
 (cvae.py:60-424).  The torch god-class is split into:
@@ -405,6 +405,7 @@ class CVNet(nn.Module):
         cfg = self.cfg
         if y is None and cfg.y_is_coded:
             raise ValueError('y is supposed to be an input of the net')
+        self.prior()  # materialize prior params at init time
         t = self.features(x, train)
         y_onehot = None
         if y is not None and cfg.y_is_coded:

@@ -1,0 +1,121 @@
+"""Conv-string DSL tests: parsing, shape inference, named archs, conv models.
+
+Shape ground truths follow torch Conv2d/ConvTranspose2d arithmetic
+(ref module/vae_layers/conv.py:187-213) on the reference's named stacks
+(conv-models.ini).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from joint_vae_tpu.models.conv import (
+    parse_conv_layer_name, conv_stack_plan, find_input_shape, ConvStack)
+
+
+def test_parse_basic_conv():
+    p = parse_conv_layer_name('32x5+2:1')
+    assert p['ltype'] == 'conv' and p['out_channels'] == 32
+    assert p['kernel_size'] == 5 and p['padding'] == 2 and p['stride'] == 1
+
+    p = parse_conv_layer_name('64')  # bare channels, default kernel
+    assert p['out_channels'] == 64 and p['ltype'] == 'conv'
+
+    p = parse_conv_layer_name('Mx2')
+    assert p['ltype'] == 'mpooling' and p['kernel_size'] == 2
+    assert p['stride'] == 2 and p['padding'] == 0  # '*' -> 0 for pooling
+
+    p = parse_conv_layer_name('U:2', where='output')
+    assert p['ltype'] == 'upsampler' and p['stride'] == 2
+
+    p = parse_conv_layer_name('64:2++1', where='output')
+    assert p['ltype'] == 'deconv' and p['stride'] == 2 and p['output_padding'] == 1
+
+    p = parse_conv_layer_name('!3x5+2', where='output')
+    assert p['ltype'] == 'conv' and p['out_channels'] == 3
+    assert p['kernel_size'] == 5 and p['padding'] == 2
+
+
+def test_conv32_plan_shapes():
+    # conv32 = [x5+2]32-32:2-64-64:2-200x7+0 on (3, 32, 32):
+    # 32 -> 16 -> 16 -> 8 -> (8-7)+1 = 2 (torch conv arithmetic)
+    name, plans, out = conv_stack_plan((3, 32, 32), 'conv32', where='input')
+    assert out == (200, 2, 2)
+    shapes = [p.out_shape for p in plans]
+    assert shapes == [(32, 32, 32), (32, 16, 16), (64, 16, 16), (64, 8, 8),
+                      (200, 2, 2)]
+
+
+def test_deconv32_plan_shapes():
+    # deconv32 on latent grid (64, 1, 1) -> (3, 32, 32)
+    _, plans, out = conv_stack_plan((64, 1, 1), 'deconv32', where='output')
+    assert out == (3, 32, 32)
+
+
+def test_vgg11_plan():
+    _, plans, out = conv_stack_plan((3, 32, 32), 'vgg11', where='input')
+    assert out == (512, 1, 1)
+
+
+def test_find_input_shape():
+    assert find_input_shape('deconv32', (32, 32)) == (1, 1)
+
+
+def test_categorical_output_channels():
+    _, plans, out = conv_stack_plan((64, 1, 1), 'deconv32', where='output',
+                                    output_distribution='categorical')
+    assert out == (256, 3, 32, 32)
+    assert plans[-1].out_channels == 256 * 3
+
+
+def test_output_activation_replaces_last():
+    _, plans, _ = conv_stack_plan((64, 1, 1), 'deconv32', where='output',
+                                  output_activation='sigmoid')
+    acts = [p.activation for p in plans if p.activation is not None]
+    assert acts[-1] == 'sigmoid'
+    assert all(a == 'relu' for a in acts[:-1])
+
+
+def test_conv_stack_forward_shapes():
+    name, plans, out = conv_stack_plan((3, 16, 16), '[x5+2]8-8:2-16x8+0',
+                                       where='input')
+    assert out == (16, 1, 1)
+    stack = ConvStack(input_shape=(3, 16, 16), plans=plans, where='input')
+    x = jnp.zeros((2, 4, 3, 16, 16))  # leading (L, N) axes ride through
+    variables = stack.init(jax.random.PRNGKey(0), x)
+    y = stack.apply(variables, x)
+    assert y.shape == (2, 4, 16, 1, 1)
+
+
+def test_deconv_stack_forward_matches_plan():
+    _, plans, out = conv_stack_plan((8, 1, 1), '[x5+2]8x8+0-8:2++1-!1x5+2',
+                                    where='output')
+    stack = ConvStack(input_shape=(8, 1, 1), plans=plans, where='output')
+    x = jnp.zeros((3, 8, 1, 1))
+    variables = stack.init(jax.random.PRNGKey(0), x)
+    y = stack.apply(variables, x)
+    assert y.shape == (3,) + out
+
+
+@pytest.mark.parametrize('arch,inp,expected', [
+    ('conv32+', (3, 32, 32), (200, 2, 2)),
+    ('conv32-', (3, 32, 32), (200, 2, 2)),
+    ('vgg16', (3, 32, 32), (512, 1, 1)),
+])
+def test_named_arch_output_shapes(arch, inp, expected):
+    _, _, out = conv_stack_plan(inp, arch, where='input')
+    assert out == expected
+
+
+def test_batch_norm_stack():
+    _, plans, _ = conv_stack_plan((1, 8, 8), '[x3+1]4-4:2', where='input',
+                                  batch_norm=True)
+    stack = ConvStack(input_shape=(1, 8, 8), plans=plans)
+    x = jnp.ones((2, 1, 8, 8))
+    variables = stack.init(jax.random.PRNGKey(0), x, train=True)
+    assert 'batch_stats' in variables
+    y, updates = stack.apply(variables, x, train=True, mutable=['batch_stats'])
+    assert y.shape == (2, 4, 4, 4)
+    assert 'batch_stats' in updates
