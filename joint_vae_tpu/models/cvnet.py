@@ -361,6 +361,14 @@ class CVNet(nn.Module):
 
         self.prior = PriorParams(cfg.prior)
 
+        # learned (non-coded) sigma: a trainable log-sigma vector
+        # (ref Sigma with learned=True, module/vae_layers/layers.py:73-114)
+        if cfg.sigma_cfg.learned and not cfg.sigma_cfg.coded:
+            v0 = float(np.log(cfg.sigma_cfg.value)) if cfg.sigma_cfg.value > 0 else -30.0
+            self.sigma_param = self.param(
+                'sigma_param',
+                lambda key: jnp.full((cfg.sigma_cfg.sdim,), v0, jnp.float32))
+
     # ------ sub-applies ------
 
     def features(self, x: jax.Array, train: bool = False) -> jax.Array:

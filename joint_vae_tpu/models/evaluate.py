@@ -297,12 +297,11 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
     if cfg.x_is_generated:
         total = total + losses['cross_x']
     if cfg.y_is_decoded:
-        if cfg.is_cvae or cfg.is_vae:
-            cross_y_weight = gamma_weighting * cfg.gamma if train else 0.0
-        else:
-            cross_y_weight = gamma_weighting * cfg.gamma
-        if cross_y_weight:
-            total = total + cross_y_weight * losses['cross_y']
+        # inclusion is static (gamma != 0, and training only for cvae/vae —
+        # ref cvae.py:557-562); the warmup weighting itself may be traced
+        include_cross_y = bool(cfg.gamma) and (train or not (cfg.is_cvae or cfg.is_vae))
+        if include_cross_y:
+            total = total + (gamma_weighting * cfg.gamma) * losses['cross_y']
     beta = cfg.beta if with_beta else 1.0
     total = total + beta * losses['kl']
     losses['total'] = total
