@@ -1,0 +1,361 @@
+"""TPU-friendly dataset loaders.
+
+Re-design of ref ``utils/torch_load.py:150-580``: datasets are whole-array
+numpy containers (float32 CHW in [0, 1] + int labels) so batches stream to
+the device as contiguous host buffers — no per-sample python transforms in
+the hot loop.  Transform micro-DSL, heldout-class filtering/relabeling,
+rotation-suffix views, synthetic const/uniform sets and the seeded batch
+utilities all follow the reference semantics.
+
+Real data is read from $JVT_DATA_DIR (default ./data) in the standard
+formats (MNIST idx / CIFAR python pickles / npz archives).  When files are
+absent (this sandbox has zero egress) the loader falls back to a clearly
+flagged deterministic class-structured synthetic substitute so every
+pipeline stays runnable end-to-end; ``.synthetic`` marks such sets.
+"""
+
+import gzip
+import logging
+import os
+import pickle
+import struct
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .registry import (dataset_properties, get_heldout_classes_by_name,
+                       get_same_size_by_name, get_classes_by_name)
+
+DATA_DIR = os.environ.get('JVT_DATA_DIR', './data')
+
+
+class ArrayDataset:
+    """In-memory dataset: data (N, C, H, W) float32 in [0,1], targets (N,)."""
+
+    def __init__(self, data: np.ndarray, targets: np.ndarray, name: str,
+                 classes: Optional[List[str]] = None,
+                 transformer: str = 'default', heldout: Sequence[int] = (),
+                 synthetic: bool = False, same_size: Sequence[str] = ()):
+        assert data.ndim == 4
+        self.data = np.ascontiguousarray(data, np.float32)
+        self.targets = np.ascontiguousarray(targets, np.int32)
+        self.name = name
+        self.classes = classes
+        self.transformer = transformer
+        self.heldout = tuple(heldout)
+        self.synthetic = synthetic
+        self.same_size = list(same_size)
+
+    def __len__(self):
+        return self.data.shape[0]
+
+    def __getitem__(self, i):
+        return self.data[i], self.targets[i]
+
+    @property
+    def shape(self):
+        return tuple(self.data.shape[1:])
+
+    def subset(self, indices) -> 'ArrayDataset':
+        return ArrayDataset(self.data[indices], self.targets[indices],
+                            self.name, self.classes, self.transformer,
+                            self.heldout, self.synthetic, self.same_size)
+
+
+# ---------------------------------------------------------------------------
+# raw file readers
+# ---------------------------------------------------------------------------
+
+def _read_idx(path: str) -> np.ndarray:
+    op = gzip.open if path.endswith('.gz') else open
+    with op(path, 'rb') as f:
+        magic = struct.unpack('>I', f.read(4))[0]
+        ndim = magic & 0xff
+        dims = struct.unpack('>' + 'I' * ndim, f.read(4 * ndim))
+        return np.frombuffer(f.read(), np.uint8).reshape(dims)
+
+
+def _load_mnist_like(root: str, split: str):
+    prefix = 'train' if split == 'train' else 't10k'
+    for ext in ('', '.gz'):
+        ip = os.path.join(root, '{}-images-idx3-ubyte{}'.format(prefix, ext))
+        lp = os.path.join(root, '{}-labels-idx1-ubyte{}'.format(prefix, ext))
+        if os.path.exists(ip) and os.path.exists(lp):
+            x = _read_idx(ip).astype(np.float32) / 255.0
+            y = _read_idx(lp).astype(np.int32)
+            return x[:, None], y
+    return None
+
+
+def _load_cifar(root: str, split: str, coarse100: bool = False):
+    # CIFAR-10 python batches
+    b10 = os.path.join(root, 'cifar-10-batches-py')
+    if os.path.isdir(b10):
+        files = (['data_batch_{}'.format(i) for i in range(1, 6)]
+                 if split == 'train' else ['test_batch'])
+        xs, ys = [], []
+        for fn in files:
+            with open(os.path.join(b10, fn), 'rb') as f:
+                d = pickle.load(f, encoding='bytes')
+            xs.append(d[b'data'])
+            ys.extend(d[b'labels'])
+        x = np.concatenate(xs).reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        return x, np.asarray(ys, np.int32)
+    b100 = os.path.join(root, 'cifar-100-python')
+    if os.path.isdir(b100):
+        fn = 'train' if split == 'train' else 'test'
+        with open(os.path.join(b100, fn), 'rb') as f:
+            d = pickle.load(f, encoding='bytes')
+        x = d[b'data'].reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
+        y = np.asarray(d[b'fine_labels'], np.int32)
+        return x, y
+    return None
+
+
+def _load_npz(root: str, name: str, split: str):
+    for cand in (os.path.join(root, '{}-{}.npz'.format(name, split)),
+                 os.path.join(root, name, '{}.npz'.format(split))):
+        if os.path.exists(cand):
+            z = np.load(cand)
+            x = z['x'].astype(np.float32)
+            if x.max() > 1.5:
+                x = x / 255.0
+            y = z.get('y', np.zeros(len(x), np.int32)).astype(np.int32)
+            return x, y
+    return None
+
+
+_DEFAULT_SIZES = {'train': 50000, 'test': 10000}
+
+
+def _synthetic_fallback(name: str, shape, num_labels: int, split: str,
+                        size: Optional[int] = None):
+    """Deterministic class-structured blobs; clearly flagged synthetic."""
+    n = size or _DEFAULT_SIZES[split]
+    seed = (hash((name, split)) & 0x7fffffff)
+    rng = np.random.default_rng(seed)
+    C = max(num_labels, 1)
+    y = rng.integers(0, C, size=n).astype(np.int32)
+    c, h, w = shape
+    centers = rng.uniform(0.2, 0.8, size=(C, c, 1, 1)).astype(np.float32)
+    freq = rng.uniform(1, 4, size=(C, 1, 1, 1)).astype(np.float32)
+    yy = np.linspace(0, np.pi, h, dtype=np.float32)[None, :, None]
+    xx = np.linspace(0, np.pi, w, dtype=np.float32)[None, None, :]
+    pattern = np.sin(freq[y] * yy)[..., :] * np.cos(freq[y] * xx)
+    x = centers[y] + 0.15 * pattern + 0.05 * rng.standard_normal(
+        (n, c, h, w)).astype(np.float32)
+    return np.clip(x, 0, 1), y
+
+
+# ---------------------------------------------------------------------------
+# transform micro-DSL (ref data/sets.ini pre_transform strings)
+# ---------------------------------------------------------------------------
+
+def _apply_transforms(x: np.ndarray, y: np.ndarray, pre: str, target: str,
+                      out_shape) -> Tuple[np.ndarray, np.ndarray]:
+    for t in (pre or '').split():
+        if t == 'tensor' or t == 'already_tensor':
+            continue
+        if t == 'g2c':
+            if x.shape[1] == 1:
+                x = np.repeat(x, 3, axis=1)
+        elif t.startswith('pad-'):
+            p = int(t.split('-')[1])
+            x = np.pad(x, ((0, 0), (0, 0), (p, p), (p, p)))
+        elif t == 'resize':
+            x = _resize_nearest(x, out_shape[-2:])
+        elif t.startswith('rotate-'):
+            k = int(t.split('-')[1]) // 90
+            x = np.rot90(x, k=k, axes=(2, 3)).copy()
+        elif t == 'hflip':
+            x = x[:, :, :, ::-1].copy()
+        elif t.startswith('crop'):
+            ch, cw = out_shape[-2:]
+            h0 = (x.shape[2] - ch) // 2
+            w0 = (x.shape[3] - cw) // 2
+            x = x[:, :, h0:h0 + ch, w0:w0 + cw]
+        else:
+            logging.warning('unknown pre transform %s', t)
+    if target == 'y-1':
+        y = y - 1
+    return x, y
+
+
+def _resize_nearest(x: np.ndarray, hw) -> np.ndarray:
+    h, w = hw
+    ih, iw = x.shape[2], x.shape[3]
+    ri = (np.arange(h) * ih // h).clip(0, ih - 1)
+    ci = (np.arange(w) * iw // w).clip(0, iw - 1)
+    return x[:, :, ri][:, :, :, ci]
+
+
+# ---------------------------------------------------------------------------
+# get_dataset
+# ---------------------------------------------------------------------------
+
+_cache: Dict[Tuple, ArrayDataset] = {}
+
+
+def get_dataset(name: str, transformer: str = 'default',
+                data_augmentation: Sequence[str] = (),
+                splits: Sequence[str] = ('train', 'test'),
+                size: Optional[int] = None):
+    """-> (trainset, testset) (None for unrequested splits)
+    (ref utils/torch_load.py:312-523)."""
+    out = []
+    for split in ('train', 'test'):
+        if split not in splits:
+            out.append(None)
+            continue
+        key = (name, transformer, split, size)
+        if key not in _cache:
+            _cache[key] = _build_split(name, transformer, split, size)
+        out.append(_cache[key])
+    return tuple(out)
+
+
+def _build_split(name: str, transformer: str, split: str,
+                 size: Optional[int]) -> ArrayDataset:
+    rotated = False
+    base = name
+    if name.endswith('90') and name not in dataset_properties():
+        rotated = True
+        base = name[:-2]
+
+    parent, heldout = get_heldout_classes_by_name(base)
+    props = dataset_properties().get(parent)
+    if props is None:
+        raise ValueError('unknown dataset {}'.format(name))
+    shape = props['shape']
+    classes = get_classes_by_name(base)
+    num_labels = props['labels']
+
+    synthetic = False
+    if props.get('by_shape'):
+        n = size or _DEFAULT_SIZES[split]
+        seed = hash((parent, split)) & 0x7fffffff
+        rng = np.random.default_rng(seed)
+        if parent.startswith('const'):
+            # constant-color images (ref ConstantDataset, torch_load.py:150)
+            vals = rng.uniform(0, 1, size=(n, shape[0], 1, 1)).astype(np.float32)
+            x = np.broadcast_to(vals, (n, *shape)).copy()
+        elif parent.startswith('uniform'):
+            # uniform noise (ref UniformDataset, torch_load.py:179)
+            x = rng.uniform(0, 1, size=(n, *shape)).astype(np.float32)
+        else:  # random300k-style numpy noise file
+            arr = _load_npz(DATA_DIR, parent, split)
+            if arr is not None:
+                x, _ = arr
+            else:
+                x = rng.uniform(0, 1, size=(n, *shape)).astype(np.float32)
+        y = np.zeros(len(x), np.int32)
+    else:
+        # raw source set (mnist32p reads the mnist files then transforms)
+        src = props.get('parent', parent)
+        src_shape = dataset_properties().get(src, props)['shape']
+        root = os.path.join(DATA_DIR, src)
+        loaded = None
+        if src in ('mnist', 'fashion', 'letters'):
+            loaded = _load_mnist_like(root, split)
+        if loaded is None and src.startswith('cifar'):
+            loaded = _load_cifar(root, split) or _load_cifar(DATA_DIR, split)
+        if loaded is None:
+            loaded = _load_npz(DATA_DIR, src, split)
+        if loaded is None:
+            x, y = _synthetic_fallback(src, src_shape, num_labels, split, size)
+            synthetic = True
+            logging.warning('dataset %s/%s not found under %s - using '
+                            'deterministic synthetic substitute', src,
+                            split, DATA_DIR)
+        else:
+            x, y = loaded
+
+        x, y = _apply_transforms(x, y, props.get('pre_transform', ''),
+                                 props.get('target_transform', ''), shape)
+        if size:
+            x, y = x[:size], y[:size]
+
+    # heldout filtering + relabeling (ref torch_load.py:654-682)
+    if heldout:
+        kept = [c for c in range(num_labels) if c not in heldout]
+        relabel = -np.ones(num_labels, np.int32)
+        for new, old in enumerate(kept):
+            relabel[old] = new
+        m = np.isin(y, kept)
+        x, y = x[m], relabel[y[m]]
+
+    if rotated:
+        x = np.transpose(x, (0, 1, 3, 2)).copy()
+
+    ds = ArrayDataset(x, y, name, classes, transformer, heldout, synthetic,
+                      same_size=get_same_size_by_name(base if not rotated
+                                                      else base + '90'))
+    return ds
+
+
+def get_batch(dataset: ArrayDataset, batch_size: int = 100, seed=None,
+              device=None):
+    """One (shuffled) batch (ref get_batch, utils/torch_load.py:548-570)."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(dataset), size=min(batch_size, len(dataset)),
+                     replace=False)
+    return dataset.data[idx], dataset.targets[idx]
+
+
+class DataLoader:
+    """Seeded, epoch-shuffled batch iterator over an ArrayDataset.
+
+    Deterministic per (seed, epoch); optionally applies train-time
+    augmentation (hflip / random crop-with-pad) on the host in one
+    vectorized shot per batch.
+    """
+
+    def __init__(self, dataset: ArrayDataset, batch_size: int,
+                 shuffle: bool = True, seed: int = 0,
+                 data_augmentation: Sequence[str] = (),
+                 drop_last: bool = False):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.epoch = 0
+        self.augmentation = list(data_augmentation)
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = rng.permutation(n)
+        else:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            order = np.arange(n)
+        self.epoch += 1
+        bs = self.batch_size
+        stop = (n // bs) * bs if self.drop_last else n
+        for i in range(0, stop, bs):
+            idx = order[i:i + bs]
+            x = self.dataset.data[idx]
+            y = self.dataset.targets[idx]
+            if self.augmentation:
+                x = self._augment(x, rng)
+            yield x, y
+
+    def _augment(self, x: np.ndarray, rng) -> np.ndarray:
+        if 'flip' in self.augmentation or 'hflip' in self.augmentation:
+            m = rng.random(len(x)) < 0.5
+            x = x.copy()
+            x[m] = x[m][:, :, :, ::-1]
+        if any(a.startswith('crop') for a in self.augmentation):
+            p = 4
+            n, c, h, w = x.shape
+            xp = np.pad(x, ((0, 0), (0, 0), (p, p), (p, p)))
+            oh = rng.integers(0, 2 * p + 1, size=n)
+            ow = rng.integers(0, 2 * p + 1, size=n)
+            x = np.stack([xp[i, :, oh[i]:oh[i] + h, ow[i]:ow[i] + w]
+                          for i in range(n)])
+        return x
