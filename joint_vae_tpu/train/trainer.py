@@ -1,0 +1,216 @@
+"""The training driver: epoch loop with periodic evaluation, checkpointing,
+live output and signal-aware stopping.
+
+Re-design of ref ``train_model`` (cvae.py:2081-2547):
+
+- seeded validation split persisted in train_params (ref :2155-2167)
+- per-epoch: optional OOD eval (every ood_detection_every) + full test
+  (every full_test_every), per-epoch checkpoint save, warmup ramps,
+  per-epoch LR decay, NaN-parameter guard, live EpochOutput rows
+- graceful stops on signal levels (ref :2377-2542)
+- the hot loop is ONE compiled XLA program per step (train/steps.py); data
+  batches stream from pinned numpy arrays.
+"""
+
+import logging
+import os
+import time
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loaders import ArrayDataset, DataLoader, get_dataset
+from ..evals.engines import accuracy, ood_detection_rates
+from ..models.cvnet import CVNet
+from ..models.evaluate import evaluate
+from ..save_load.jobs import Job, save_job
+from ..utils.print_log import EpochOutput
+from ..utils.signaling import SIGHandler
+from .optimizers import build_optimizer, set_learning_rate
+from .steps import make_train_step
+
+
+def split_validation(dataset: ArrayDataset, validation: int, seed: int):
+    """Deterministic validation split (ref cvae.py:2155-2167)."""
+    if not validation:
+        return dataset, None
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(len(dataset))
+    return dataset.subset(perm[validation:]), dataset.subset(perm[:validation])
+
+
+def train_model(job: Job,
+                trainset: Optional[ArrayDataset] = None,
+                testset: Optional[ArrayDataset] = None,
+                oodsets: Optional[Sequence[ArrayDataset]] = None,
+                epochs: int = 2,
+                batch_size: int = 64,
+                test_batch_size: int = 512,
+                validation: int = 0,
+                data_augmentation: Sequence[str] = (),
+                warmup=(0, 0), warmup_gamma=(0, 0),
+                full_test_every: int = 10,
+                ood_detection_every: int = 10,
+                save_dir: Optional[str] = None,
+                signal_handler: Optional[SIGHandler] = None,
+                outputs: Optional[EpochOutput] = None,
+                seed: int = 0,
+                train_accuracy: bool = False,
+                fine_tuning: bool = False) -> Job:
+    """Train job.state in place (functionally); returns the job."""
+    cfg = job.model_cfg
+    model = job.model
+    outputs = outputs or EpochOutput()
+    signal_handler = signal_handler or _NullSignal()
+
+    if trainset is None:
+        name = job.training_parameters.get('set') or 'cifar10'
+        trainset, ts = get_dataset(name, data_augmentation=data_augmentation)
+        testset = testset if testset is not None else ts
+
+    # persisted warmup + validation seed (ref cvae.py:2196-2202, 2155-2167)
+    tp = job.training_parameters
+    w_prev = tp.get('warmup', [0, 0])
+    wg_prev = tp.get('warmup_gamma', [0, 0])
+    warmup = [max(a, b) for a, b in zip(list(warmup), w_prev)]
+    warmup_gamma = [max(a, b) for a, b in zip(list(warmup_gamma), wg_prev)]
+    tp['warmup'], tp['warmup_gamma'] = warmup, warmup_gamma
+    tp.setdefault('validation_seed', seed or 1)
+    tp['set'] = getattr(trainset, 'name', tp.get('set'))
+    tp['batch_size'] = batch_size
+    tp['data_augmentation'] = list(data_augmentation)
+    tp['epochs'] = max(tp.get('epochs') or 0, epochs)
+    trainset, validationset = split_validation(trainset, validation,
+                                               tp['validation_seed'])
+
+    tx = build_optimizer(job.opt_cfg)
+    step = make_train_step(model, tx, tuple(warmup), tuple(warmup_gamma),
+                           donate=True)
+    state = job.state
+
+    loader = DataLoader(trainset, batch_size, shuffle=True, seed=seed,
+                        data_augmentation=data_augmentation, drop_last=True)
+    per_epoch = len(loader)
+
+    first_epoch = job.trained
+    for epoch in range(first_epoch, epochs):
+        full_test = ((epoch - first_epoch) % full_test_every == 0
+                     and epoch > first_epoch)
+        ood_now = ((epoch - first_epoch) % ood_detection_every == 0
+                   and epoch > first_epoch and oodsets)
+
+        if signal_handler.sig > 3:
+            logging.warning('Abruptly breaking training loop (%s)',
+                            signal_handler)
+            break
+        if signal_handler.sig > 2 or (full_test and signal_handler.sig > 1):
+            logging.warning('Breaking training loop after %d epochs (%s)',
+                            epoch, signal_handler)
+            break
+
+        job.state = state
+        if save_dir:
+            save_job(job, save_dir)
+
+        if ood_now and testset is not None:
+            ood_detection_rates(job, testset, oodsets,
+                                batch_size=test_batch_size, epoch=epoch,
+                                outputs=outputs)
+        if full_test and testset is not None and cfg.predict_methods:
+            accuracy(job, testset, batch_size=test_batch_size, epoch=epoch,
+                     outputs=outputs)
+
+        # per-epoch LR decay (ref optimizer.update_lr, optimizers.py:123-127)
+        state = state.replace(
+            opt_state=set_learning_rate(state.opt_state,
+                                        job.opt_cfg.lr_at_epoch(epoch)),
+            epoch=jnp.asarray(epoch, jnp.int32))
+
+        t0 = time.time()
+        running: Dict[str, float] = {}
+        metrics = {}
+        n_train_correct = 0
+        n_train = 0
+        for i, (x, y) in enumerate(loader):
+            state, metrics = step(state, jnp.asarray(x), jnp.asarray(y))
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + float(v)
+            if not np.isfinite(running.get('total', 0.0)):
+                logging.error('non-finite loss at epoch %d batch %d — '
+                              'marking derailed', epoch, i)
+                if save_dir:
+                    from ..save_load.jobs import mark
+                    mark(save_dir, 'derailed')
+                job.state = state
+                return job
+            t_per_i = (time.time() - t0) / (i + 1)
+            mean = {k: running[k] / (i + 1) for k in running}
+            outputs.results(i, per_epoch, epoch + 1, epochs, preambule='train',
+                            losses={k: mean.get(k, np.nan)
+                                    for k in cfg.loss_components
+                                    if k in mean},
+                            metrics={k: mean.get(k, np.nan)
+                                     for k in cfg.metrics if k in mean},
+                            time_per_i=t_per_i, batch_size=batch_size)
+            if signal_handler.sig > 3:
+                break
+
+        checkpoint = {
+            'train_loss': {k: running.get(k, np.nan) / max(per_epoch, 1)
+                           for k in cfg.loss_components if k in running},
+            'train_measures': {k: float(metrics[k]) for k in cfg.metrics
+                               if k in metrics},
+            'lr': job.opt_cfg.lr_at_epoch(epoch),
+        }
+
+        if validationset is not None:
+            checkpoint['validation_loss'] = _mean_losses(
+                model, state, validationset, test_batch_size, epoch)
+        job.train_history[epoch + 1] = checkpoint
+        job.train_history['epochs'] = epoch + 1
+        if fine_tuning:
+            tp.setdefault('fine_tuning', []).append(epoch)
+
+        job.state = state
+        if save_dir and signal_handler.sig <= 3:
+            save_job(job, save_dir)
+
+    # final full evaluation (ref cvae.py:2505-2547)
+    job.state = state
+    if signal_handler.sig <= 3 and testset is not None:
+        if cfg.predict_methods:
+            accuracy(job, testset, batch_size=test_batch_size, outputs=outputs)
+        if oodsets:
+            ood_detection_rates(job, testset, oodsets,
+                                batch_size=test_batch_size, outputs=outputs)
+        if save_dir:
+            save_job(job, save_dir)
+    return job
+
+
+def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
+                 batch_size: int, epoch: int) -> Dict[str, float]:
+    """Mean per-component losses with labels (validation tracking)."""
+
+    @jax.jit
+    def eval_batch(variables, x, y, k):
+        out = evaluate(model, variables, x, y, rng=k,
+                       sigma_state=state.sigma_state, train=False)
+        return {k_: jnp.mean(v) for k_, v in out.losses.items()}
+
+    sums: Dict[str, float] = {}
+    n = 0
+    loader = DataLoader(dataset, batch_size, shuffle=False)
+    for i, (x, y) in enumerate(loader):
+        k = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
+        m = eval_batch(state.variables, jnp.asarray(x), jnp.asarray(y), k)
+        for k_, v in m.items():
+            sums[k_] = sums.get(k_, 0.0) + float(v)
+        n += 1
+    return {k_: v / max(n, 1) for k_, v in sums.items()}
+
+
+class _NullSignal:
+    sig = 0
