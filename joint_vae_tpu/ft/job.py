@@ -1,0 +1,212 @@
+"""The fine-tuning driver (ref ft/job.py:170-478).
+
+Flow: build the moving set -> pre-tuning OOD baseline (original prior,
+records under ``samples/<epoch>/init/``) -> fine-tune loop (train batches
+paired with cycling moving-set batches) -> estimated labels from kl-argmin ->
+post-tuning OOD with both-prior WIM scores -> misclassification rates.
+
+The reference subclasses the god-class and mutates priors in place;
+here the WIMJob wraps a Job and the steps are explicit jitted programs.
+"""
+
+import logging
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.loaders import ArrayDataset, DataLoader
+from ..evals.engines import ood_detection_rates
+from ..models.evaluate import evaluate
+from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
+from ..ops.scores import batch_dist_measures
+from ..save_load.jobs import save_job, load_job
+from ..save_load.recorders import LossRecorder
+from ..train.optimizers import build_optimizer
+from .wim import WIMJob, wim_measures, is_wim_method, WIM_OOD_METHODS_PER_TYPE
+
+
+def load_wim_job(job_dir: str, key=None, **alternate_prior) -> WIMJob:
+    """Load a trained plain job for WIM tuning: lenient state load + OOD
+    results reset (ref FTJob.load, ft/job.py:121-169)."""
+    job = load_job(job_dir, strict=False, key=key)
+    job.ood_results = {}
+    wim = WIMJob(job=job)
+    if alternate_prior:
+        wim.set_alternate_prior(key=key, **alternate_prior)
+    return wim
+
+
+def _both_prior_losses(wim: WIMJob, dataset: ArrayDataset, batch_size: int,
+                       key, L: Optional[int] = None) -> Dict[str, np.ndarray]:
+    """Full-set losses incl. '@' twins and sample-mean logits."""
+    model = wim.model
+    state = wim.job.state
+    alt = (wim.alternate_prior_cfg, wim.alternate_prior_params)
+
+    @jax.jit
+    def eval_batch(variables, x, k):
+        out = evaluate(model, variables, x, None, rng=k,
+                       sigma_state=state.sigma_state, train=False, L=L)
+        alt_out = evaluate(model, variables, x, None, rng=k,
+                           sigma_state=state.sigma_state, train=False, L=L,
+                           prior_override=alt)
+        losses = dict(out.losses)
+        losses.update({kk + '@': vv for kk, vv in alt_out.losses.items()})
+        return losses, out.logits
+
+    acc: Dict[str, list] = {}
+    logits_l = []
+    loader = DataLoader(dataset, batch_size, shuffle=False)
+    for i, (x, y) in enumerate(loader):
+        k = jax.random.fold_in(key, i)
+        losses, logits = eval_batch(state.variables, jnp.asarray(x), k)
+        for kk, vv in losses.items():
+            acc.setdefault(kk, []).append(np.asarray(vv))
+        logits_l.append(np.asarray(logits))
+        acc.setdefault('y_true', []).append(np.asarray(y))
+    out = {kk: np.concatenate(v, axis=-1) for kk, v in acc.items()
+           if kk != 'y_true'}
+    out['y_true'] = np.concatenate(acc['y_true'])
+    out['logits'] = np.concatenate(logits_l, axis=0)
+    return out
+
+
+def wim_scores_for_set(wim: WIMJob, losses: Dict[str, np.ndarray],
+                       methods: Sequence[str]) -> Dict[str, np.ndarray]:
+    """Plain + WIM measures for one set; estimated labels = kl argmin over
+    the class axis (ref ft/job.py:447-455)."""
+    cfg = wim.cfg
+    y_est = None
+    if cfg.losses_per_class and losses['kl'].ndim > 1:
+        y_est = jnp.asarray(np.argmin(losses['kl'], axis=0))
+    wm = [m for m in methods if is_wim_method(m)]
+    pm = [m for m in methods if not is_wim_method(m)]
+    jl = {k: jnp.asarray(v) for k, v in losses.items()
+          if k not in ('y_true', 'logits')}
+    out = {}
+    if pm:
+        out.update({k: np.asarray(v) for k, v in batch_dist_measures(
+            cfg, jnp.asarray(losses['logits']), jl, pm).items()})
+    if wm:
+        out.update({k: np.asarray(v) for k, v in
+                    wim_measures(cfg, jl, wm, y_est=y_est).items()})
+    return out
+
+
+def finetune(wim: WIMJob,
+             trainset: ArrayDataset,
+             moving_set: ArrayDataset,
+             testset: ArrayDataset,
+             oodsets: Sequence[ArrayDataset] = (),
+             epochs: int = 1,
+             alpha: float = 0.1,
+             train_size: Optional[int] = None,
+             batch_size: int = 64,
+             moving_batch_size: Optional[int] = None,
+             test_batch_size: int = 256,
+             ood_methods: Optional[Sequence[str]] = None,
+             save_dir: Optional[str] = None,
+             seed: int = 0,
+             outputs=None) -> WIMJob:
+    """Run the WIM fine-tuning flow; updates wim.job in place."""
+    cfg = wim.cfg
+    assert wim.alternate_prior_cfg is not None, 'set_alternate_prior first'
+    moving_batch_size = moving_batch_size or batch_size
+    methods = list(ood_methods if ood_methods is not None
+                   else WIM_OOD_METHODS_PER_TYPE.get(cfg.type, ['elbo', 'zdist']))
+    job = wim.job
+    epoch0 = job.trained
+
+    # ---- pre-tuning baseline into samples/<epoch>/init (ref ft/job.py:302-313)
+    if save_dir:
+        job.saved_dir = save_dir
+        init_dir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch0),
+                                'init')
+        os.makedirs(init_dir, exist_ok=True)
+        pre = ood_detection_rates(job, testset, list(oodsets),
+                                  batch_size=test_batch_size,
+                                  method=[m for m in methods
+                                          if not is_wim_method(m)],
+                                  update_self_ood=False, recording=False)
+        from ..save_load.checkpoint import save_json
+        save_json(pre, os.path.join(init_dir, 'ood.json'))
+
+    # ---- fine-tune loop (ref ft/job.py:356-424)
+    if train_size:
+        rng = np.random.default_rng(seed)
+        idx = rng.permutation(len(trainset))[:train_size]
+        trainset = trainset.subset(idx)
+    tx = build_optimizer(job.opt_cfg)
+    state = job.state.replace(opt_state=tx.init(job.state.params))
+
+    train_loader = DataLoader(trainset, batch_size, shuffle=True, seed=seed,
+                              drop_last=True)
+    moving_loader = DataLoader(moving_set, moving_batch_size, shuffle=True,
+                               seed=seed + 1, drop_last=True)
+    key = jax.random.PRNGKey(seed)
+
+    finetune_step = jax.jit(
+        lambda st, xi, yi, xm, k: wim.finetune_batch(
+            st, xi, yi, xm, alpha, rng=k, tx=tx, train_L=cfg.latent_sampling))
+
+    step_i = 0
+    for epoch in range(epochs):
+        mov_iter = iter(moving_loader)
+        for x, y in train_loader:
+            try:
+                xm, _ = next(mov_iter)
+            except StopIteration:
+                mov_iter = iter(moving_loader)
+                xm, _ = next(mov_iter)
+            k = jax.random.fold_in(key, step_i)
+            state, metrics = finetune_step(state, jnp.asarray(x),
+                                           jnp.asarray(y), jnp.asarray(xm), k)
+            step_i += 1
+        logging.info('wim epoch %d: total=%.4f (in=%.4f mix=%.4f)', epoch,
+                     float(metrics['total']), float(metrics['in_total']),
+                     float(metrics['mix_total']))
+    job.state = state
+    job.training_parameters.setdefault('fine_tuning', []).append(
+        {'type': 'wim', 'epochs': epochs, 'alpha': alpha,
+         'moving_size': len(moving_set), 'train_size': len(trainset)})
+    job.training_parameters['wim'] = dict(wim.ft_params)
+
+    # ---- post-tuning evaluation with WIM scores (ref ft/job.py:433-477)
+    key_eval = jax.random.fold_in(key, 10_000)
+    ind_losses = _both_prior_losses(wim, testset, test_batch_size, key_eval)
+    ind_scores = wim_scores_for_set(wim, ind_losses, methods)
+
+    epoch_key = job.trained
+    job.ood_results.setdefault(epoch_key, {})
+    for ood in oodsets:
+        ood_losses = _both_prior_losses(wim, ood, test_batch_size,
+                                        jax.random.fold_in(key_eval, 1))
+        ood_scores = wim_scores_for_set(wim, ood_losses, methods)
+        job.ood_results[epoch_key].setdefault(ood.name, {})
+        for m in methods:
+            r = roc_curve(jnp.asarray(ind_scores[m]),
+                          jnp.asarray(ood_scores[m]),
+                          kept_tpr=DEFAULT_KEPT_TPR,
+                          two_sided=two_sided_from_method(m))
+            job.ood_results[epoch_key][ood.name][m] = {
+                'epochs': epoch_key, 'n': int(ind_scores[m].shape[0]),
+                'mean': float(np.mean(ood_scores[m])),
+                'std': float(np.std(ood_scores[m])),
+                'auc': float(r['auc']),
+                'tpr': [float(t) for t in DEFAULT_KEPT_TPR],
+                'fpr': np.asarray(r['fpr']).tolist(),
+                'thresholds': np.asarray(r['thresholds_low']).tolist()}
+
+    # save recorders of the ind-set losses for array aggregation
+    if save_dir:
+        sdir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch_key))
+        rec = LossRecorder(max(1, int(ind_losses['y_true'].shape[0])))
+        rec.append_batch(**{k: v for k, v in ind_losses.items()
+                            if k not in ('logits',)},
+                         logits=ind_losses['logits'].T)
+        rec.save(os.path.join(sdir, 'record-{}.npz'.format(testset.name)))
+        save_job(job, save_dir)
+    return wim

@@ -1,0 +1,84 @@
+"""Mesh construction and sharding rules.
+
+Design (SURVEY.md section 7, stage 6): a 2D mesh ('data', 'model'):
+
+- inputs: batch axis sharded over 'data' (pure DP — the reference's whole
+  execution model was single-device, so DP is its scale-out equivalent);
+- the class-conditional prior dictionary (C, K), per-class variance
+  parameters and the classifier head are sharded over 'model' — the class
+  axis C is the natural tensor-parallel dim of this model family (per-class
+  evaluation broadcasts over it);
+- everything else is replicated; XLA/GSPMD inserts all-reduces for gradient
+  sums over 'data' and all-gathers where the class axis is consumed.
+
+Multi-host: ``distributed_init`` wraps jax.distributed.initialize; the same
+mesh then spans all processes' devices (DCN between slices).
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_names: Sequence[str] = ('data', 'model'),
+              model_axis: int = 1,
+              devices=None) -> Mesh:
+    """Mesh over the first n devices: ('data', 'model') with the model axis
+    sized ``model_axis`` (1 = pure DP)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    assert n % model_axis == 0, (n, model_axis)
+    arr = np.array(devices).reshape(n // model_axis, model_axis)
+    return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh, ndim: int = 1) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P('data', *([None] * (ndim - 1))))
+
+
+def _prior_spec(path_names, leaf, mesh) -> NamedSharding:
+    """Sharding rule per parameter leaf (see module docstring)."""
+    if 'prior' in path_names and getattr(leaf, 'ndim', 0) >= 1:
+        if leaf.shape[0] > 1 and leaf.shape[0] % mesh.shape['model'] == 0:
+            return NamedSharding(mesh, P('model'))
+    if ('classifier' in path_names and 'head' in path_names):
+        if path_names[-1] == 'kernel' and leaf.shape[-1] % mesh.shape['model'] == 0:
+            return NamedSharding(mesh, P(None, 'model'))
+        if path_names[-1] == 'bias' and leaf.shape[0] % mesh.shape['model'] == 0:
+            return NamedSharding(mesh, P('model'))
+    return NamedSharding(mesh, P())
+
+
+def state_shardings(mesh: Mesh, state):
+    """Pytree of NamedShardings for a TrainState (params via the rules
+    above, everything else replicated)."""
+    def name_of(p):
+        return getattr(p, 'key', getattr(p, 'name', str(p)))
+
+    def spec(path, leaf):
+        names = [name_of(p) for p in path]
+        if 'params' in names or 'opt_state' in names or 'mu' in names:
+            return _prior_spec(names, leaf, mesh)
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(spec, state)
+
+
+def distributed_init(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None):
+    """Multi-host init (jax.distributed); no-op when single-process."""
+    if num_processes and num_processes > 1:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return jax.process_count(), jax.process_index()
