@@ -22,8 +22,8 @@ import numpy as np
 H100_REFERENCE_IMG_PER_SEC = 10000.0
 
 BATCH = int(os.environ.get('JVT_BENCH_BATCH', 256))
-STEPS = int(os.environ.get('JVT_BENCH_STEPS', 30))
-WARMUP = int(os.environ.get('JVT_BENCH_WARMUP', 5))
+STEPS = int(os.environ.get('JVT_BENCH_STEPS', 200))
+WARMUP = int(os.environ.get('JVT_BENCH_WARMUP', 10))
 
 
 def main():
@@ -48,13 +48,15 @@ def main():
     state = job.state
     for _ in range(WARMUP):
         state, metrics = step(state, x, y)
-    jax.block_until_ready(metrics['total'])
+    float(metrics['total'])  # hard host sync (block_until_ready can be
+    #                          a no-op on remote/tunneled buffers)
 
     t0 = time.perf_counter()
     for _ in range(STEPS):
         state, metrics = step(state, x, y)
-    jax.block_until_ready(metrics['total'])
+    final = float(metrics['total'])
     dt = time.perf_counter() - t0
+    assert np.isfinite(final), final
 
     n_chips = jax.device_count()
     img_per_sec = BATCH * STEPS / dt / n_chips

@@ -1,0 +1,135 @@
+"""Model registry: walk job directories, cache summary dicts, query.
+
+Re-design of ref ``utils/save_load/fetch.py:129-300``: the registry walks a
+jobs root for ``params.json`` files, builds flat dicts
+(:func:`make_dict_from_model`), caches them in ``models-<hostname>.json``
+behind a lock file, and serves filtered queries + job-number lookups."""
+
+import json
+import logging
+import os
+import socket
+import time
+from typing import Callable, Dict, List, Optional
+
+from .checkpoint import save_json, load_json
+from .dictify import make_dict_from_model
+from .jobs import Job, load_job, is_derailed
+
+
+def _registry_path(job_dir: str) -> str:
+    return os.path.join(job_dir, 'models-{}.json'.format(socket.gethostname()))
+
+
+class _Lock:
+    """Minimal cross-process lock via O_EXCL lock file
+    (ref FileLock use, fetch.py:30-51)."""
+
+    def __init__(self, path: str, timeout: float = 10.0):
+        self.path = path + '.lock'
+        self.timeout = timeout
+        self._fd = None
+
+    def __enter__(self):
+        t0 = time.time()
+        while True:
+            try:
+                self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                return self
+            except FileExistsError:
+                if time.time() - t0 > self.timeout:
+                    logging.warning('breaking stale lock %s', self.path)
+                    try:
+                        os.unlink(self.path)
+                    except FileNotFoundError:
+                        pass
+                time.sleep(0.05)
+
+    def __exit__(self, *a):
+        if self._fd is not None:
+            os.close(self._fd)
+        try:
+            os.unlink(self.path)
+        except FileNotFoundError:
+            pass
+
+
+def collect_models(job_dir: str, load_state: bool = False) -> List[str]:
+    """All job directories under job_dir (contain params.json)."""
+    out = []
+    for root, dirs, files in os.walk(job_dir):
+        if 'params.json' in files:
+            out.append(root)
+            dirs[:] = []
+    return sorted(out)
+
+
+def fetch_models(job_dir: str, flash: bool = True,
+                 filter: Optional[Callable[[Dict], bool]] = None,
+                 light: bool = True) -> List[Dict]:
+    """Flat dicts of every (non-deleted) job under job_dir; ``flash`` uses
+    the registry cache when fresh (ref fetch.py:181-233)."""
+    reg_path = _registry_path(job_dir)
+    cache: Dict[str, Dict] = {}
+    if flash and os.path.exists(reg_path):
+        try:
+            with _Lock(reg_path):
+                cache = load_json(reg_path)
+        except (json.JSONDecodeError, OSError):
+            cache = {}
+
+    dicts = []
+    dirty = False
+    for d in collect_models(job_dir):
+        if is_derailed(d):
+            continue
+        mtime = max(os.path.getmtime(os.path.join(d, f))
+                    for f in os.listdir(d)
+                    if f.endswith('.json') and not f.startswith('models-'))
+        entry = cache.get(d)
+        if entry is None or entry.get('_mtime', 0) < mtime:
+            try:
+                job = load_job(d, ghost=True)
+            except Exception as e:
+                logging.warning('skipping %s: %s', d, e)
+                continue
+            entry = make_dict_from_model(job, directory=d)
+            entry['_mtime'] = mtime
+            cache[d] = entry
+            dirty = True
+        dicts.append(entry)
+
+    if dirty:
+        with _Lock(reg_path):
+            save_json(cache, reg_path)
+
+    if filter is not None:
+        dicts = [m for m in dicts if filter(m)]
+    return dicts
+
+
+def find_by_job_number(job_dir: str, number: int,
+                       load_state: bool = True, **kw) -> Optional[Job]:
+    """(ref fetch.py:288-300)."""
+    for d in collect_models(job_dir):
+        try:
+            arch = load_json(os.path.join(d, 'params.json'))
+        except (json.JSONDecodeError, OSError):
+            continue
+        if arch.get('job_number') == number:
+            return load_job(d, load_state=load_state, **kw)
+    return None
+
+
+def needed_remote_files(job_dir: str, kinds=('state', 'records')) -> List[str]:
+    """Paths missing locally that an rsync pull should fetch
+    (ref fetch.py:303-384)."""
+    out = []
+    for d in collect_models(job_dir):
+        if 'state' in kinds and not os.path.exists(os.path.join(d, 'state.npz')):
+            out.append(os.path.join(d, 'state.npz'))
+        if 'records' in kinds:
+            samples = os.path.join(d, 'samples')
+            if not os.path.isdir(samples):
+                out.append(samples + '/')
+    return out
