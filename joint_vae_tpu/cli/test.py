@@ -1,0 +1,116 @@
+"""Fleet-evaluation CLI (ref test.py:19-523).
+
+    python -m joint_vae_tpu.cli.test --job-dir jobs [--filter key=value ...]
+        [--compute] [--tex out.tex]
+
+Flow: fetch+filter models -> plan via available_results (json / recorders /
+compute per --compute) -> recompute what is missing -> build dataframes ->
+print + optionally write .tex/.tab.
+"""
+
+import argparse
+import logging
+import sys
+
+import jax
+
+from ..data.loaders import get_dataset
+from ..save_load.dictify import available_results, make_dict_from_model
+from ..save_load.fetch import fetch_models
+from ..save_load.jobs import load_job
+from ..evals.engines import (accuracy, ood_detection_rates,
+                             misclassification_detection_rates)
+from ..results.tables import results_dataframe, agg_results, auto_remove_index
+from ..results.texify import texify_test_results_df
+from ..utils.filters import filters_from_dict
+from ..utils.print_log import set_log
+from ..utils.testing import cache_early_stopping
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='jvt-test')
+    p.add_argument('--job-dir', default='jobs')
+    p.add_argument('--filter', nargs='*', default=[],
+                   help='key=value filter strings (value grammar: lists, '
+                        'not, a...b intervals)')
+    p.add_argument('--compute', action='store_true',
+                   help='recompute missing results (else json/recorders only)')
+    p.add_argument('--epoch', default='last')
+    p.add_argument('--epoch-tolerance', type=int, default=5)
+    p.add_argument('--early-stopping', action='store_true')
+    p.add_argument('--batch-size', type=int, default=512)
+    p.add_argument('--agg', action='store_true', help='mean/std aggregation')
+    p.add_argument('--tex', default=None)
+    p.add_argument('--tab', default=None)
+    p.add_argument('-v', '--verbose', action='count', default=0)
+    args = p.parse_args(argv)
+    set_log(args.verbose)
+
+    fdict = {}
+    for f in args.filter:
+        k, _, v = f.partition('=')
+        fdict[k] = v
+    flt = filters_from_dict(fdict) if fdict else None
+
+    models = fetch_models(args.job_dir, filter=flt)
+    logging.info('%d models', len(models))
+
+    where = ('json', 'recorders', 'compute') if args.compute \
+        else ('json', 'recorders')
+    refreshed = []
+    for m in models:
+        if not args.compute:
+            refreshed.append(m)
+            continue
+        try:
+            job = load_job(m['dir'])
+        except Exception as e:
+            logging.warning('cannot load %s: %s', m['dir'], e)
+            refreshed.append(m)
+            continue
+        name = job.training_parameters.get('set')
+        froms = available_results(job, wanted_epoch=args.epoch,
+                                  epoch_tolerance=args.epoch_tolerance,
+                                  where=where)
+        needs = not froms or not any(
+            a['where']['json'] for sets in froms.values()
+            for a in sets.values())
+        if needs:
+            _, testset = get_dataset(name, splits=['test'])
+            oodsets = []
+            for n in testset.same_size:
+                try:
+                    _, s = get_dataset(n, splits=['test'])
+                    oodsets.append(s)
+                except Exception:
+                    pass
+            accuracy(job, testset, batch_size=args.batch_size)
+            ood_detection_rates(job, testset, oodsets,
+                                batch_size=args.batch_size)
+            misclassification_detection_rates(job, testset,
+                                              batch_size=args.batch_size)
+            from ..save_load.jobs import save_job
+            save_job(job, m['dir'], save_state=False)
+        if args.early_stopping:
+            cache_early_stopping(job)
+        refreshed.append(make_dict_from_model(job, directory=m['dir']))
+
+    df = results_dataframe(refreshed)
+    if df.empty:
+        print('no models')
+        return 0
+    df = auto_remove_index(df)
+    with_all = df
+    if args.agg:
+        with_all = agg_results(df)
+    try:
+        print(with_all.to_string(float_format=lambda v: '{:.4g}'.format(v)))
+    except Exception:
+        print(with_all)
+    if args.tex or args.tab:
+        texify_test_results_df(df, tex_file=args.tex, tab_file=args.tab)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -1,0 +1,126 @@
+"""Training CLI (ref train.py:18-357).
+
+    python -m joint_vae_tpu.cli.train --dataset cifar10 --type cvae \
+        --features conv32 --upsampler deconv32 ...
+    python -m joint_vae_tpu.cli.train --config cifar10
+    python -m joint_vae_tpu.cli.train --resume <job-number>
+
+Flow: args (config.ini-backed) -> job number -> build or resume the job ->
+datasets + same-size OOD companions -> save dir from the arch string ->
+sanity forward pass -> train_model with a signal handler.
+"""
+
+import logging
+import os
+import sys
+
+import jax
+import numpy as np
+
+from ..data.loaders import get_dataset
+from ..data.registry import get_same_size_by_name
+from ..models.evaluate import evaluate
+from ..save_load.dictify import _arch_string
+from ..save_load.fetch import find_by_job_number
+from ..save_load.jobs import new_job, mark
+from ..train.trainer import train_model
+from ..utils.parameters import (get_args, model_config_from_args,
+                                optimizer_config_from_args, next_job_number)
+from ..utils.print_log import EpochOutput, set_log
+from ..utils.signaling import default_handler
+from ..train.optimizers import format_optimizer
+
+
+def save_dir_for(job, job_dir: str, latent_sampling: int,
+                 data_augmentation=()) -> str:
+    """jobs/<set>/<arch>/<sigma=..--optim=..--sampling=..[--augment..]>/<job>
+    (ref train.py:258-265)."""
+    params = 'sigma={}--optim={}--sampling={}'.format(
+        job.model_cfg.sigma_cfg.describe(),
+        format_optimizer(job.opt_cfg, 2),
+        latent_sampling)
+    if data_augmentation:
+        params += '--augment={}'.format('-'.join(sorted(data_augmentation)))
+    return os.path.join(job_dir, job.training_parameters.get('set') or 'data',
+                        _arch_string(job.model_cfg), params,
+                        '{:06d}'.format(job.job_number))
+
+
+def main(argv=None):
+    args = get_args(argv, 'train')
+    set_log(args.verbose, args.debug)
+    handler = default_handler()
+
+    if args.resume is not None:
+        job = find_by_job_number(args.job_dir, args.resume)
+        if job is None:
+            sys.exit('job {} not found under {}'.format(args.resume,
+                                                        args.job_dir))
+        dataset = job.training_parameters['set']
+        save_dir = job.saved_dir
+        mark(save_dir, 'RESUMED')
+        logging.info('resuming job %d from %s (%d epochs done)',
+                     job.job_number, save_dir, job.trained)
+    else:
+        model_cfg = model_config_from_args(args)
+        opt_cfg = optimizer_config_from_args(args)
+        jn = next_job_number(args.job_dir)
+        job = new_job(model_cfg, opt_cfg, key=jax.random.PRNGKey(args.seed),
+                      job_number=jn)
+        job.training_parameters.update({
+            'set': args.dataset, 'transformer': args.transformer,
+            'epochs': args.epochs, 'batch_size': args.batch_size,
+            'validation': args.validation})
+        dataset = args.dataset
+        save_dir = save_dir_for(job, args.job_dir, args.latent_sampling,
+                                args.data_augmentation)
+
+    if args.show:
+        import json
+        print(json.dumps(job.model_cfg.architecture, indent=1))
+        return 0
+
+    trainset, testset = get_dataset(dataset, transformer=args.transformer,
+                                    data_augmentation=args.data_augmentation)
+    oodsets = []
+    for n in get_same_size_by_name(dataset):
+        try:
+            _, s = get_dataset(n, transformer=args.transformer,
+                               splits=['test'])
+            oodsets.append(s)
+        except Exception as e:
+            logging.debug('skipping oodset %s: %s', n, e)
+
+    # sanity forward pass (ref train.py:307-318)
+    x = jax.numpy.asarray(trainset.data[:4])
+    y = jax.numpy.asarray(trainset.targets[:4])
+    out = evaluate(job.model, job.state.variables, x, y,
+                   rng=jax.random.PRNGKey(0),
+                   sigma_state=job.state.sigma_state, train=False)
+    assert np.isfinite(float(out.losses['total'].mean())), 'sanity pass failed'
+    logging.info('sanity pass ok (total=%.4f); saving to %s',
+                 float(out.losses['total'].mean()), save_dir)
+
+    outputs = EpochOutput()
+    os.makedirs(save_dir, exist_ok=True)
+    outputs.add_file(os.path.join(save_dir, 'output.out'))
+
+    warmup = args.warmup if len(args.warmup) > 1 else [0, args.warmup[0]]
+    warmup_gamma = (args.warmup_gamma if len(args.warmup_gamma) > 1
+                    else [0, args.warmup_gamma[0]])
+
+    train_model(job, trainset, testset, oodsets,
+                epochs=args.epochs, batch_size=args.batch_size,
+                test_batch_size=args.test_batch_size,
+                validation=args.validation,
+                data_augmentation=args.data_augmentation,
+                warmup=warmup, warmup_gamma=warmup_gamma,
+                full_test_every=args.full_test_every,
+                ood_detection_every=args.ood_detection_every,
+                save_dir=save_dir, signal_handler=handler, outputs=outputs,
+                seed=args.seed, fine_tuning=args.fine_tuning)
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

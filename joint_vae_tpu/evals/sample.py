@@ -1,0 +1,120 @@
+"""Image-grid generation and latent inspection (ref module/sample.py).
+
+- :func:`reconstruction_grid` (ref sample:36-173): rows = [input, mean
+  reconstruction, average reconstruction, L sampled reconstructions] for
+  test / correct / incorrect / OOD inputs;
+- :func:`generation_grid`: decode z drawn from the prior (per-class means
+  for conditional priors — pure generation);
+- :func:`latent_samples` (ref zsample:176-233): mu / log-var arrays for
+  histograms and scatters;
+- :func:`save_grid_image`: PNG export (PIL) + raw npz.
+"""
+
+import os
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.cvnet import CVNet
+from ..models.evaluate import evaluate
+from ..ops.priors import prior_log_density
+from ..save_load.jobs import Job
+
+
+def reconstruction_grid(job: Job, x: np.ndarray, y: Optional[np.ndarray] = None,
+                        L: int = 8, key=None) -> Dict[str, np.ndarray]:
+    """-> dict with 'input' (N,C,H,W), 'mean' (N,...), 'average',
+    'samples' (L,N,...); optionally 'correct' mask when y given."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    model = job.model
+    out = evaluate(model, job.state.variables, jnp.asarray(x), None,
+                   rng=key, sigma_state=job.state.sigma_state,
+                   train=False, L=L)
+    x_reco = np.asarray(out.x_reco.astype(jnp.float32))
+    if model.cfg.output_distribution == 'categorical':
+        x_reco = np.argmax(x_reco, axis=-4) / 255.0
+    grid = {'input': np.asarray(x),
+            'mean': x_reco[0],
+            'average': x_reco[1:].mean(0),
+            'samples': x_reco[1:1 + L]}
+    if y is not None and model.cfg.predict_methods:
+        from ..ops.scores import predict_after_evaluate
+        y_ = np.asarray(predict_after_evaluate(
+            model.cfg, out.logits, out.losses, model.cfg.predict_methods[0]))
+        grid['correct'] = y_ == np.asarray(y)
+    return grid
+
+
+def generation_grid(job: Job, n_per_class: int = 8, key=None,
+                    use_class_means: bool = True) -> np.ndarray:
+    """Decode z ~ prior; (C or 1, n, C_img, H, W) (ref sample.py:88-140)."""
+    key = key if key is not None else jax.random.PRNGKey(1)
+    model = job.model
+    cfg = model.cfg
+    prior_cfg = cfg.prior
+    params = job.state.params['prior']
+    mean = np.asarray(params['mean'])          # (P, K)
+    P = mean.shape[0] if (prior_cfg.conditional and use_class_means) else 1
+    eps = jax.random.normal(key, (P, n_per_class, cfg.latent_dim))
+    # scalar/diag prior scale = 1 / var_param
+    vp = np.asarray(params['var_param'])
+    if prior_cfg.var_dim == 'scalar':
+        scale = 1.0 / np.maximum(vp.reshape(-1, 1, 1)[:P] if vp.ndim else vp,
+                                 1e-6)
+    else:
+        scale = 1.0
+    z = jnp.asarray(mean[:P, None] + scale * np.asarray(eps))
+    x = job.model.apply(job.state.variables, z.reshape(-1, cfg.latent_dim),
+                        method=lambda mdl, zz: mdl.decode(zz))
+    x = np.asarray(x.astype(jnp.float32))
+    if cfg.output_distribution == 'categorical':
+        x = np.argmax(x, axis=-4) / 255.0
+    return x.reshape(P, n_per_class, *x.shape[1:])
+
+
+def latent_samples(job: Job, x: np.ndarray, key=None):
+    """mu, log_var, z for latent histograms/scatters (ref zsample)."""
+    key = key if key is not None else jax.random.PRNGKey(2)
+    out = evaluate(job.model, job.state.variables, jnp.asarray(x), None,
+                   rng=key, sigma_state=job.state.sigma_state, train=False,
+                   L=1)
+    return (np.asarray(out.mu), np.asarray(out.log_var), np.asarray(out.z))
+
+
+def tile_images(rows: Sequence[np.ndarray], pad: int = 2) -> np.ndarray:
+    """Stack rows of (N, C, H, W) images into one (H', W', C) uint8 canvas."""
+    tiles = []
+    for r in rows:
+        r = np.clip(np.asarray(r), 0, 1)
+        n, c, h, w = r.shape
+        row = np.ones((c, h, n * (w + pad))) * 1.0
+        for i in range(n):
+            row[:, :, i * (w + pad):i * (w + pad) + w] = r[i]
+        tiles.append(row)
+    c = tiles[0].shape[0]
+    h = sum(t.shape[1] + pad for t in tiles)
+    w = max(t.shape[2] for t in tiles)
+    canvas = np.ones((c, h, w))
+    off = 0
+    for t in tiles:
+        canvas[:, off:off + t.shape[1], :t.shape[2]] = t
+        off += t.shape[1] + pad
+    img = (canvas.transpose(1, 2, 0) * 255).astype(np.uint8)
+    return img.squeeze(-1) if img.shape[-1] == 1 else img
+
+
+def save_grid_image(grid: Dict[str, np.ndarray], path: str,
+                    max_rows: int = 6):
+    """npz always; PNG when PIL is available."""
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    np.savez(path + '.npz', **{k: v for k, v in grid.items()})
+    rows = [grid['input'], grid['mean'], grid['average']]
+    rows += [grid['samples'][i] for i in range(min(len(grid['samples']),
+                                                   max_rows - 3))]
+    try:
+        from PIL import Image
+        Image.fromarray(tile_images(rows)).save(path + '.png')
+    except ImportError:
+        pass

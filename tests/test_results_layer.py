@@ -1,0 +1,154 @@
+"""Tables / texify / aggregation / cascad / sample-grid tests."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+
+from joint_vae_tpu.evals.aggregation import (ensemble_posterior,
+                                             ensemble_predict,
+                                             compute_latent_mutual_info)
+from joint_vae_tpu.evals.cascad import CascadModels, iterate_with_prior
+from joint_vae_tpu.evals.sample import (reconstruction_grid, generation_grid,
+                                        latent_samples, tile_images,
+                                        save_grid_image)
+from joint_vae_tpu.models.cvnet import CVNetConfig
+from joint_vae_tpu.ops.sigma import SigmaConfig
+from joint_vae_tpu.results.tables import (results_dataframe, agg_results,
+                                          auto_remove_index, export_losses)
+from joint_vae_tpu.results.texify import texify_test_results_df, TexTab
+from joint_vae_tpu.save_load.jobs import new_job
+from joint_vae_tpu.save_load.recorders import LossRecorder
+from joint_vae_tpu.utils.mutual_information import (entropy, mutual_information,
+                                                    js_divergence)
+
+RNG = np.random.default_rng(0)
+
+
+def _model_dict(job=1, type_='cvae', acc=0.9):
+    return {'job': job, 'type': type_, 'set': 'mnist', 'arch_code': 'abc',
+            'sigma_train': 'constant', 'beta': 1.0, 'gamma': 100.0,
+            'latent_dim': 32, 'features': 'none', 'encoder': '512',
+            'decoder': '512', 'upsampler': 'none', 'classifier': 'none',
+            'prior': 'gaussian', 'depth': 2, 'width': 1024, 'sigma': '0.1',
+            'latent_sampling': 1, 'optim': 'adam', 'lr': 1e-4,
+            'batch_size': 128, 'done': 10, 'epochs': 10, 'finished': True,
+            'accuracy_iws': acc, 'accuracy': acc,
+            'ood_fashion_auc': 0.8, 'ood_fashion_fpr95': 0.4}
+
+
+def test_results_dataframe_and_agg():
+    df = results_dataframe([_model_dict(1, acc=0.9), _model_dict(2, acc=0.8),
+                            _model_dict(3, 'vae', 0.5)])
+    assert len(df) == 3
+    assert ('auc', 'fashion') in df.columns
+    df2 = auto_remove_index(df)
+    assert 'set' not in df2.index.names  # constant level dropped
+    agg = agg_results(df)
+    assert not agg.empty
+    m = agg[('mean', 'accuracy', 'best')] if ('mean', 'accuracy', 'best') \
+        in agg.columns else agg['mean']
+    tex = texify_test_results_df(df2)
+    assert '\\begin{tabular}' in tex and 'fashion' in tex
+
+
+def test_textab_and_export_losses():
+    t = TexTab('l', 'r')
+    t.append_cell('name', 0)
+    t.append_cell(0.123456, 0)
+    t.add_midrule(1)
+    s = t.render()
+    assert '0.123' in s and r'\midrule' in s
+
+    r = LossRecorder(4)
+    r.append_batch(total=RNG.random((3, 4)).astype(np.float32),
+                   y_true=np.arange(4, dtype=np.int32))
+    with tempfile.TemporaryDirectory() as d:
+        p = os.path.join(d, 'losses.tab')
+        df = export_losses(r, p)
+        assert os.path.exists(p)
+        assert 'total_0' in df.columns and 'y_true' in df.columns
+
+
+def test_ensemble_methods():
+    C, N, M = 4, 50, 3
+    true = RNG.integers(0, C, N)
+    scores = []
+    for _ in range(M):
+        s = RNG.normal(size=(C, N)).astype(np.float64)
+        s[true, np.arange(N)] += 2.0
+        scores.append(s)
+    for method in ('elbo', 'mean', 'vote'):
+        pred = ensemble_predict(scores, method)
+        assert (pred == true).mean() > 0.8, method
+        post = ensemble_posterior(scores, method)
+        np.testing.assert_allclose(post.sum(0), 1.0, rtol=1e-6)
+    # joint over distances
+    d = [-(s - s.max(0)) for s in scores]
+    post = ensemble_posterior(d, 'joint')
+    np.testing.assert_allclose(post.sum(0), 1.0, rtol=1e-6)
+
+
+def test_mutual_info_helpers():
+    p = np.eye(4) / 4
+    assert mutual_information(p) > 1.0  # perfectly correlated
+    q = np.ones((4, 4)) / 16
+    assert abs(mutual_information(q)) < 1e-9
+    assert entropy([0.5, 0.5]) > entropy([0.9, 0.1])
+    assert js_divergence([1, 0.], [0., 1]) > 0.5
+
+    p1 = np.zeros((3, 30))
+    p1[RNG.integers(0, 3, 30), np.arange(30)] = 1
+    assert compute_latent_mutual_info(p1, p1) > 0.5
+    p2 = np.ones((3, 30)) / 3
+    assert compute_latent_mutual_info(p1, p2) < 1e-6
+
+
+def _tiny_job(seed=0):
+    cfg = CVNetConfig(input_shape=(1, 6, 6), num_labels=3, type='cvae',
+                      encoder=(16,), decoder=(16,), classifier=(8,),
+                      latent_dim=4, latent_sampling=1, test_latent_sampling=3,
+                      gamma=10.0, sigma=SigmaConfig(value=0.3))
+    return new_job(cfg, key=jax.random.PRNGKey(seed))
+
+
+def test_sample_grids():
+    job = _tiny_job()
+    x = RNG.uniform(0, 1, (5, 1, 6, 6)).astype(np.float32)
+    y = RNG.integers(0, 3, 5)
+    grid = reconstruction_grid(job, x, y, L=3)
+    assert grid['input'].shape == (5, 1, 6, 6)
+    assert grid['mean'].shape == (5, 1, 6, 6)
+    assert grid['samples'].shape == (3, 5, 1, 6, 6)
+    assert grid['correct'].shape == (5,)
+
+    gen = generation_grid(job, n_per_class=2)
+    assert gen.shape == (3, 2, 1, 6, 6)
+
+    mu, lv, z = latent_samples(job, x)
+    assert mu.shape == (5, 4) and z.shape == (2, 5, 4)
+
+    img = tile_images([grid['input'], grid['mean']])
+    assert img.dtype == np.uint8 and img.ndim == 2
+
+    with tempfile.TemporaryDirectory() as d:
+        save_grid_image(grid, os.path.join(d, 'g'))
+        assert os.path.exists(os.path.join(d, 'g.npz'))
+        assert os.path.exists(os.path.join(d, 'g.png'))
+
+
+def test_cascad():
+    jobs = [_tiny_job(0), _tiny_job(1)]
+    casc = CascadModels(*jobs)
+    x = RNG.uniform(0, 1, (4, 1, 6, 6)).astype(np.float32)
+    losses, recos, mse, posts = casc.evaluate(x)
+    assert len(losses) == 2
+    assert recos.shape == (3, 4, 1, 6, 6)
+    assert mse.shape == (3, 3)
+    np.testing.assert_allclose(np.diag(mse), 0, atol=1e-9)
+    # bayes iteration over per-stage posteriors
+    ps = [np.abs(RNG.normal(size=(3, 4))) for _ in range(2)]
+    ps = [p / p.sum(0) for p in ps]
+    it = iterate_with_prior(ps)
+    np.testing.assert_allclose(it.sum(0), 1.0, rtol=1e-6)
