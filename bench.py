@@ -35,7 +35,8 @@ def main():
     from joint_vae_tpu.train.optimizers import OptimizerConfig, build_optimizer
     from joint_vae_tpu.train.steps import make_train_step
 
-    cfg = _flagship_cfg()
+    cfg = _flagship_cfg(
+        compute_dtype=os.environ.get('JVT_BENCH_DTYPE', 'bfloat16'))
     job = new_job(cfg, OptimizerConfig(lr=1e-4), key=jax.random.PRNGKey(0))
     tx = build_optimizer(job.opt_cfg)
     step = make_train_step(job.model, tx, donate=True)

@@ -1,0 +1,125 @@
+"""WIM fine-tuning CLI (ref ft/__main__.py:17-295).
+
+    python -m joint_vae_tpu.cli.ft <job-number> --job-dir jobs \
+        [--wim-prior gaussian --wim-mean 8 --alpha 0.1 --epochs 1 ...]
+    python -m joint_vae_tpu.cli.ft --array <array-dir> --register <dirs...>
+
+Load a source job as a WIMJob, build the alternate prior from CLI+config
+([wim-default]), build the moving set, finetune; or run the array
+aggregation pass.
+"""
+
+import argparse
+import logging
+import sys
+
+import jax
+
+from ..data.loaders import get_dataset
+from ..data.registry import get_same_size_by_name
+from ..ft.array import WIMArray
+from ..ft.datasets import create_moving_set
+from ..ft.job import load_wim_job, finetune
+from ..ft.scheduler import Scheduler
+from ..save_load.fetch import find_by_job_number, collect_models
+from ..utils.parameters import load_config_section, next_job_number
+from ..utils.print_log import set_log
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='jvt-ft')
+    p.add_argument('job', nargs='?', type=int, help='source job number')
+    p.add_argument('--job-dir', default='jobs')
+    p.add_argument('--config', default='wim-default')
+    p.add_argument('--config-file', default=None)
+    p.add_argument('--wim-prior', default=None,
+                   choices=['gaussian', 'tilted', 'uniform'])
+    p.add_argument('--wim-mean', type=float, default=None)
+    p.add_argument('--wim-tau', type=float, default=None)
+    p.add_argument('--alpha', type=float, default=None)
+    p.add_argument('--epochs', type=int, default=None)
+    p.add_argument('--train-size', type=int, default=None)
+    p.add_argument('--moving-size', type=int, default=None)
+    p.add_argument('--mix', type=float, default=None, help='ood mix ratio')
+    p.add_argument('--padding', type=float, default=0.0)
+    p.add_argument('--mix-padding', type=float, default=0.0)
+    p.add_argument('--padding-sets', nargs='*', default=[])
+    p.add_argument('--oodsets', nargs='*', default=None)
+    p.add_argument('--batch-size', type=int, default=64)
+    p.add_argument('--test-batch-size', type=int, default=256)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--task', type=int, default=0, help='array task index')
+    p.add_argument('--array', default=None, help='array dir (aggregation)')
+    p.add_argument('--register', nargs='*', default=[],
+                   help='job dirs to register into --array')
+    p.add_argument('-v', '--verbose', action='count', default=0)
+    args = p.parse_args(argv)
+    set_log(args.verbose)
+
+    try:
+        defaults = load_config_section(args.config_file, args.config)
+    except ValueError:
+        defaults = {}
+
+    def dflt(name, fallback):
+        v = getattr(args, name.replace('-', '_'), None)
+        if v is not None:
+            return v
+        return defaults.get(name.replace('-', '_'), fallback)
+
+    if args.array:
+        arr = WIMArray(args.array)
+        if args.register:
+            arr.register_jobs(*args.register)
+        jobs = arr.registered_jobs()
+        if not jobs:
+            sys.exit('array has no registered jobs')
+        wim = load_wim_job(jobs[0])
+        testset_name = wim.job.training_parameters.get('set')
+        oods = args.oodsets or get_same_size_by_name(testset_name)
+        arr.recompute_rates(wim, testset_name, oods)
+        print('array rates written to {}/ood.json'.format(args.array))
+        return 0
+
+    if args.job is None:
+        sys.exit('job number required (or --array)')
+    job = find_by_job_number(args.job_dir, args.job, strict=False)
+    if job is None:
+        sys.exit('job {} not found'.format(args.job))
+    job.ood_results = {}
+
+    from ..ft.wim import WIMJob
+    wim = WIMJob(job=job)
+    prior_kw = {'distribution': dflt('wim-prior', 'gaussian'),
+                'init_mean': dflt('wim-mean', 8.0), 'num_priors': 1}
+    if prior_kw['distribution'] in ('tilted', 'uniform'):
+        prior_kw['tau'] = dflt('wim-tau', 25.0)
+        prior_kw.pop('init_mean')
+    wim.set_alternate_prior(key=jax.random.PRNGKey(args.seed), **prior_kw)
+
+    dataset = job.training_parameters.get('set')
+    trainset, testset = get_dataset(dataset)
+    ood_names = args.oodsets if args.oodsets is not None else \
+        [n for n in get_same_size_by_name(dataset) if not n.endswith('90')][:2]
+    oodsets = [get_dataset(n, splits=['test'])[1] for n in ood_names]
+
+    moving = create_moving_set(
+        dataset, moving_size=int(dflt('moving-size', 512)),
+        ood_mix=float(dflt('mix', 0.5)), oodsets=ood_names,
+        padding_sets=args.padding_sets, padding=args.padding,
+        mix_padding=args.mix_padding, seed=args.seed, task=args.task)
+
+    with Scheduler(seed=args.seed, task=args.task):
+        finetune(wim, trainset, moving, testset, oodsets,
+                 epochs=int(dflt('epochs', 1)),
+                 alpha=float(dflt('alpha', 0.1)),
+                 train_size=int(dflt('train-size', 100000)),
+                 batch_size=args.batch_size,
+                 test_batch_size=args.test_batch_size,
+                 save_dir=job.saved_dir, seed=args.seed)
+    logging.info('wim results: %s', job.ood_results.get(job.trained, {}))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -81,12 +81,13 @@ def main(argv=None):
         return 0
 
     trainset, testset = get_dataset(dataset, transformer=args.transformer,
-                                    data_augmentation=args.data_augmentation)
+                                    data_augmentation=args.data_augmentation,
+                                    size=args.dataset_size)
     oodsets = []
     for n in get_same_size_by_name(dataset):
         try:
             _, s = get_dataset(n, transformer=args.transformer,
-                               splits=['test'])
+                               splits=['test'], size=args.dataset_size)
             oodsets.append(s)
         except Exception as e:
             logging.debug('skipping oodset %s: %s', n, e)

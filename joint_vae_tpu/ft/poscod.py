@@ -1,0 +1,79 @@
+"""Poscod: post-hoc OOD head on the frozen latent space
+(ref ft/poscod.py:11-207).
+
+The whole net is frozen; a single-logit linear head on z (the encoder mean)
+is trained to discriminate in-distribution inputs from the moving set.  The
+resulting score is the log-likelihood ratio head output ('llr' method).
+"""
+
+import dataclasses
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loaders import ArrayDataset, DataLoader
+from ..models.evaluate import evaluate
+from ..save_load.jobs import Job
+
+OOD_METHODS = ['llr']
+
+
+@dataclasses.dataclass
+class PoscodJob:
+    job: Job
+    head: Optional[Dict[str, jax.Array]] = None
+
+    def _mu(self, x, key):
+        out = evaluate(self.job.model, self.job.state.variables, x, None,
+                       rng=key, sigma_state=self.job.state.sigma_state,
+                       train=False, L=1, compute_iws=False)
+        mu = out.mu
+        return mu.reshape((-1, mu.shape[-1])) if mu.ndim > 2 else mu
+
+    def finetune(self, ind: ArrayDataset, moving: ArrayDataset,
+                 epochs: int = 5, batch_size: int = 128, lr: float = 1e-3,
+                 seed: int = 0):
+        """Train the 1-logit head with BCE (ind=1, moving=0)."""
+        K = self.job.model_cfg.latent_dim
+        head = {'w': jnp.zeros((K,)), 'b': jnp.zeros(())}
+        tx = optax.adam(lr)
+        opt_state = tx.init(head)
+        key = jax.random.PRNGKey(seed)
+
+        @jax.jit
+        def step(head, opt_state, mu, labels):
+            def loss_fn(h):
+                logit = mu @ h['w'] + h['b']
+                return jnp.mean(optax.sigmoid_binary_cross_entropy(
+                    logit, labels))
+            loss, grads = jax.value_and_grad(loss_fn)(head)
+            updates, opt_state = tx.update(grads, opt_state, head)
+            return optax.apply_updates(head, updates), opt_state, loss
+
+        for epoch in range(epochs):
+            li = DataLoader(ind, batch_size, seed=seed + epoch)
+            lm = DataLoader(moving, batch_size, seed=seed + epoch + 1)
+            for i, ((xi, _), (xm, _)) in enumerate(zip(li, lm)):
+                k = jax.random.fold_in(key, epoch * 10000 + i)
+                mu_i = self._mu(jnp.asarray(xi), k)
+                mu_m = self._mu(jnp.asarray(xm), jax.random.fold_in(k, 1))
+                mu = jnp.concatenate([mu_i, mu_m])
+                labels = jnp.concatenate([jnp.ones(len(mu_i)),
+                                          jnp.zeros(len(mu_m))])
+                head, opt_state, loss = step(head, opt_state, mu, labels)
+        self.head = head
+        return self
+
+    def llr_scores(self, dataset: ArrayDataset, batch_size: int = 256,
+                   seed: int = 0) -> np.ndarray:
+        assert self.head is not None, 'finetune first'
+        out = []
+        key = jax.random.PRNGKey(seed)
+        for i, (x, _) in enumerate(DataLoader(dataset, batch_size,
+                                              shuffle=False)):
+            mu = self._mu(jnp.asarray(x), jax.random.fold_in(key, i))
+            out.append(np.asarray(mu @ self.head['w'] + self.head['b']))
+        return np.concatenate(out)

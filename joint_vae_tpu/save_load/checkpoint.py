@@ -120,14 +120,13 @@ def save_checkpoint(path: str, tree):
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or '.', suffix='.tmp')
     os.close(fd)
     try:
-        # np.savez mangles '/' fine (keys are arbitrary strings)
+        # np.savez appends .npz to names without that extension
         np.savez(tmp, **arrays)
         os.replace(tmp + '.npz' if os.path.exists(tmp + '.npz') else tmp, path)
-    except BaseException:
+    finally:
         for t in (tmp, tmp + '.npz'):
             if os.path.exists(t):
                 os.unlink(t)
-        raise
 
 
 def load_checkpoint(path: str) -> Dict[str, np.ndarray]:

@@ -122,6 +122,9 @@ def add_training_args(parser: argparse.ArgumentParser):
     t.add_argument('--seed', type=int, default=0)
     t.add_argument('--fine-tuning', action='store_true')
 
+    t.add_argument('--dataset-size', type=int, default=None,
+                   help='cap train/test sizes (smoke tests)')
+
     j = parser.add_argument_group('job')
     j.add_argument('--job-dir', default='jobs')
     j.add_argument('--resume', type=int, default=None,
