@@ -1,0 +1,93 @@
+"""Sample-grid CLI (ref module/sample.py:277-491).
+
+    python -m joint_vae_tpu.cli.sample <job-number> --job-dir jobs \
+        [--grids reco gen zsample] [-N 8] [-L 8] [--out samples-out]
+
+Generates reconstruction grids (test / correct / incorrect / OOD rows),
+pure-generation grids from the prior, and latent mu/sigma exports.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import jax
+
+from ..data.loaders import get_dataset, get_batch
+from ..evals.sample import (reconstruction_grid, generation_grid,
+                            latent_samples, save_grid_image)
+from ..save_load.fetch import find_by_job_number
+from ..utils.inspection import export_latent_histograms
+from ..utils.print_log import set_log
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='jvt-sample')
+    p.add_argument('job', type=int)
+    p.add_argument('--job-dir', default='jobs')
+    p.add_argument('--grids', nargs='*', default=['reco', 'gen', 'zsample'],
+                   choices=['reco', 'gen', 'zsample', 'ood'])
+    p.add_argument('-N', type=int, default=8)
+    p.add_argument('-L', type=int, default=8)
+    p.add_argument('--out', default=None)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('-v', '--verbose', action='count', default=0)
+    args = p.parse_args(argv)
+    set_log(args.verbose)
+
+    job = find_by_job_number(args.job_dir, args.job)
+    if job is None:
+        sys.exit('job {} not found'.format(args.job))
+    out_dir = args.out or os.path.join(job.saved_dir, 'samples', 'grids')
+    os.makedirs(out_dir, exist_ok=True)
+
+    dataset = job.training_parameters.get('set')
+    _, testset = get_dataset(dataset, splits=['test'])
+    x, y = get_batch(testset, args.N, seed=args.seed)
+
+    if 'reco' in args.grids:
+        grid = reconstruction_grid(job, x, y, L=args.L,
+                                   key=jax.random.PRNGKey(args.seed))
+        save_grid_image(grid, os.path.join(out_dir, 'reco-{}'.format(dataset)))
+        if 'correct' in grid and grid['correct'].any() and (~grid['correct']).any():
+            for name, m in (('correct', grid['correct']),
+                            ('incorrect', ~grid['correct'])):
+                g = {k: (v[..., m, :, :, :] if v.ndim >= 4 else v[m])
+                     for k, v in grid.items() if k != 'correct'}
+                save_grid_image(g, os.path.join(out_dir, 'reco-{}'.format(name)))
+
+    if 'ood' in args.grids:
+        for n in testset.same_size[:2]:
+            try:
+                _, ood = get_dataset(n, splits=['test'])
+            except Exception:
+                continue
+            xo, _ = get_batch(ood, args.N, seed=args.seed)
+            grid = reconstruction_grid(job, xo, L=args.L)
+            save_grid_image(grid, os.path.join(out_dir, 'reco-ood-{}'.format(n)))
+
+    if 'gen' in args.grids:
+        gen = generation_grid(job, n_per_class=args.N,
+                              key=jax.random.PRNGKey(args.seed + 1))
+        np.savez(os.path.join(out_dir, 'generation.npz'), x=gen)
+        from ..evals.sample import tile_images
+        try:
+            from PIL import Image
+            rows = [gen[c] for c in range(min(gen.shape[0], 10))]
+            Image.fromarray(tile_images(rows)).save(
+                os.path.join(out_dir, 'generation.png'))
+        except ImportError:
+            pass
+
+    if 'zsample' in args.grids:
+        xb, yb = get_batch(testset, min(len(testset), 512), seed=args.seed)
+        mu, lv, z = latent_samples(job, xb)
+        export_latent_histograms(mu, lv, out_dir, y=yb)
+
+    print('grids written to {}'.format(out_dir))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -204,9 +204,39 @@ def _whiten(cfg: PriorConfig, var_param: jax.Array, u: jax.Array,
 
 def _mahala(cfg: PriorConfig, params: Params, x: jax.Array,
             y: Optional[jax.Array], all_classes: bool) -> jax.Array:
-    u = _centered(cfg, params, x.astype(jnp.float32), y, all_classes)
+    x = x.astype(jnp.float32)
+    if all_classes and cfg.conditional and cfg.var_dim in ('scalar', 'diag'):
+        return _mahala_all_classes_matmul(cfg, params, x)
+    u = _centered(cfg, params, x, y, all_classes)
     w = _whiten(cfg, params['var_param'], u, y, all_classes)
     return jnp.sum(jnp.square(w), axis=-1)
+
+
+def _mahala_all_classes_matmul(cfg: PriorConfig, params: Params,
+                               x: jax.Array) -> jax.Array:
+    """All-classes Mahalanobis via the MXU instead of a (P, ..., K)
+    broadcast: sum_k s_ck^2 (x_k - m_ck)^2 =
+    (x^2) @ s2_c - 2 x @ (s2_c m_c) + sum_k s2_ck m_ck^2.
+
+    Turns the K-reduction into matmuls (TPU-first; avoids materializing the
+    P x batch x K intermediate the reference's expand creates).
+    Output: (P, ...batch)."""
+    mean = params['mean'].astype(jnp.float32)             # (P, K)
+    vp = params['var_param'].astype(jnp.float32)
+    P, K = mean.shape
+    if cfg.var_dim == 'scalar':
+        s2 = jnp.square(vp).reshape(P, 1)                 # (P, 1)
+        s2_full = jnp.broadcast_to(s2, (P, K))
+    else:
+        s2_full = jnp.square(vp)                          # (P, K)
+    x2 = jnp.square(x)
+    quad = jnp.einsum('...k,pk->...p', x2, s2_full,
+                      preferred_element_type=jnp.float32)
+    cross = jnp.einsum('...k,pk->...p', x, s2_full * mean,
+                       preferred_element_type=jnp.float32)
+    const = jnp.sum(s2_full * jnp.square(mean), axis=-1)  # (P,)
+    out = quad - 2.0 * cross + const
+    return jnp.moveaxis(out, -1, 0)
 
 
 def _prior_inv_var_diag(cfg: PriorConfig, var_param: jax.Array) -> jax.Array:
@@ -260,14 +290,20 @@ def _gaussian_kl(cfg, params, mu, log_var, y, var_weighting, all_classes):
     if cfg.conditional:
         if all_classes:
             shape = (cfg.num_priors,) + (1,) * (mu.ndim - 1)
+            # trace on the MXU: sum_k var_k * ivd_ck as a matmul
             if cfg.var_dim == 'scalar':
-                ivd = inv_var_diag.reshape(shape + (1,))
+                ivd_full = jnp.broadcast_to(
+                    inv_var_diag.reshape(cfg.num_priors, 1),
+                    (cfg.num_priors, cfg.dim))
             else:
-                ivd = inv_var_diag.reshape(shape + (cfg.dim,))
-            trace = jnp.sum(var[None] * ivd, axis=-1)
-            log_det_prior = ldp.reshape(shape)[..., 0] if False else ldp.reshape(shape)
-            log_det_prior = jnp.broadcast_to(log_det_prior, (cfg.num_priors,) + mu.shape[:-1])
-            log_det = jnp.broadcast_to(jnp.sum(log_var, axis=-1), log_det_prior.shape)
+                ivd_full = inv_var_diag
+            trace = jnp.moveaxis(
+                jnp.einsum('...k,pk->...p', var, ivd_full,
+                           preferred_element_type=jnp.float32), -1, 0)
+            log_det_prior = jnp.broadcast_to(
+                ldp.reshape(shape), (cfg.num_priors,) + mu.shape[:-1])
+            log_det = jnp.broadcast_to(jnp.sum(log_var, axis=-1),
+                                       log_det_prior.shape)
         else:
             ivd = jnp.take(inv_var_diag, y, axis=0)
             if cfg.var_dim == 'scalar':

@@ -146,12 +146,21 @@ def get_args(argv: Optional[List[str]] = None, what: str = 'train'):
     parser = argparse.ArgumentParser(parents=[pre],
                                      prog='jvt-{}'.format(what))
     add_training_args(parser)
+    list_dests = {a.dest for a in parser._actions if a.nargs in ('*', '+')}
     if cfg_args.config:
         defaults = load_config_section(cfg_args.config_file, cfg_args.config)
         known = {a.dest for a in parser._actions}
-        parser.set_defaults(**{k: v for k, v in defaults.items()
-                               if k in known})
-    return parser.parse_args(remaining)
+        defaults = {k: v for k, v in defaults.items() if k in known}
+        for k in list(defaults):
+            if k in list_dests and not isinstance(defaults[k], (list, tuple)):
+                defaults[k] = [] if defaults[k] in (None, '') else [defaults[k]]
+        parser.set_defaults(**defaults)
+    args = parser.parse_args(remaining)
+    for k in list_dests:
+        v = getattr(args, k, None)
+        if v is not None and not isinstance(v, (list, tuple)):
+            setattr(args, k, [v])
+    return args
 
 
 def model_config_from_args(args) -> 'CVNetConfig':
