@@ -178,6 +178,12 @@ class CVNetConfig:
         return not self.is_vae and not self.is_vib
 
     @property
+    def has_batch_norm(self) -> bool:
+        """Any BN in the module tree (conv-stack BN or resnet features)."""
+        return bool(self.features) and (bool(self.batch_norm)
+                                        or str(self.features).startswith('resnet'))
+
+    @property
     def classifier_type(self) -> Optional[str]:
         if not self.y_is_decoded:
             return None
@@ -295,7 +301,14 @@ class CVNet(nn.Module):
         bn_encoder = cfg.batch_norm in ('encoder', 'both') and bool(cfg.features)
         bn_decoder = cfg.batch_norm == 'both' and bool(cfg.features)
 
-        if cfg.features:
+        if cfg.features and cfg.features.startswith('resnet'):
+            from .resnet import ResNetFeatures
+            self.features_stack = ResNetFeatures(arch=cfg.features, dtype=dtype)
+            self.features_name = cfg.features
+            out_shape = self.features_stack.output_shape
+            self.features_output_shape = out_shape
+            encoder_input_shape = out_shape
+        elif cfg.features:
             name, plans, out_shape = conv_stack_plan(
                 cfg.input_shape, cfg.features, where='input',
                 batch_norm=bn_encoder, activation=cfg.activation)
@@ -372,6 +385,9 @@ class CVNet(nn.Module):
     # ------ sub-applies ------
 
     def features(self, x: jax.Array, train: bool = False) -> jax.Array:
+        if self.cfg.representation == 'hsv' and x.shape[-3] == 3:
+            from .representation import rgb2hsv
+            x = rgb2hsv(x)
         if self.features_stack is None:
             return x
         return self.features_stack(x, train)

@@ -1,0 +1,75 @@
+"""ResNet feature extractors (ref ResOrDenseNetFeatures,
+module/vae_layers/conv.py:247-272).
+
+The reference wraps torchvision's *pretrained* resnet/densenet trunks.  This
+sandbox has no pretrained weights, so these are from-scratch flax ResNets
+with the same output contract: features of shape (C_out, 1, 1) after global
+average pooling.  Weights can be transferred from another job via
+``save_load.transfer.transfer_pretrained``.
+"""
+
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+RESNET_LAYERS = {
+    'resnet18': (2, 2, 2, 2),
+    'resnet34': (3, 4, 6, 3),
+}
+
+
+class _BasicBlock(nn.Module):
+    features: int
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if res.shape != y.shape:
+            res = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
+                          use_bias=False, dtype=self.dtype)(res)
+            res = nn.BatchNorm(use_running_average=not train,
+                               dtype=self.dtype)(res)
+        return nn.relu(y + res)
+
+
+class ResNetFeatures(nn.Module):
+    """(..., 3, H, W) -> (..., 512, 1, 1) feature maps."""
+    arch: str = 'resnet18'
+    width: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_shape(self) -> Tuple[int, int, int]:
+        return (self.width * 8, 1, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        blocks = RESNET_LAYERS[self.arch]
+        lead = x.shape[:-3]
+        c, h, w = x.shape[-3:]
+        x = x.reshape((-1, c, h, w)).transpose(0, 2, 3, 1)  # NHWC
+        x = x.astype(self.dtype)
+        x = nn.Conv(self.width, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype)(x)
+        x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        x = nn.relu(x)
+        f = self.width
+        for i, n in enumerate(blocks):
+            for j in range(n):
+                stride = 2 if (j == 0 and i > 0) else 1
+                x = _BasicBlock(f, stride, self.dtype)(x, train)
+            f *= 2
+        x = jnp.mean(x, axis=(1, 2))                         # global avg pool
+        return x.reshape(lead + (x.shape[-1], 1, 1))

@@ -13,6 +13,13 @@ z @ m_c^T term on the MXU inside VMEM and keeps an online (max, sum)
 accumulator over l — one HBM pass over z, no (L, C, N) intermediate.
 
 Falls back to interpret mode off-TPU (tests run it on CPU).
+
+Status (measured on the v5e, L=16 N=512 C=100 K=128): XLA's own fusion of
+the reference combine runs ~0.9ms/call vs ~8.4ms for this kernel — at the
+problem sizes this model family produces, the (L, C, N) intermediate fits
+comfortably and XLA's schedule wins, so the kernel is an opt-in
+(``evaluate`` keeps the XLA path).  Revisit when L*C*N grows by ~100x
+(e.g. imagenet-1k classes x large eval L).
 """
 
 import functools

@@ -54,15 +54,19 @@ def create_train_state(model: CVNet, key: jax.Array,
                       step=jnp.zeros((), jnp.int32))
 
 
-def grad_mask(model: CVNet, params) -> Dict[str, Any]:
+def grad_mask(model: CVNet, params, frozen_modules=()) -> Dict[str, Any]:
     """Static 0/1 mask over params: which leaves may train.
 
     Prior means train iff learned_means (thaw factor applied separately);
     prior var trains iff var_dim != 'scalar'; sigma_param trains iff
-    cfg.sigma.learned (ref requires_grad semantics)."""
+    cfg.sigma.learned (ref requires_grad semantics); ``frozen_modules``
+    (pretrained features/upsampler, ref conv.py:237-243) never train."""
     cfg = model.cfg
+    frozen = set(frozen_modules)
 
     def mask_for(path_names, leaf):
+        if frozen and frozen.intersection(path_names):
+            return 0.0
         if 'prior' in path_names:
             if 'mean' in path_names:
                 return 1.0 if cfg.prior.learned_means else 0.0

@@ -26,14 +26,14 @@ def warmup_weight(epoch, warmup: Tuple[int, int]):
 def make_train_step(model: CVNet, tx: optax.GradientTransformation,
                     warmup: Tuple[int, int] = (0, 0),
                     warmup_gamma: Tuple[int, int] = (0, 0),
-                    donate: bool = True):
+                    donate: bool = True,
+                    frozen_modules: Tuple[str, ...] = ()):
     """Build the compiled train step: (state, x, y) -> (state, metrics).
 
     metrics: dict of scalar batch means of each loss component + measures.
     """
     cfg = model.cfg
-    mask = None  # built lazily from the first params pytree
-    has_bn = bool(cfg.batch_norm) and bool(cfg.features)
+    has_bn = cfg.has_batch_norm
 
     def step(state: TrainState, x: jax.Array, y: jax.Array):
         rng, sub = jax.random.split(state.rng)
@@ -54,7 +54,7 @@ def make_train_step(model: CVNet, tx: optax.GradientTransformation,
 
         (loss, (out, bn_updates)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
-        m = grad_mask(model, state.params)
+        m = grad_mask(model, state.params, frozen_modules)
         grads = apply_grad_mask(model, grads, m, state.epoch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

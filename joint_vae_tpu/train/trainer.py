@@ -87,7 +87,8 @@ def train_model(job: Job,
 
     tx = build_optimizer(job.opt_cfg)
     step = make_train_step(model, tx, tuple(warmup), tuple(warmup_gamma),
-                           donate=True)
+                           donate=True,
+                           frozen_modules=tuple(tp.get('frozen_modules') or ()))
     state = job.state
 
     loader = DataLoader(trainset, batch_size, shuffle=True, seed=seed,

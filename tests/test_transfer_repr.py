@@ -1,0 +1,109 @@
+"""Pretrained transfer + freezing, HSV representation, resnet features."""
+
+import os
+import tempfile
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from joint_vae_tpu.models.cvnet import CVNet, CVNetConfig
+from joint_vae_tpu.models.representation import rgb2hsv, hsv2rgb
+from joint_vae_tpu.models.resnet import ResNetFeatures
+from joint_vae_tpu.ops.sigma import SigmaConfig
+from joint_vae_tpu.save_load.jobs import new_job, save_job
+from joint_vae_tpu.save_load.transfer import transfer_pretrained
+from joint_vae_tpu.train.optimizers import OptimizerConfig, build_optimizer
+from joint_vae_tpu.train.steps import make_train_step
+
+RNG = np.random.default_rng(0)
+
+
+def _conv_cfg(**kw):
+    return CVNetConfig(
+        input_shape=(3, 8, 8), num_labels=3, type='cvae',
+        features='[x3+1]4-4:2', upsampler='[x3+1]4x2+0-4:2++1-!3x3+1',
+        encoder=(16,), decoder=(18,), classifier=(8,), latent_dim=4,
+        latent_sampling=1, gamma=10.0, sigma=SigmaConfig(value=0.3), **kw)
+
+
+def test_hsv_roundtrip():
+    x = jnp.asarray(RNG.uniform(0.05, 0.95, (4, 3, 5, 5)).astype(np.float32))
+    hsv = rgb2hsv(x)
+    assert hsv.shape == x.shape
+    back = hsv2rgb(hsv)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=2e-2)
+
+
+def test_hsv_representation_model():
+    cfg = _conv_cfg(representation='hsv')
+    job = new_job(cfg, key=jax.random.PRNGKey(0))
+    x = jnp.asarray(RNG.uniform(0, 1, (4, 3, 8, 8)).astype(np.float32))
+    from joint_vae_tpu.models.evaluate import evaluate
+    out = evaluate(job.model, job.state.variables, x,
+                   jnp.zeros(4, jnp.int32), rng=jax.random.PRNGKey(1),
+                   sigma_state=job.state.sigma_state, train=True)
+    assert np.isfinite(float(out.losses['total'].mean()))
+
+
+def test_resnet_features_shapes():
+    m = ResNetFeatures(arch='resnet18', width=8)
+    x = jnp.zeros((2, 3, 16, 16))
+    vs = m.init(jax.random.PRNGKey(0), x)
+    y = m.apply(vs, x)
+    assert y.shape == (2, 64, 1, 1)
+    assert 'batch_stats' in vs
+
+
+def test_resnet_in_cvnet_trains():
+    cfg = CVNetConfig(input_shape=(3, 8, 8), num_labels=3, type='cvae',
+                      features='resnet18', encoder=(16,), decoder=(16,),
+                      classifier=(8,), latent_dim=4, latent_sampling=1,
+                      gamma=10.0, sigma=SigmaConfig(value=0.3))
+    assert cfg.has_batch_norm
+    job = new_job(cfg, key=jax.random.PRNGKey(0))
+    assert job.state.batch_stats is not None
+    tx = build_optimizer(job.opt_cfg)
+    step = make_train_step(job.model, tx, donate=False)
+    x = jnp.asarray(RNG.uniform(0, 1, (8, 3, 8, 8)).astype(np.float32))
+    y = jnp.asarray(RNG.integers(0, 3, 8).astype(np.int32))
+    bs0 = jax.tree_util.tree_leaves(job.state.batch_stats)[0].copy()
+    state, m = step(job.state, x, y)
+    assert np.isfinite(float(m['total']))
+    # batch stats updated
+    bs1 = jax.tree_util.tree_leaves(state.batch_stats)[0]
+    assert np.abs(np.asarray(bs0) - np.asarray(bs1)).max() > 0
+
+
+def test_transfer_pretrained_and_freeze():
+    with tempfile.TemporaryDirectory() as d:
+        donor = new_job(_conv_cfg(), key=jax.random.PRNGKey(1))
+        save_job(donor, d)
+
+        def flat(t):
+            return np.concatenate([np.ravel(l) for l in
+                                   jax.tree_util.tree_leaves(t)])
+
+        job = new_job(_conv_cfg(), key=jax.random.PRNGKey(2))
+        before = flat(job.state.params['features_stack'])
+        transfer_pretrained(job, features_from=d, upsampler_from=d)
+        after = flat(job.state.params['features_stack'])
+        donor_flat = flat(donor.state.params['features_stack'])
+        assert not np.array_equal(before, after)
+        np.testing.assert_array_equal(after, donor_flat)
+        assert set(job.training_parameters['frozen_modules']) == \
+            {'features_stack', 'imager'}
+
+        # frozen modules receive no updates
+        tx = build_optimizer(job.opt_cfg)
+        step = make_train_step(job.model, tx, donate=False,
+                               frozen_modules=('features_stack', 'imager'))
+        x = jnp.asarray(RNG.uniform(0, 1, (8, 3, 8, 8)).astype(np.float32))
+        y = jnp.asarray(RNG.integers(0, 3, 8).astype(np.int32))
+        state, _ = step(job.state, x, y)
+        np.testing.assert_array_equal(flat(state.params['features_stack']),
+                                      after)
+        # but the encoder did move
+        e0 = flat(job.state.params['encoder'])
+        e1 = flat(state.params['encoder'])
+        assert np.abs(e0 - e1).max() > 0
