@@ -313,7 +313,8 @@ class DataLoader:
     def __init__(self, dataset: ArrayDataset, batch_size: int,
                  shuffle: bool = True, seed: int = 0,
                  data_augmentation: Sequence[str] = (),
-                 drop_last: bool = False):
+                 drop_last: bool = False,
+                 use_native: str = 'auto'):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -321,12 +322,32 @@ class DataLoader:
         self.epoch = 0
         self.augmentation = list(data_augmentation)
         self.drop_last = drop_last
+        self._native = None
+        if use_native in ('auto', True, 'always') and len(dataset):
+            supported = all(a.startswith(('flip', 'hflip', 'crop'))
+                            for a in self.augmentation)
+            if supported:
+                try:
+                    from .native import NativeBatcher, available
+                    if available():
+                        crop = 4 if any(a.startswith('crop')
+                                        for a in self.augmentation) else 0
+                        flip = any(a.startswith(('flip', 'hflip'))
+                                   for a in self.augmentation)
+                        self._native = NativeBatcher(
+                            dataset.data, dataset.targets, seed=seed,
+                            hflip=flip, crop_pad=crop)
+                except Exception as e:
+                    logging.debug('native batcher disabled: %s', e)
 
     def __len__(self):
         n = len(self.dataset)
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        if self._native is not None:
+            yield from self._iter_native()
+            return
         n = len(self.dataset)
         if self.shuffle:
             rng = np.random.default_rng((self.seed, self.epoch))
@@ -343,6 +364,23 @@ class DataLoader:
             y = self.dataset.targets[idx]
             if self.augmentation:
                 x = self._augment(x, rng)
+            yield x, y
+
+    def _iter_native(self):
+        nb = self._native
+        nb.start_epoch(self.epoch, self.shuffle)
+        self.epoch += 1
+        n = len(self.dataset)
+        bs = self.batch_size
+        n_batches = n // bs if self.drop_last else -(-n // bs)
+        # double-buffered outputs so the previous batch stays valid while the
+        # device copies it
+        c, h, w = nb.shape
+        bufs = [(np.empty((bs, c, h, w), np.float32),
+                 np.empty((bs,), np.int32)) for _ in range(2)]
+        for i in range(n_batches):
+            out_x, out_y = bufs[i % 2]
+            x, y = nb.get_batch(i, bs, out_x, out_y)
             yield x, y
 
     def _augment(self, x: np.ndarray, rng) -> np.ndarray:
