@@ -1,0 +1,117 @@
+"""Ensemble CLI (ref module/aggregation.py __main__ + results/aggregation.py).
+
+    python -m joint_vae_tpu.cli.aggregate <job> <job> ... --job-dir jobs \
+        [--methods elbo joint mean vote] [--ood]
+
+Loads the jobs, evaluates the shared test set once per model, combines the
+per-class scores into ensemble posteriors, and prints accuracy (and OOD
+AUROC when --ood) per combination method, plus the pairwise latent mutual
+information matrix.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..data.loaders import get_dataset, DataLoader
+from ..evals.aggregation import (ensemble_posterior, ensemble_predict,
+                                 compute_latent_mutual_info)
+from ..models.evaluate import evaluate
+from ..ops.roc import auroc_one_sided_exact
+from ..save_load.fetch import find_by_job_number
+from ..utils.print_log import set_log
+
+
+def _scores(job, dataset, batch_size, key, score='total'):
+    """(C, N) per-class scores + true labels + posteriors."""
+    model = job.model
+
+    @jax.jit
+    def f(variables, x, k):
+        out = evaluate(model, variables, x, None, rng=k,
+                       sigma_state=job.state.sigma_state, train=False)
+        return out.losses, out.logits
+
+    per, ys, posts = [], [], []
+    for i, (x, y) in enumerate(DataLoader(dataset, batch_size, shuffle=False)):
+        losses, logits = f(job.state.variables, jnp.asarray(x),
+                           jax.random.fold_in(key, i))
+        s = losses.get('iws')
+        if s is None or s.ndim < 2:
+            s = -losses['total']
+        per.append(np.asarray(s))
+        ys.append(y)
+        posts.append(np.asarray(jax.nn.softmax(logits, -1)).T)
+    return (np.concatenate(per, -1), np.concatenate(ys),
+            np.concatenate(posts, -1))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='jvt-aggregate')
+    p.add_argument('jobs', nargs='+', type=int)
+    p.add_argument('--job-dir', default='jobs')
+    p.add_argument('--methods', nargs='*',
+                   default=['elbo', 'joint', 'mean', 'vote'])
+    p.add_argument('--ood', action='store_true')
+    p.add_argument('--batch-size', type=int, default=256)
+    p.add_argument('--dataset-size', type=int, default=None)
+    p.add_argument('-v', '--verbose', action='count', default=0)
+    args = p.parse_args(argv)
+    set_log(args.verbose)
+
+    jobs = []
+    for n in args.jobs:
+        j = find_by_job_number(args.job_dir, n)
+        if j is None:
+            sys.exit('job {} not found'.format(n))
+        jobs.append(j)
+    name = jobs[0].training_parameters.get('set')
+    _, testset = get_dataset(name, splits=['test'], size=args.dataset_size)
+
+    key = jax.random.PRNGKey(0)
+    all_scores, all_posts = [], []
+    y = None
+    for j in jobs:
+        s, y, post = _scores(j, testset, args.batch_size, key)
+        all_scores.append(s)
+        all_posts.append(post)
+        acc = (s.argmax(0) == y).mean()
+        print('job {:>6}: accuracy {:.2%}'.format(j.job_number, acc))
+
+    for m in args.methods:
+        scores_in = ([-s for s in all_scores] if m == 'joint'
+                     else all_scores)
+        pred = ensemble_predict(scores_in, m)
+        print('ensemble {:>6}: accuracy {:.2%}'.format(m, (pred == y).mean()))
+
+    print('\nlatent mutual information (nats):')
+    for i in range(len(jobs)):
+        row = ['{:.3f}'.format(compute_latent_mutual_info(all_posts[i],
+                                                          all_posts[k]))
+               for k in range(len(jobs))]
+        print('  job {:>6}: {}'.format(jobs[i].job_number, ' '.join(row)))
+
+    if args.ood:
+        for ood_name in testset.same_size[:3]:
+            try:
+                _, ood = get_dataset(ood_name, splits=['test'],
+                                     size=args.dataset_size)
+            except Exception:
+                continue
+            ood_scores = [
+                _scores(j, ood, args.batch_size, jax.random.fold_in(key, 9))[0]
+                for j in jobs]
+            for m in args.methods:
+                pi = ensemble_posterior(all_scores, m).max(0)
+                po = ensemble_posterior(ood_scores, m).max(0)
+                auc = float(auroc_one_sided_exact(jnp.asarray(pi),
+                                                  jnp.asarray(po)))
+                print('ood {} {}: auroc {:.2%}'.format(ood_name, m, auc))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

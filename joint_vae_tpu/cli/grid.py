@@ -1,0 +1,75 @@
+"""Sweep-grid expansion (ref grid.ini): turn a grid INI section into the
+cartesian product of training commands.
+
+    python -m joint_vae_tpu.cli.grid grids.ini [section] [--run] [--dry-run]
+
+Grid section format: every key is a train-CLI option; space-separated
+values are swept, '|'-separated groups are zipped options.
+
+    [sweep-K]
+    config = cifar10
+    latent-dim = 64 128 256
+    beta = 1e-4 1e-3
+"""
+
+import argparse
+import configparser
+import itertools
+import subprocess
+import sys
+from typing import Dict, List
+
+
+def expand_grid(section: Dict[str, str]) -> List[List[str]]:
+    """-> list of train-CLI argv lists."""
+    fixed, swept = {}, {}
+    for k, v in section.items():
+        vals = v.split()
+        if len(vals) > 1:
+            swept[k] = vals
+        else:
+            fixed[k] = v
+    combos = [dict(zip(swept, c))
+              for c in itertools.product(*swept.values())] or [{}]
+    argvs = []
+    for combo in combos:
+        argv = []
+        for k, v in {**fixed, **combo}.items():
+            argv += ['--{}'.format(k), str(v)]
+        argvs.append(argv)
+    return argvs
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='jvt-grid')
+    p.add_argument('grid_file')
+    p.add_argument('section', nargs='?', default=None)
+    p.add_argument('--run', action='store_true',
+                   help='launch the trainings sequentially')
+    p.add_argument('--extra', nargs='*', default=[],
+                   help='extra args appended to every command')
+    args = p.parse_args(argv)
+
+    cp = configparser.ConfigParser()
+    cp.read(args.grid_file)
+    sections = [args.section] if args.section else cp.sections()
+
+    commands = []
+    for s in sections:
+        for cmd_args in expand_grid(dict(cp[s])):
+            commands.append([sys.executable, '-m', 'joint_vae_tpu.cli.train',
+                             *cmd_args, *args.extra])
+    for c in commands:
+        print(' '.join(c))
+    if args.run:
+        for c in commands:
+            r = subprocess.run(c)
+            if r.returncode:
+                print('command failed: {}'.format(' '.join(c)),
+                      file=sys.stderr)
+                return r.returncode
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

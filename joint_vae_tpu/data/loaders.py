@@ -112,6 +112,52 @@ def _load_cifar(root: str, split: str, coarse100: bool = False):
     return None
 
 
+def _load_image_folder(root: str, shape, split: str,
+                       class_file: Optional[str] = None):
+    """ImageFolder reader (ref ImageFolderWithClassesInFile,
+    utils/torch_load.py:250-294): root/<split>/<class>/*.img, optionally
+    restricted to class ids listed in a txt file (imagenet1k/20/2)."""
+    base = os.path.join(root, split)
+    if not os.path.isdir(base):
+        base = root
+    if not os.path.isdir(base):
+        return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    allowed = None
+    if class_file and os.path.exists(class_file):
+        with open(class_file) as f:
+            allowed = [l.split()[0] for l in f
+                       if l.strip() and not l.startswith('#')]
+    classes = sorted(d for d in os.listdir(base)
+                     if os.path.isdir(os.path.join(base, d)))
+    if allowed:
+        classes = [c for c in classes if c in allowed]
+    if not classes:
+        return None
+    xs, ys = [], []
+    c0, h, w = shape
+    for yi, cname in enumerate(classes):
+        cdir = os.path.join(base, cname)
+        for fn in sorted(os.listdir(cdir)):
+            if not fn.lower().endswith(('.jpg', '.jpeg', '.png', '.bmp')):
+                continue
+            img = Image.open(os.path.join(cdir, fn)).convert(
+                'RGB' if c0 == 3 else 'L').resize((w, h))
+            arr = np.asarray(img, np.float32) / 255.0
+            if arr.ndim == 2:
+                arr = arr[None]
+            else:
+                arr = arr.transpose(2, 0, 1)
+            xs.append(arr)
+            ys.append(yi)
+    if not xs:
+        return None
+    return np.stack(xs), np.asarray(ys, np.int32)
+
+
 def _load_npz(root: str, name: str, split: str):
     for cand in (os.path.join(root, '{}-{}.npz'.format(name, split)),
                  os.path.join(root, name, '{}.npz'.format(split))):
@@ -261,6 +307,11 @@ def _build_split(name: str, transformer: str, split: str,
             loaded = _load_cifar(root, split) or _load_cifar(DATA_DIR, split)
         if loaded is None:
             loaded = _load_npz(DATA_DIR, src, split)
+        if loaded is None and (props.get('folder') or src.startswith(
+                ('imagenet', 'dtd', 'lsun'))):
+            loaded = _load_image_folder(
+                props.get('folder') or root, src_shape, split,
+                class_file=props.get('classes_from_file'))
         if loaded is None:
             x, y = _synthetic_fallback(src, src_shape, num_labels, split, size)
             synthetic = True

@@ -74,6 +74,13 @@ DEFAULT_REGISTRY: Dict[str, dict] = {
     'dtd': {'shape': (3, 32, 32), 'classes': None},
     'random300k': {'shape': (3, 32, 32), 'classes': None, 'by_shape': True},
     'imagenet12': {'shape': (3, 224, 224), 'classes': None},
+    # ImageNet subsets restricted by wnid class files (ref data/imagenet*.txt
+    # + ImageFolderWithClassesInFile, utils/torch_load.py:250-294).
+    'imagenet20': {'shape': (3, 224, 224),
+                   'classes': ['c{:02d}'.format(i) for i in range(20)],
+                   'classes_from_file': 'data/imagenet20.txt'},
+    'imagenet2': {'shape': (3, 224, 224), 'classes': ['c0', 'c1'],
+                  'classes_from_file': 'data/imagenet2.txt'},
 }
 
 
