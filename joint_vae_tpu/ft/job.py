@@ -200,6 +200,32 @@ def finetune(wim: WIMJob,
                 'fpr': np.asarray(r['fpr']).tolist(),
                 'thresholds': np.asarray(r['thresholds_low']).tolist()}
 
+    # ---- misclassification rates with WIM scores on estimated labels
+    # (ref ft/job.py:477 + WIM misclass methods softzdist~/zdist~)
+    from .wim import WIM_MISCLASS_METHODS_PER_TYPE
+    mm = WIM_MISCLASS_METHODS_PER_TYPE.get(cfg.type, [])
+    if mm and cfg.losses_per_class and ind_losses['kl'].ndim > 1:
+        y_est = np.argmin(ind_losses['kl'], axis=0)
+        y_true = ind_losses['y_true']
+        correct = y_est == y_true
+        missed = ~correct
+        if correct.any() and missed.any():
+            scores = wim_scores_for_set(wim, ind_losses, mm)
+            job.testing.setdefault(epoch_key, {})
+            entry = {'n': int(len(y_true)), 'epochs': epoch_key,
+                     'accuracy': float(correct.mean()),
+                     'sampling': cfg.test_latent_sampling}
+            for m in mm:
+                v = scores[m]
+                r = roc_curve(jnp.asarray(v[correct]),
+                              jnp.asarray(v[missed]),
+                              kept_tpr=DEFAULT_KEPT_TPR)
+                entry[m] = {'auc': float(r['auc']),
+                            'tpr': [float(t) for t in DEFAULT_KEPT_TPR],
+                            'fpr': np.asarray(r['fpr']).tolist(),
+                            'precision': np.asarray(r['precision']).tolist()}
+            job.testing[epoch_key]['already'] = entry
+
     # save recorders of the ind-set losses for array aggregation
     if save_dir:
         sdir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch_key))

@@ -58,8 +58,14 @@ def train_model(job: Job,
                 outputs: Optional[EpochOutput] = None,
                 seed: int = 0,
                 train_accuracy: bool = False,
-                fine_tuning: bool = False) -> Job:
-    """Train job.state in place (functionally); returns the job."""
+                fine_tuning: bool = False,
+                mesh=None) -> Job:
+    """Train job.state in place (functionally); returns the job.
+
+    ``mesh``: optional jax.sharding.Mesh — state is placed with the
+    framework's sharding rules (prior dictionary / classifier head on
+    'model') and batches are sharded over 'data'; GSPMD inserts the
+    collectives (parallel/mesh.py)."""
     cfg = job.model_cfg
     model = job.model
     outputs = outputs or EpochOutput()
@@ -90,6 +96,19 @@ def train_model(job: Job,
                            donate=True,
                            frozen_modules=tuple(tp.get('frozen_modules') or ()))
     state = job.state
+
+    if mesh is not None:
+        from ..parallel.mesh import state_shardings, batch_sharding
+        state = jax.device_put(state, state_shardings(mesh, state))
+        x_sh = batch_sharding(mesh, 1 + len(cfg.input_shape))
+        y_sh = batch_sharding(mesh, 1)
+
+        def put_batch(x, y):
+            return (jax.device_put(jnp.asarray(x), x_sh),
+                    jax.device_put(jnp.asarray(y), y_sh))
+    else:
+        def put_batch(x, y):
+            return jnp.asarray(x), jnp.asarray(y)
 
     loader = DataLoader(trainset, batch_size, shuffle=True, seed=seed,
                         data_augmentation=data_augmentation, drop_last=True)
@@ -135,7 +154,8 @@ def train_model(job: Job,
         n_train_correct = 0
         n_train = 0
         for i, (x, y) in enumerate(loader):
-            state, metrics = step(state, jnp.asarray(x), jnp.asarray(y))
+            xb, yb = put_batch(x, y)
+            state, metrics = step(state, xb, yb)
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
             if not np.isfinite(running.get('total', 0.0)):
