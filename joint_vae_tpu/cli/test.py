@@ -59,14 +59,18 @@ def main(argv=None):
         else ('json', 'recorders')
     refreshed = []
     for m in models:
-        if not args.compute:
+        if not args.compute and not args.early_stopping:
             refreshed.append(m)
             continue
         try:
-            job = load_job(m['dir'])
+            job = load_job(m['dir'], load_state=args.compute)
         except Exception as e:
             logging.warning('cannot load %s: %s', m['dir'], e)
             refreshed.append(m)
+            continue
+        if not args.compute:
+            cache_early_stopping(job)
+            refreshed.append(make_dict_from_model(job, directory=m['dir']))
             continue
         name = job.training_parameters.get('set')
         froms = available_results(job, wanted_epoch=args.epoch,
