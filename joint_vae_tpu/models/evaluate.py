@@ -66,7 +66,14 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
         key = mdl.make_rng('sampling')
         dist = 'uniform' if cfg.prior.distribution == 'uniform' else 'gaussian'
         z, eps = reparameterize(key, mu, log_var, L, dist, sampled)
-        x_reco = mdl.decode(z, train) if cfg.x_is_generated else x
+        if cfg.x_is_generated:
+            # training never consumes the mean-sample reconstruction
+            # (losses use x_reco[1:], ref cvae.py:649-660) — skip decoding
+            # sample 0 under train: ~1/(L+1) of the decode FLOPs/bytes saved
+            # (half, at the reference's default train L=1).
+            x_reco = mdl.decode(z if not train else z[1:], train)
+        else:
+            x_reco = x
         logits = mdl.classify(z)
         eps_norm = jnp.sum(jnp.square(eps.astype(jnp.float32)), axis=-1)
         return x_reco, logits, mu, log_var, z, eps_norm, sigma_coded
@@ -137,6 +144,8 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
 
     log_iws = None
     if cfg.x_is_generated:
+        # sampled reconstructions (sample 0 = mean is not decoded in train)
+        x_reco_s = x_reco if train else x_reco[1:]
         # ---- sigma resolution (ref cvae.py:626-675) ----
         if scfg.coded:
             out_dim = scfg.output_dim
@@ -160,15 +169,15 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
         x_flat = x
         if cfg.output_distribution == 'gaussian':
             if use_unit_sigma:
-                wmse_l = mse_loss(x_reco[1:], x_flat, ndim=len(cfg.input_shape),
+                wmse_l = mse_loss(x_reco_s, x_flat, ndim=len(cfg.input_shape),
                                   batch_mean=False)
             else:
-                wmse_l = mse_loss(x_reco[1:] / sigma_div, x_flat / sigma_div,
+                wmse_l = mse_loss(x_reco_s / sigma_div, x_flat / sigma_div,
                                   ndim=len(cfg.input_shape), batch_mean=False)
         else:
-            cat_ce_l = categorical_loss(x_reco[1:], x_flat,
+            cat_ce_l = categorical_loss(x_reco_s, x_flat,
                                         ndim=len(cfg.input_shape), batch_mean=False)
-            amax = jnp.argmax(x_reco[1:], axis=-len(cfg.input_shape) - 1)
+            amax = jnp.argmax(x_reco_s, axis=-len(cfg.input_shape) - 1)
             wmse_l = mse_loss(amax.astype(jnp.float32) / 255.0, x_flat,
                               ndim=len(cfg.input_shape), batch_mean=False)
 
