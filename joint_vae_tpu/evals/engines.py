@@ -48,13 +48,24 @@ def _sample_dir(job: Job, epoch: int) -> Optional[str]:
     return os.path.join(job.saved_dir, 'samples', '{:04d}'.format(epoch))
 
 
-def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool):
+def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
+                  methods: Sequence[str] = ()):
+    """One jitted program per batch: evaluate (+ ODIN grid) + all score
+    measures — scores stay on device, one host transfer per set."""
+    methods = tuple(methods)
+    odin = make_odin_scores(model) if with_odin else None
+
     @jax.jit
     def eval_batch(variables, x, key):
         out = evaluate(model, variables, x, None, rng=key,
                        sigma_state=sigma_state, train=False)
-        return out.losses, out.logits
-    odin = make_odin_scores(model) if with_odin else None
+        losses = dict(out.losses)
+        if odin is not None:
+            losses.update(odin(variables, x, key))
+        scores = (batch_dist_measures(model.cfg, out.logits, losses, methods)
+                  if methods else {})
+        return losses, out.logits, scores
+
     return eval_batch, odin
 
 
@@ -62,31 +73,32 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
                     batch_size: int, recorder: Optional[LossRecorder],
                     eval_batch, odin, key, num_batch: Optional[int] = None):
     """Run the model over a dataset; returns {method: np(N,)} scores and the
-    (optionally filled) recorder."""
-    model = job.model
+    (optionally filled) recorder.  Device arrays accumulate per batch; the
+    host pull happens once at the end (tunnel/transfer friendly)."""
     variables = job.state.variables
     loader = DataLoader(dataset, batch_size, shuffle=False,
                         seed=recorder.restore_seed() or 0 if recorder else 0,
                         drop_last=False)
-    per_method: Dict[str, List[np.ndarray]] = {m: [] for m in methods}
-    has_odin = any(m.startswith('odin') for m in methods)
+    per_method: Dict[str, List] = {m: [] for m in methods}
+    rec_batches = []
     for i, (x, y) in enumerate(loader):
         if num_batch is not None and i >= num_batch:
             break
         k = jax.random.fold_in(key, i)
-        losses, logits = eval_batch(variables, jnp.asarray(x), k)
-        if has_odin and odin is not None:
-            losses = dict(losses)
-            losses.update(odin(variables, jnp.asarray(x), k))
-        ms = batch_dist_measures(model.cfg, logits, losses, methods)
+        losses, logits, scores = eval_batch(variables, jnp.asarray(x), k)
         for m in methods:
-            per_method[m].append(np.asarray(ms[m]))
+            per_method[m].append(scores[m])
         if recorder is not None:
+            rec_batches.append((losses, logits, np.asarray(y)))
+    if recorder is not None and rec_batches:
+        host = jax.device_get([(l, lo) for l, lo, _ in rec_batches])
+        for (losses, logits), (_, _, y) in zip(host, rec_batches):
             rec = {k_: np.asarray(v) for k_, v in losses.items()}
             rec['logits'] = np.asarray(logits).T
-            rec['y_true'] = np.asarray(y)
+            rec['y_true'] = y
             recorder.append_batch(**rec)
-    return {m: np.concatenate(v) for m, v in per_method.items()}
+    out = jax.device_get({m: jnp.concatenate(v) for m, v in per_method.items()})
+    return {m: np.asarray(v) for m, v in out.items()}
 
 
 def _scores_from_recorder(job: Job, recorder: LossRecorder,
@@ -129,7 +141,8 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
     key = key if key is not None else jax.random.PRNGKey(epoch)
     sdir = _sample_dir(job, epoch)
     has_odin = any(m.startswith('odin') for m in methods)
-    eval_batch, odin = _make_eval_fn(job.model, job.state.sigma_state, has_odin)
+    eval_batch, odin = _make_eval_fn(job.model, job.state.sigma_state,
+                                     has_odin, methods)
 
     all_sets = [testset] + list(oodsets)
     measures: Dict[str, Dict[str, np.ndarray]] = {}
@@ -209,12 +222,16 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
     model = job.model
     variables = job.state.variables
     sigma_state = job.state.sigma_state
+    pm_tuple = tuple(predict_methods)
 
     @jax.jit
-    def eval_batch(variables, x, k):
+    def eval_batch(variables, x, y, k):
         out = evaluate(model, variables, x, None, rng=k,
                        sigma_state=sigma_state, train=False)
-        return out.losses, out.logits
+        correct = {m: jnp.sum(predict_after_evaluate(cfg, out.logits,
+                                                     out.losses, m) == y)
+                   for m in pm_tuple}
+        return out.losses, out.logits, correct
 
     loader = DataLoader(testset, batch_size, shuffle=False, drop_last=False)
     n_correct = {m: 0 for m in predict_methods}
@@ -222,22 +239,29 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
     sdir = _sample_dir(job, epoch)
     rec = LossRecorder(batch_size) if (recording and sdir) else None
 
+    counts = []
+    rec_batches = []
     for i, (x, y) in enumerate(loader):
         if num_batch is not None and i >= num_batch:
             break
         k = jax.random.fold_in(key, i)
-        losses, logits = eval_batch(variables, jnp.asarray(x), k)
-        for m in predict_methods:
-            y_ = np.asarray(predict_after_evaluate(cfg, logits, losses, m))
-            n_correct[m] += int((y_ == y).sum())
+        losses, logits, correct = eval_batch(variables, jnp.asarray(x),
+                                             jnp.asarray(y), k)
+        counts.append(correct)
         n_total += len(y)
         if rec is not None:
+            rec_batches.append((losses, logits, np.asarray(y)))
+
+    for correct in jax.device_get(counts):
+        for m in predict_methods:
+            n_correct[m] += int(correct[m])
+    if rec is not None and rec_batches:
+        host = jax.device_get([(l, lo) for l, lo, _ in rec_batches])
+        for (losses, logits), (_, _, y) in zip(host, rec_batches):
             r = {k_: np.asarray(v) for k_, v in losses.items()}
             r['logits'] = np.asarray(logits).T
-            r['y_true'] = np.asarray(y)
+            r['y_true'] = y
             rec.append_batch(**r)
-
-    if rec is not None:
         rec.save(os.path.join(sdir, 'record-{}.npz'.format(testset.name)))
 
     acc = {m: n_correct[m] / max(n_total, 1) for m in predict_methods}
@@ -287,10 +311,10 @@ def misclassification_detection_rates(job: Job,
             _, testset = get_dataset(name, splits=['test'])
         has_odin = any(m.startswith('odin') for m in mms)
         eval_batch, odin = _make_eval_fn(job.model, job.state.sigma_state,
-                                         has_odin)
+                                         has_odin, mms)
         rec = LossRecorder(batch_size)
         key = key if key is not None else jax.random.PRNGKey(epoch + 2)
-        _collect_scores(job, testset, [m for m in mms], batch_size, rec,
+        _collect_scores(job, testset, list(mms), batch_size, rec,
                         eval_batch, odin, key, num_batch)
         if rec_path:
             rec.save(rec_path)
