@@ -230,7 +230,7 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
                        sigma_state=sigma_state, train=False)
         correct = {m: jnp.sum(predict_after_evaluate(cfg, out.logits,
                                                      out.losses, m) == y)
-                   for m in pm_tuple}
+                   for m in pm_tuple if m != 'already'}
         return out.losses, out.logits, correct
 
     loader = DataLoader(testset, batch_size, shuffle=False, drop_last=False)
@@ -238,6 +238,10 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
     n_total = 0
     sdir = _sample_dir(job, epoch)
     rec = LossRecorder(batch_size) if (recording and sdir) else None
+
+    # datasets carrying pseudo-labels feed the 'already' method
+    # (ref EstimatedLabelsDataset + y_est_already, ft/job.py:70-105)
+    estimated = getattr(testset, 'estimated', None)
 
     counts = []
     rec_batches = []
@@ -247,6 +251,10 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
         k = jax.random.fold_in(key, i)
         losses, logits, correct = eval_batch(variables, jnp.asarray(x),
                                              jnp.asarray(y), k)
+        if estimated is not None and 'already' in predict_methods:
+            y_hat = estimated[i * batch_size:i * batch_size + len(y)]
+            correct = dict(correct)
+            correct['already'] = int((y_hat == y).sum())
         counts.append(correct)
         n_total += len(y)
         if rec is not None:
@@ -254,7 +262,8 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
 
     for correct in jax.device_get(counts):
         for m in predict_methods:
-            n_correct[m] += int(correct[m])
+            if m in correct:
+                n_correct[m] += int(correct[m])
     if rec is not None and rec_batches:
         host = jax.device_get([(l, lo) for l, lo, _ in rec_batches])
         for (losses, logits), (_, _, y) in zip(host, rec_batches):

@@ -83,6 +83,29 @@ def latent_samples(job: Job, x: np.ndarray, key=None):
     return (np.asarray(out.mu), np.asarray(out.log_var), np.asarray(out.z))
 
 
+def compare_reconstructions(jobs: Sequence[Job], x: np.ndarray,
+                            key=None) -> np.ndarray:
+    """Cross-model reconstruction divergence (ref module/sample.py
+    'comparison' mode): pairwise MSE matrix between the mean
+    reconstructions of several models on the same inputs."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    recos = []
+    for i, job in enumerate(jobs):
+        out = evaluate(job.model, job.state.variables, jnp.asarray(x), None,
+                       rng=jax.random.fold_in(key, i),
+                       sigma_state=job.state.sigma_state, train=False, L=1)
+        r = np.asarray(out.x_reco.astype(jnp.float32))
+        if job.model_cfg.output_distribution == 'categorical':
+            r = np.argmax(r, axis=-4) / 255.0
+        recos.append(r[0].reshape(len(x), -1))
+    M = len(jobs)
+    d = np.zeros((M, M))
+    for i in range(M):
+        for j in range(M):
+            d[i, j] = float(np.mean((recos[i] - recos[j]) ** 2))
+    return d
+
+
 def tile_images(rows: Sequence[np.ndarray], pad: int = 2) -> np.ndarray:
     """Stack rows of (N, C, H, W) images into one (H', W', C) uint8 canvas."""
     tiles = []
