@@ -349,8 +349,8 @@ def _uniform_kl(cfg, params, mu, log_var, y, var_weighting, all_classes):
     neg_elogrho -= (b_ ** 3 - a_ ** 3) / span / 6
     var_kl = jnp.sum(elogq + alpha, axis=-1)
     kl = jnp.maximum(jnp.sum(elogq, axis=-1) + jnp.sum(neg_elogrho, axis=-1), var_kl)
-    if var_weighting != 1.0:
-        kl = kl + (var_weighting - 1.0) * var_kl
+    # branch-free so a traced warmup weighting works (adds 0 when w == 1)
+    kl = kl + (var_weighting - 1.0) * var_kl
     return {'distance': jnp.sum(distance, axis=-1),
             'var_kl': 2 * var_kl, 'kl': kl}
 
