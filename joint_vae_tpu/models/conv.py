@@ -304,9 +304,20 @@ class ConvStack(nn.Module):
 
 
 class _DeconvLayer(nn.Module):
-    """Fractionally-strided conv matching torch ConvTranspose2d shape math."""
+    """Fractionally-strided conv matching torch ConvTranspose2d shape math.
+
+    An exact phase-decomposition path (:func:`_phase_deconv`, sub-pixel
+    convolution — s^2 dense convs instead of a zero-dilated one) is kept
+    behind ``phase_decompose=True``: measured on the v5e it LOSES to XLA's
+    native dilated lowering (90k vs 112k img/s on the flagship bench; the
+    strided-scatter interleave and narrow sub-kernels cost more than the
+    dilation zeros) — the MAC-count argument does not survive contact with
+    the Mosaic scheduler.  Parity-tested in tests/test_phase_deconv.py;
+    revisit for larger spatial dims.
+    """
     plan: LayerPlan
     dtype: jnp.dtype = jnp.float32
+    phase_decompose: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -316,9 +327,60 @@ class _DeconvLayer(nn.Module):
         kernel = self.param('kernel', nn.initializers.lecun_normal(),
                             (k, k, in_ch, pl.out_channels), jnp.float32)
         bias = self.param('bias', nn.initializers.zeros, (pl.out_channels,), jnp.float32)
-        pad = (k - 1 - p, k - 1 - p + op)
-        y = lax.conv_general_dilated(
-            x.astype(self.dtype), kernel.astype(self.dtype),
-            window_strides=(1, 1), padding=[pad, pad], lhs_dilation=(s, s),
-            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+        x = x.astype(self.dtype)
+        kern = kernel.astype(self.dtype)
+        if s > 1 and self.phase_decompose:
+            y = _phase_deconv(x, kern, k, p, s, op)
+        else:
+            pad = (k - 1 - p, k - 1 - p + op)
+            y = lax.conv_general_dilated(
+                x, kern, window_strides=(1, 1), padding=[pad, pad],
+                lhs_dilation=(s, s),
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
         return y + bias.astype(self.dtype)
+
+
+def _phase_deconv(x: jax.Array, kernel: jax.Array, k: int, p: int, s: int,
+                  op: int) -> jax.Array:
+    """Transposed conv via s x s dense phase convolutions.
+
+    Derivation: the dilation path computes (correlation convention)
+        y[m] = sum_t K[t] * xd[m - A + t],   A = k - 1 - p,
+    with xd the s-dilated input.  Nonzero terms need s | (m - A + t), so for
+    output phase r = m mod s only taps t === (A - r) (mod s) contribute, and
+        y[s*u + r] = sum_a K[c + s*a] * x[u + a + e],
+    with c = (A - r) mod s and e = (r - A + c) / s (an integer).  Each phase
+    is then a stride-1 conv of x with the sub-kernel, padded so the phase
+    output has ceil((H_out - r) / s) rows."""
+    N, H, W, Cin = x.shape
+    Cout = kernel.shape[-1]
+    A = k - 1 - p
+    H_out = (H - 1) * s - 2 * p + k + op
+    W_out = (W - 1) * s - 2 * p + k + op
+
+    def phase_geometry(r: int, n_in: int, n_out: int):
+        c = (A - r) % s
+        taps = list(range(c, k, s))
+        e = (r - A + c) // s
+        n_r = -(-(n_out - r) // s) if n_out > r else 0
+        kp = len(taps)
+        lo = -e
+        hi = n_r + kp - 1 - n_in - lo
+        return c, e, n_r, kp, lo, hi
+
+    y = jnp.zeros((N, H_out, W_out, Cout), x.dtype)
+    for rh in range(s):
+        ch, eh, nh, kh, lo_h, hi_h = phase_geometry(rh, H, H_out)
+        if nh <= 0 or kh == 0:
+            continue
+        for rw in range(s):
+            cw, ew, nw, kw, lo_w, hi_w = phase_geometry(rw, W, W_out)
+            if nw <= 0 or kw == 0:
+                continue
+            sub = kernel[ch::s, cw::s]                    # (kh, kw, Cin, Cout)
+            out = lax.conv_general_dilated(
+                x, sub, window_strides=(1, 1),
+                padding=[(lo_h, hi_h), (lo_w, hi_w)],
+                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+            y = y.at[:, rh::s, rw::s, :].set(out)
+    return y
