@@ -1,0 +1,90 @@
+"""In-process smoke tests of every CLI driver on tiny synthetic data:
+train -> test -> sample -> aggregate -> ft (WIM) -> results."""
+
+import os
+
+import numpy as np
+import pytest
+
+TRAIN_ARGS = ['--dataset', 'mnist', '--type', 'cvae', '--epochs', '1',
+              '--batch-size', '32', '--test-batch-size', '64',
+              '-K', '8', '--encoder', '32', '--decoder', '32',
+              '--classifier', '8', '--gamma', '100', '--sigma', '0.3',
+              '--test-latent-sampling', '2', '--dataset-size', '96',
+              '--validation', '32']
+
+
+@pytest.fixture(scope='module')
+def job_dir(tmp_path_factory):
+    d = str(tmp_path_factory.mktemp('jobs'))
+    from joint_vae_tpu.cli.train import main
+    assert main(TRAIN_ARGS + ['--job-dir', d]) == 0
+    return d
+
+
+def test_train_cli_artifacts(job_dir):
+    from joint_vae_tpu.save_load.fetch import collect_models
+    dirs = collect_models(job_dir)
+    assert len(dirs) == 1
+    for f in ('params.json', 'state.npz', 'history.json', 'output.out'):
+        assert os.path.exists(os.path.join(dirs[0], f))
+
+
+def test_test_cli(job_dir, capsys):
+    from joint_vae_tpu.cli.test import main
+    assert main(['--job-dir', job_dir]) == 0
+    out = capsys.readouterr().out
+    assert 'accuracy' in out or 'acc' in out.lower()
+    # tex export
+    tex = os.path.join(job_dir, 'out.tex')
+    assert main(['--job-dir', job_dir, '--tex', tex]) == 0
+    assert os.path.exists(tex)
+
+
+def test_sample_cli(job_dir):
+    from joint_vae_tpu.cli.sample import main
+    out = os.path.join(job_dir, 'grids')
+    assert main(['1', '--job-dir', job_dir, '--grids', 'reco', 'gen',
+                 'zsample', '-N', '4', '-L', '2', '--out', out]) == 0
+    assert os.path.exists(os.path.join(out, 'reco-mnist.npz'))
+    assert os.path.exists(os.path.join(out, 'generation.npz'))
+    assert os.path.exists(os.path.join(out, 'hist-of-var.dat'))
+
+
+def test_aggregate_cli(job_dir, capsys):
+    from joint_vae_tpu.cli.aggregate import main
+    assert main(['1', '1', '--job-dir', job_dir, '--methods', 'elbo', 'vote',
+                 '--batch-size', '64', '--dataset-size', '64']) == 0
+    out = capsys.readouterr().out
+    assert 'ensemble' in out and 'mutual information' in out
+
+
+def test_ft_cli(job_dir, capsys):
+    from joint_vae_tpu.cli.ft import main
+    rc = main(['1', '--job-dir', job_dir, '--epochs', '1',
+               '--moving-size', '64', '--train-size', '64',
+               '--batch-size', '32', '--test-batch-size', '32',
+               '--oodsets', 'fashion'])
+    assert rc == 0
+    # wim params persisted into the job
+    from joint_vae_tpu.save_load.fetch import find_by_job_number
+    job = find_by_job_number(job_dir, 1, load_state=False)
+    assert 'wim' in job.training_parameters
+
+
+def test_results_cli(job_dir, tmp_path, capsys):
+    ini = tmp_path / 'tabs.ini'
+    ini.write_text('[mnist-group]\nset = mnist\ntype = cvae\n')
+    from joint_vae_tpu.cli.results import main
+    assert main([str(ini), '--job-dir', job_dir,
+                 '--out-dir', str(tmp_path)]) == 0
+    assert (tmp_path / 'mnist-group.tex').exists()
+
+
+def test_grid_cli(tmp_path, capsys):
+    g = tmp_path / 'grid.ini'
+    g.write_text('[s]\ndataset = mnist\nlatent-dim = 8 16\n')
+    from joint_vae_tpu.cli.grid import main
+    assert main([str(g)]) == 0
+    out = capsys.readouterr().out
+    assert out.count('cli.train') == 2
