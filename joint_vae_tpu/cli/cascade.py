@@ -1,0 +1,87 @@
+"""Cascaded-models CLI (ref module/cascad.py CLI + results/cascad.py +
+results/mutual_info.py).
+
+    python -m joint_vae_tpu.cli.cascade <job> <job> ... --job-dir jobs
+
+Feeds model i+1 with the reconstruction of model i on the shared test set;
+reports per-stage losses and accuracy, the cross-stage reconstruction MSE
+matrix Im(T), Bayes-iterated posterior accuracy, and writes the artifacts
+under the first job's samples dir.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import jax
+
+from ..data.loaders import get_dataset, get_batch
+from ..evals.cascad import CascadModels, iterate_with_prior
+from ..save_load.checkpoint import save_json
+from ..save_load.fetch import find_by_job_number
+from ..utils.print_log import set_log
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog='jvt-cascade')
+    p.add_argument('jobs', nargs='+', type=int)
+    p.add_argument('--job-dir', default='jobs')
+    p.add_argument('-N', type=int, default=512)
+    p.add_argument('--seed', type=int, default=0)
+    p.add_argument('--out', default=None)
+    p.add_argument('-v', '--verbose', action='count', default=0)
+    args = p.parse_args(argv)
+    set_log(args.verbose)
+
+    jobs = []
+    for n in args.jobs:
+        j = find_by_job_number(args.job_dir, n)
+        if j is None:
+            sys.exit('job {} not found'.format(n))
+        jobs.append(j)
+
+    name = jobs[0].training_parameters.get('set')
+    _, testset = get_dataset(name, splits=['test'])
+    x, y = get_batch(testset, min(args.N, len(testset)), seed=args.seed)
+
+    casc = CascadModels(*jobs)
+    stage_losses, recos, mse, posteriors = casc.evaluate(
+        x, key=jax.random.PRNGKey(args.seed))
+
+    print('cross-stage reconstruction MSE matrix Im(T):')
+    for row in mse:
+        print('  ' + ' '.join('{:9.5f}'.format(v) for v in row))
+
+    report = {'sets': name, 'jobs': args.jobs, 'n': int(len(x)),
+              'im_t': mse.tolist(), 'stages': []}
+    for i, (job, losses) in enumerate(zip(jobs, stage_losses)):
+        entry = {'job': job.job_number,
+                 'mean_losses': {k: float(np.mean(v))
+                                 for k, v in losses.items()}}
+        post = posteriors[i]
+        if post is not None:
+            acc = float((post.argmax(0) == y).mean())
+            entry['accuracy'] = acc
+            print('stage {} (job {}): total {:.4f}  acc {:.2%}'.format(
+                i, job.job_number, entry['mean_losses']['total'], acc))
+        report['stages'].append(entry)
+
+    usable = [p_ for p_ in posteriors if p_ is not None]
+    if usable:
+        it = iterate_with_prior(usable)
+        acc_it = float((it.argmax(0) == y).mean())
+        report['iterated_accuracy'] = acc_it
+        print('bayes-iterated accuracy: {:.2%}'.format(acc_it))
+
+    out = args.out or (os.path.join(jobs[0].saved_dir, 'samples', 'cascade')
+                       if jobs[0].saved_dir else 'cascade')
+    os.makedirs(out, exist_ok=True)
+    save_json(report, os.path.join(out, 'cascade.json'))
+    np.savez(os.path.join(out, 'cascade-recos.npz'), recos=recos, mse=mse)
+    print('written to {}'.format(out))
+    return 0
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -26,6 +26,47 @@ from ..utils.parameters import load_config_section, next_job_number
 from ..utils.print_log import set_log
 
 
+def _run_poscod(args, job, dflt):
+    """Poscod branch: frozen net + 1-logit llr head (ref ft/poscod.py)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from ..ft.poscod import PoscodJob
+    from ..ft.datasets import create_moving_set
+    from ..ops.roc import roc_curve, DEFAULT_KEPT_TPR
+
+    dataset = job.training_parameters.get('set')
+    _, testset = get_dataset(dataset, splits=['test'])
+    ood_names = args.oodsets if args.oodsets is not None else \
+        [n for n in get_same_size_by_name(dataset) if not n.endswith('90')][:2]
+    moving = create_moving_set(
+        dataset, moving_size=int(dflt('moving-size', 512)),
+        ood_mix=1.0, oodsets=ood_names, seed=args.seed, task=args.task)
+    pc = PoscodJob(job=job).finetune(testset, moving,
+                                     epochs=int(dflt('epochs', 5)),
+                                     batch_size=args.batch_size,
+                                     seed=args.seed)
+    ind_scores = pc.llr_scores(testset, args.test_batch_size)
+    epoch = job.trained
+    job.ood_results.setdefault(epoch, {})
+    for n in ood_names:
+        _, ood = get_dataset(n, splits=['test'])
+        s = pc.llr_scores(ood, args.test_batch_size)
+        r = roc_curve(jnp.asarray(ind_scores), jnp.asarray(s),
+                      kept_tpr=DEFAULT_KEPT_TPR)
+        job.ood_results[epoch].setdefault(n, {})['llr'] = {
+            'epochs': epoch, 'n': int(len(ind_scores)),
+            'mean': float(np.mean(s)), 'std': float(np.std(s)),
+            'auc': float(r['auc']),
+            'tpr': [float(t) for t in DEFAULT_KEPT_TPR],
+            'fpr': np.asarray(r['fpr']).tolist()}
+        print('poscod llr vs {}: auroc {:.2%}'.format(n, float(r['auc'])))
+    if job.saved_dir:
+        from ..save_load.jobs import save_job
+        job.training_parameters['poscod'] = {'epochs': int(dflt('epochs', 5))}
+        save_job(job, job.saved_dir, save_state=False)
+    return 0
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog='jvt-ft')
     p.add_argument('job', nargs='?', type=int, help='source job number')
@@ -52,6 +93,9 @@ def main(argv=None):
     p.add_argument('--array', default=None, help='array dir (aggregation)')
     p.add_argument('--register', nargs='*', default=[],
                    help='job dirs to register into --array')
+    p.add_argument('--poscod', action='store_true',
+                   help='train a frozen-net 1-logit OOD head instead of WIM '
+                        '(ref ft/poscod.py)')
     p.add_argument('-v', '--verbose', action='count', default=0)
     args = p.parse_args(argv)
     set_log(args.verbose)
@@ -87,6 +131,9 @@ def main(argv=None):
     if job is None:
         sys.exit('job {} not found'.format(args.job))
     job.ood_results = {}
+
+    if args.poscod:
+        return _run_poscod(args, job, dflt)
 
     from ..ft.wim import WIMJob
     wim = WIMJob(job=job)
