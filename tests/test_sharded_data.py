@@ -1,0 +1,60 @@
+"""Sharded data feeding on the virtual mesh (single-process path + shard
+arithmetic for the multi-process path)."""
+
+import numpy as np
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+from joint_vae_tpu.data.loaders import ArrayDataset
+from joint_vae_tpu.parallel.mesh import make_mesh
+from joint_vae_tpu.parallel.sharded_data import (process_shard, global_batch,
+                                                 sharded_loader)
+
+
+def _ds(n=64):
+    rng = np.random.default_rng(0)
+    return ArrayDataset(rng.uniform(0, 1, (n, 1, 4, 4)).astype(np.float32),
+                        rng.integers(0, 3, n).astype(np.int32), 'd')
+
+
+def test_process_shard_partition():
+    ds = _ds(10)
+    shards = [process_shard(ds, i, 3) for i in range(3)]
+    assert [len(s) for s in shards] == [3, 3, 4]
+    all_rows = np.concatenate([s.data for s in shards])
+    np.testing.assert_array_equal(all_rows, ds.data)
+
+
+def test_global_batch_sharded_over_data():
+    mesh = make_mesh(8, model_axis=1)
+    ds = _ds(32)
+    gx, gy = global_batch(mesh, ds.data, ds.targets)
+    assert gx.sharding.spec == P('data', None, None, None)
+    assert gx.shape == (32, 1, 4, 4)
+    np.testing.assert_array_equal(np.asarray(gx), ds.data)
+
+
+def test_sharded_loader_feeds_train_step():
+    from joint_vae_tpu.models.cvnet import CVNetConfig
+    from joint_vae_tpu.ops.sigma import SigmaConfig
+    from joint_vae_tpu.save_load.jobs import new_job
+    from joint_vae_tpu.train.optimizers import OptimizerConfig, build_optimizer
+    from joint_vae_tpu.train.steps import make_train_step
+    from joint_vae_tpu.parallel.mesh import state_shardings
+
+    mesh = make_mesh(8, model_axis=1)
+    cfg = CVNetConfig(input_shape=(1, 4, 4), num_labels=3, type='cvae',
+                      encoder=(8,), decoder=(8,), classifier=(4,),
+                      latent_dim=4, latent_sampling=1, gamma=10.0,
+                      sigma=SigmaConfig(value=0.3))
+    job = new_job(cfg, OptimizerConfig(lr=1e-3), key=jax.random.PRNGKey(0))
+    tx = build_optimizer(job.opt_cfg)
+    step = make_train_step(job.model, tx, donate=False)
+    state = jax.device_put(job.state, state_shardings(mesh, job.state))
+    n_batches = 0
+    for gx, gy in sharded_loader(mesh, _ds(64), 16, seed=1):
+        state, m = step(state, gx, gy)
+        n_batches += 1
+    assert n_batches == 4
+    assert np.isfinite(float(m['total']))
