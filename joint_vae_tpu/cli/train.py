@@ -119,7 +119,9 @@ def main(argv=None):
                 full_test_every=args.full_test_every,
                 ood_detection_every=args.ood_detection_every,
                 save_dir=save_dir, signal_handler=handler, outputs=outputs,
-                seed=args.seed, fine_tuning=args.fine_tuning)
+                seed=args.seed, fine_tuning=args.fine_tuning,
+                final_test=not args.no_final_test,
+                final_ood=not args.no_final_ood)
     return 0
 
 

@@ -181,9 +181,11 @@ def finetune(wim: WIMJob,
 
     epoch_key = job.trained
     job.ood_results.setdefault(epoch_key, {})
+    ood_loss_sets = {}
     for ood in oodsets:
         ood_losses = _both_prior_losses(wim, ood, test_batch_size,
                                         jax.random.fold_in(key_eval, 1))
+        ood_loss_sets[ood.name] = ood_losses
         ood_scores = wim_scores_for_set(wim, ood_losses, methods)
         job.ood_results[epoch_key].setdefault(ood.name, {})
         for m in methods:
@@ -226,13 +228,15 @@ def finetune(wim: WIMJob,
                             'precision': np.asarray(r['precision']).tolist()}
             job.testing[epoch_key]['already'] = entry
 
-    # save recorders of the ind-set losses for array aggregation
+    # save recorders (ind + ood sets) for array aggregation
     if save_dir:
         sdir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch_key))
-        rec = LossRecorder(max(1, int(ind_losses['y_true'].shape[0])))
-        rec.append_batch(**{k: v for k, v in ind_losses.items()
-                            if k not in ('logits',)},
-                         logits=ind_losses['logits'].T)
-        rec.save(os.path.join(sdir, 'record-{}.npz'.format(testset.name)))
+        for set_name, losses_ in [(testset.name, ind_losses),
+                                  *ood_loss_sets.items()]:
+            rec = LossRecorder(max(1, int(losses_['y_true'].shape[0])))
+            rec.append_batch(**{k: v for k, v in losses_.items()
+                                if k not in ('logits',)},
+                             logits=losses_['logits'].T)
+            rec.save(os.path.join(sdir, 'record-{}.npz'.format(set_name)))
         save_job(job, save_dir)
     return wim

@@ -59,6 +59,8 @@ def train_model(job: Job,
                 seed: int = 0,
                 train_accuracy: bool = False,
                 fine_tuning: bool = False,
+                final_test: bool = True,
+                final_ood: bool = True,
                 mesh=None) -> Job:
     """Train job.state in place (functionally); returns the job.
 
@@ -201,9 +203,9 @@ def train_model(job: Job,
     # final full evaluation (ref cvae.py:2505-2547)
     job.state = state
     if signal_handler.sig <= 3 and testset is not None:
-        if cfg.predict_methods:
+        if cfg.predict_methods and final_test:
             accuracy(job, testset, batch_size=test_batch_size, outputs=outputs)
-        if oodsets:
+        if oodsets and final_ood:
             ood_detection_rates(job, testset, oodsets,
                                 batch_size=test_batch_size, outputs=outputs)
         if save_dir:

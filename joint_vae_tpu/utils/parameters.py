@@ -124,6 +124,8 @@ def add_training_args(parser: argparse.ArgumentParser):
 
     t.add_argument('--dataset-size', type=int, default=None,
                    help='cap train/test sizes (smoke tests)')
+    t.add_argument('--no-final-test', action='store_true')
+    t.add_argument('--no-final-ood', action='store_true')
 
     j = parser.add_argument_group('job')
     j.add_argument('--job-dir', default='jobs')

@@ -9,7 +9,8 @@ TRAIN_ARGS = ['--dataset', 'mnist', '--type', 'cvae', '--epochs', '1',
               '-K', '8', '--encoder', '32', '--decoder', '32',
               '--classifier', '8', '--gamma', '100', '--sigma', '0.3',
               '--test-latent-sampling', '2', '--dataset-size', '96',
-              '--full-test-every', '100', '--ood-detection-every', '100']
+              '--full-test-every', '100', '--ood-detection-every', '100',
+              '--no-final-test', '--no-final-ood']
 
 
 @pytest.fixture(scope='module')

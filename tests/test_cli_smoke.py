@@ -11,7 +11,7 @@ TRAIN_ARGS = ['--dataset', 'mnist', '--type', 'cvae', '--epochs', '1',
               '-K', '8', '--encoder', '32', '--decoder', '32',
               '--classifier', '8', '--gamma', '100', '--sigma', '0.3',
               '--test-latent-sampling', '2', '--dataset-size', '96',
-              '--validation', '32']
+              '--validation', '32', '--no-final-ood']
 
 
 @pytest.fixture(scope='module')
@@ -70,6 +70,21 @@ def test_ft_cli(job_dir, capsys):
     from joint_vae_tpu.save_load.fetch import find_by_job_number
     job = find_by_job_number(job_dir, 1, load_state=False)
     assert 'wim' in job.training_parameters
+
+
+def test_ft_array_cli(job_dir, tmp_path, capsys):
+    """Array aggregation over the WIM job registered from test_ft_cli."""
+    from joint_vae_tpu.save_load.fetch import find_by_job_number
+    job = find_by_job_number(job_dir, 1, load_state=False)
+    arr_dir = str(tmp_path / 'array')
+    from joint_vae_tpu.cli.ft import main
+    rc = main(['--array', arr_dir, '--register', job.saved_dir,
+               '--oodsets', 'fashion', '--job-dir', job_dir])
+    assert rc == 0
+    from joint_vae_tpu.save_load.checkpoint import load_json
+    res = load_json(os.path.join(arr_dir, 'ood.json'))
+    assert 'fashion' in res and 'elbo@' in res['fashion']
+    assert 0.0 <= res['fashion']['elbo@']['auc'] <= 1.0
 
 
 def test_results_cli(job_dir, tmp_path, capsys):
