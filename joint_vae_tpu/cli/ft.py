@@ -21,8 +21,8 @@ from ..ft.array import WIMArray
 from ..ft.datasets import create_moving_set
 from ..ft.job import load_wim_job, finetune
 from ..ft.scheduler import Scheduler
-from ..save_load.fetch import find_by_job_number, collect_models
-from ..utils.parameters import load_config_section, next_job_number
+from ..save_load.fetch import find_by_job_number
+from ..utils.parameters import load_config_section
 from ..utils.print_log import set_log
 
 

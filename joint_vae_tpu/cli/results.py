@@ -23,7 +23,7 @@ import sys
 from ..results.tables import results_dataframe, agg_results, auto_remove_index
 from ..results.texify import texify_test_results_df
 from ..save_load.fetch import fetch_models
-from ..utils.filters import filters_from_dict, FILTER_KEYS
+from ..utils.filters import filters_from_dict
 from ..utils.print_log import set_log
 
 TABLE_OPTIONS = {'tpr', 'agg', 'index', 'out'}

@@ -12,8 +12,6 @@ import argparse
 import logging
 import sys
 
-import jax
-
 from ..data.loaders import get_dataset
 from ..save_load.dictify import available_results, make_dict_from_model
 from ..save_load.fetch import fetch_models

@@ -174,6 +174,46 @@ def _load_npz(root: str, name: str, split: str):
 _DEFAULT_SIZES = {'train': 50000, 'test': 10000}
 
 
+def _procedural_shapes(name: str, shape, num_labels: int, split: str,
+                       size: Optional[int] = None):
+    """shapes32: 10 geometric classes with nuisance position / scale / hue
+    variation.  Vectorized; deterministic per (name, split)."""
+    n = size or {'train': 20000, 'test': 4000}[split]
+    c, h, w = shape
+    rng = np.random.default_rng((hash((name, split)) & 0x7fffffff))
+    y = rng.integers(0, num_labels, n).astype(np.int32)
+    cy = rng.uniform(0.3, 0.7, n)[:, None, None] * h
+    cx = rng.uniform(0.3, 0.7, n)[:, None, None] * w
+    r = rng.uniform(0.18, 0.34, n)[:, None, None] * h
+    hue = rng.uniform(0, 1, (n, 3))[:, :, None, None].astype(np.float32)
+    yy = np.arange(h, dtype=np.float32)[None, :, None]
+    xx = np.arange(w, dtype=np.float32)[None, None, :]
+    dy, dx = yy - cy, xx - cx
+    dist = np.sqrt(dy ** 2 + dx ** 2)
+    cheb = np.maximum(np.abs(dy), np.abs(dx))
+    period = np.maximum(r / 2, 2.0)
+    masks = [
+        dist <= r,                                            # disk
+        (dist <= r) & (dist >= 0.55 * r),                     # ring
+        cheb <= 0.8 * r,                                      # square
+        (cheb <= 0.8 * r) & (cheb >= 0.45 * r),               # frame
+        ((np.abs(dy) <= 0.25 * r) | (np.abs(dx) <= 0.25 * r)) & (cheb <= r),
+        np.abs(dy) <= 0.3 * r,                                # hbar
+        np.abs(dx) <= 0.3 * r,                                # vbar
+        (np.floor(dy / period) % 2 == 0) & (cheb <= r),       # stripes
+        ((np.floor(dy / period) + np.floor(dx / period)) % 2 == 0)
+        & (cheb <= r),                                        # checker
+        dist <= 0.4 * r,                                      # dot
+    ]
+    mask = np.zeros((n, h, w), np.float32)
+    for ci in range(num_labels):
+        sel = y == ci
+        mask[sel] = masks[ci % len(masks)][sel]
+    x = 0.12 + 0.8 * mask[:, None] * hue
+    x = x + 0.03 * rng.standard_normal((n, c, h, w)).astype(np.float32)
+    return np.clip(x, 0, 1).astype(np.float32), y
+
+
 def _synthetic_fallback(name: str, shape, num_labels: int, split: str,
                         size: Optional[int] = None):
     """Deterministic class-structured blobs; clearly flagged synthetic."""
@@ -295,6 +335,8 @@ def _build_split(name: str, transformer: str, split: str,
             else:
                 x = rng.uniform(0, 1, size=(n, *shape)).astype(np.float32)
         y = np.zeros(len(x), np.int32)
+    elif props.get('procedural'):
+        x, y = _procedural_shapes(parent, shape, num_labels, split, size)
     else:
         # raw source set (mnist32p reads the mnist files then transforms)
         src = props.get('parent', parent)

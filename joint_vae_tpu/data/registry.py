@@ -81,6 +81,12 @@ DEFAULT_REGISTRY: Dict[str, dict] = {
                    'classes_from_file': 'data/imagenet20.txt'},
     'imagenet2': {'shape': (3, 224, 224), 'classes': ['c0', 'c1'],
                   'classes_from_file': 'data/imagenet2.txt'},
+    # procedural benchmark set (this framework's own): 10 shape classes with
+    # nuisance position/scale/color variation — learnable structure for
+    # quality runs in data-less sandboxes
+    'shapes32': {'shape': (3, 32, 32), 'procedural': True,
+                 'classes': ['disk', 'ring', 'square', 'frame', 'cross',
+                             'hbar', 'vbar', 'stripes', 'checker', 'dot']},
 }
 
 

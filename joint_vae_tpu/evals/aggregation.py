@@ -10,7 +10,7 @@ Posterior combination over a list of per-class score arrays (C, N):
 Plus the latent mutual information between two models' p(y|z)
 (ref compute_latent_mutual_info)."""
 
-from typing import Dict, List, Sequence
+from typing import Sequence
 
 import numpy as np
 

@@ -28,7 +28,7 @@ import numpy as np
 from ..data.loaders import ArrayDataset, DataLoader, get_dataset
 from ..models.cvnet import CVNet
 from ..models.evaluate import evaluate
-from ..ops.roc import roc_curve, fpr_at_tpr, two_sided_from_method, DEFAULT_KEPT_TPR
+from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
 from ..ops.scores import (batch_dist_measures, develop_starred_methods,
                           predict_after_evaluate)
 from ..save_load.jobs import Job

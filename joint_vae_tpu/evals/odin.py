@@ -13,7 +13,6 @@ Scores: max softmax(mean-sample logits / T) on x + eps * sign(d score / dx)
 (gradient ascent on the max-softmax, ref :1651-1662).
 """
 
-import functools
 from typing import Dict, Sequence
 
 import jax

@@ -17,9 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.cvnet import CVNet
 from ..models.evaluate import evaluate
-from ..ops.priors import prior_log_density
 from ..save_load.jobs import Job
 
 

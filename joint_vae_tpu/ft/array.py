@@ -14,9 +14,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
-from ..save_load.checkpoint import save_json, load_json
+from ..save_load.checkpoint import save_json
 from ..save_load.recorders import LossRecorder
-from .wim import WIMJob, is_wim_method, WIM_OOD_METHODS_PER_TYPE
+from .wim import WIMJob, WIM_OOD_METHODS_PER_TYPE
 from .job import wim_scores_for_set
 
 

@@ -15,7 +15,6 @@ All on whole-array numpy datasets (ArrayDataset), so mixture construction is
 vectorized indexing, not per-item __getitem__ chains.
 """
 
-import logging
 from typing import Dict, Optional, Sequence
 
 import numpy as np

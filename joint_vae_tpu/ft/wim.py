@@ -19,8 +19,7 @@ Re-design of ref ``ft/wim.py``:
 """
 
 import dataclasses
-import logging
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -17,7 +17,7 @@ X -- features --- encoder -- Z -- decoder -- imager -- X^
 """
 
 import dataclasses
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
 import jax

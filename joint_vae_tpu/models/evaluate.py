@@ -31,7 +31,7 @@ from ..ops.priors import PriorConfig, prior_kl, prior_log_density
 from ..ops.sampling import reparameterize
 from ..ops.sigma import (SigmaState, update_sigma_rmse, update_sigma_coded,
                          sigma_value)
-from .cvnet import CVNet, CVNetConfig
+from .cvnet import CVNet
 from .layers import onehot_encoding, capacity, dict_min_distance
 
 _LOG_2PI = float(np.log(2 * np.pi))

@@ -7,7 +7,7 @@ an MLP on z.  Sampling lives in ``ops/sampling.py`` (functional), priors in
 ``ops/priors.py`` (parameters owned by :class:`PriorParams`).
 """
 
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import flax.linen as nn
 import jax

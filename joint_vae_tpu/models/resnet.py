@@ -8,7 +8,7 @@ average pooling.  Weights can be transferred from another job via
 ``save_load.transfer.transfer_pretrained``.
 """
 
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

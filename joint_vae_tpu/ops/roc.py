@@ -24,8 +24,7 @@ Everything is jittable with static shapes; only the final scalars are pulled
 to host by callers.
 """
 
-import math
-from typing import Dict, Optional, Sequence, Tuple, Union
+from typing import Dict, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp

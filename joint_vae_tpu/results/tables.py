@@ -13,7 +13,6 @@ Re-design of ref ``utils/tables.py``:
 import os
 from typing import Dict, List, Optional, Sequence
 
-import numpy as np
 import pandas as pd
 
 DEFAULT_INDEX = ['type', 'set', 'arch_code', 'sigma_train', 'beta', 'gamma',

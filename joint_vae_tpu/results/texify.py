@@ -8,7 +8,7 @@ percent columns in 10^-2).
 """
 
 import os
-from typing import Dict, List, Optional, Sequence
+from typing import List, Optional
 
 import numpy as np
 import pandas as pd

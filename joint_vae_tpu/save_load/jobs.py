@@ -29,7 +29,7 @@ from ..models.cvnet import CVNet, CVNetConfig
 from ..train.optimizers import OptimizerConfig
 from ..train.state import TrainState, create_train_state
 from .checkpoint import (save_json, load_json, save_checkpoint,
-                         load_checkpoint, flatten_pytree, unflatten_into)
+                         load_checkpoint, unflatten_into)
 
 SENTINELS = ('deleted', 'derailed')
 

@@ -10,10 +10,9 @@ Differences from the reference: numpy/npz instead of torch .pth; the seeded
 dataloader replay stores the (seed, epoch) pair instead of torch RNG state.
 """
 
-import logging
 import os
 import re
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional
 
 import numpy as np
 

@@ -1,0 +1,132 @@
+"""Device-resident dataset training.
+
+For datasets that fit in HBM (MNIST/CIFAR-scale: CIFAR-100 train is ~600MB
+f32, ~300MB bf16), uploading the whole array once and gathering shuffled
+batches *on device* removes the host->device transfer from the hot loop
+entirely — on tunneled/remote devices this is the difference between
+~500 img/s (per-batch transfers) and full compute speed (~100k img/s).
+
+The epoch permutation is computed on device (jax.random.permutation); the
+per-step gather is a take() inside the compiled step.  The host loop only
+passes the step index.
+"""
+
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..data.loaders import ArrayDataset
+from ..models.cvnet import CVNet
+from .state import TrainState, grad_mask, apply_grad_mask
+from .steps import warmup_weight
+
+
+class DeviceDataset:
+    """The whole dataset as device arrays + an epoch permutation."""
+
+    def __init__(self, dataset: ArrayDataset, sharding=None,
+                 dtype=jnp.float32):
+        x = jnp.asarray(dataset.data, dtype)
+        y = jnp.asarray(dataset.targets, jnp.int32)
+        if sharding is not None:
+            x = jax.device_put(x, sharding)
+            y = jax.device_put(y, sharding)
+        self.x, self.y = x, y
+        self.n = len(dataset)
+        self.name = dataset.name
+
+    def __len__(self):
+        return self.n
+
+
+def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
+                           batch_size: int,
+                           warmup: Tuple[int, int] = (0, 0),
+                           warmup_gamma: Tuple[int, int] = (0, 0),
+                           frozen_modules: Tuple[str, ...] = ()):
+    """(state, data_x, data_y, perm, i) -> (state, metrics); the batch is
+    gathered on device from the permuted index window i*B:(i+1)*B."""
+    from ..models.evaluate import evaluate
+    cfg = model.cfg
+    has_bn = cfg.has_batch_norm
+
+    def step(state: TrainState, data_x, data_y, perm, i):
+        idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
+        x = jnp.take(data_x, idx, axis=0)
+        y = jnp.take(data_y, idx, axis=0)
+        rng, sub = jax.random.split(state.rng)
+        kl_w = warmup_weight(state.epoch, warmup)
+        g_w = warmup_weight(state.epoch, warmup_gamma)
+
+        def loss_fn(params):
+            variables = {'params': params}
+            if state.batch_stats is not None:
+                variables['batch_stats'] = state.batch_stats
+            res = evaluate(model, variables, x, y, rng=sub,
+                           sigma_state=state.sigma_state, train=True,
+                           with_beta=True, kl_var_weighting=kl_w,
+                           gamma_weighting=g_w, return_bn_updates=has_bn)
+            out, bn = res if has_bn else (res, None)
+            return jnp.mean(out.losses['total']), (out, bn)
+
+        (loss, (out, bn)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        m = grad_mask(model, state.params, frozen_modules)
+        grads = apply_grad_mask(model, grads, m, state.epoch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            params=params, opt_state=opt_state,
+            batch_stats=(bn['batch_stats'] if bn is not None
+                         else state.batch_stats),
+            sigma_state=out.sigma_state, rng=rng, step=state.step + 1)
+        metrics = {k: jnp.mean(v) for k, v in out.losses.items()}
+        metrics.update(out.measures)
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,))
+
+
+def train_epochs_on_device(job, dataset: ArrayDataset, epochs: int,
+                           batch_size: int,
+                           warmup=(0, 0), warmup_gamma=(0, 0),
+                           seed: int = 0,
+                           log_every: Optional[int] = None,
+                           dtype=jnp.float32) -> Dict[str, float]:
+    """Fast path: train job.state for ``epochs`` over a device-resident
+    dataset.  Returns the last-epoch mean metrics."""
+    from .optimizers import build_optimizer, set_learning_rate
+    model = job.model
+    tx = build_optimizer(job.opt_cfg)
+    step = make_device_train_step(
+        model, tx, batch_size, tuple(warmup), tuple(warmup_gamma),
+        tuple(job.training_parameters.get('frozen_modules') or ()))
+    dd = DeviceDataset(dataset, dtype=dtype)
+    steps_per_epoch = dd.n // batch_size
+    state = job.state
+    pkey = jax.random.PRNGKey(seed)
+    metrics = {}
+    last = {}
+    for epoch in range(int(state.epoch), int(state.epoch) + epochs):
+        state = state.replace(
+            epoch=jnp.asarray(epoch, jnp.int32),
+            opt_state=set_learning_rate(state.opt_state,
+                                        job.opt_cfg.lr_at_epoch(epoch)))
+        perm = jax.random.permutation(jax.random.fold_in(pkey, epoch), dd.n)
+        acc: Dict[str, float] = {}
+        for i in range(steps_per_epoch):
+            state, metrics = step(state, dd.x, dd.y, perm, i)
+        last = jax.device_get({k: v for k, v in metrics.items()})
+        job.train_history[epoch + 1] = {
+            'train_loss': {k: float(v) for k, v in last.items()
+                           if k in model.cfg.loss_components},
+            'lr': job.opt_cfg.lr_at_epoch(epoch)}
+        job.train_history['epochs'] = epoch + 1
+        if log_every and (epoch + 1) % log_every == 0:
+            print('epoch {:4d}: total {:.4f}'.format(
+                epoch + 1, float(last.get('total', float('nan')))))
+    job.state = state
+    return {k: float(v) for k, v in last.items()}

@@ -7,7 +7,6 @@ from typing import Any, Dict, Optional
 import flax.struct
 import jax
 import jax.numpy as jnp
-import optax
 
 from ..models.cvnet import CVNet
 from ..ops.sigma import SigmaState, init_sigma_state

@@ -12,7 +12,7 @@ model dicts from dictify; ``MetaFilter`` builds and/or trees.
 """
 
 import re
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, Optional
 
 import numpy as np
 

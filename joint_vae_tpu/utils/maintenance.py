@@ -10,7 +10,7 @@ utils/rsync-jobs.sh, utils/prune_out_directory.py):
 import os
 import shutil
 import subprocess
-from typing import List, Optional, Sequence
+from typing import List
 
 from ..save_load.fetch import collect_models
 from ..save_load.jobs import mark, is_derailed

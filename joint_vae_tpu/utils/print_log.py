@@ -8,10 +8,9 @@ epoch, newline at epoch end.  Also rotating-file logging setup
 
 import logging
 import logging.handlers
-import math
 import os
 import sys
-from typing import Dict, Optional, Sequence, TextIO
+from typing import Dict, Optional
 
 
 def _fmt(v) -> str:
