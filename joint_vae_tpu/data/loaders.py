@@ -368,6 +368,17 @@ def _build_split(name: str, transformer: str, split: str,
         if size:
             x, y = x[:size], y[:size]
 
+    # transformer profiles (ref torch_load.py:416-423): 'pad' pads by 2
+    # (matching get_shape_by_name(transform='pad')), 'crop' center-crops to
+    # the registry shape
+    if transformer == 'pad':
+        x = np.pad(x, ((0, 0), (0, 0), (2, 2), (2, 2)))
+    elif transformer == 'crop' and x.shape[2:] != tuple(shape[1:]):
+        ch, cw = shape[1:]
+        h0 = max(0, (x.shape[2] - ch) // 2)
+        w0 = max(0, (x.shape[3] - cw) // 2)
+        x = x[:, :, h0:h0 + ch, w0:w0 + cw]
+
     # heldout filtering + relabeling (ref torch_load.py:654-682)
     if heldout:
         kept = [c for c in range(num_labels) if c not in heldout]
