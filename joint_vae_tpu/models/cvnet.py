@@ -180,8 +180,9 @@ class CVNetConfig:
     @property
     def has_batch_norm(self) -> bool:
         """Any BN in the module tree (conv-stack BN or resnet features)."""
-        return bool(self.features) and (bool(self.batch_norm)
-                                        or str(self.features).startswith('resnet'))
+        return bool(self.features) and (
+            bool(self.batch_norm)
+            or str(self.features).startswith(('resnet', 'densenet')))
 
     @property
     def classifier_type(self) -> Optional[str]:
@@ -301,9 +302,11 @@ class CVNet(nn.Module):
         bn_encoder = cfg.batch_norm in ('encoder', 'both') and bool(cfg.features)
         bn_decoder = cfg.batch_norm == 'both' and bool(cfg.features)
 
-        if cfg.features and cfg.features.startswith('resnet'):
-            from .resnet import ResNetFeatures
-            self.features_stack = ResNetFeatures(arch=cfg.features, dtype=dtype)
+        if cfg.features and cfg.features.startswith(('resnet', 'densenet')):
+            from .resnet import ResNetFeatures, DenseNetFeatures
+            trunk = (ResNetFeatures if cfg.features.startswith('resnet')
+                     else DenseNetFeatures)
+            self.features_stack = trunk(arch=cfg.features, dtype=dtype)
             self.features_name = cfg.features
             out_shape = self.features_stack.output_shape
             self.features_output_shape = out_shape

@@ -19,6 +19,11 @@ RESNET_LAYERS = {
     'resnet34': (3, 4, 6, 3),
 }
 
+DENSENET_LAYERS = {
+    'densenet121': (6, 12, 24, 16),
+    'densenet-small': (2, 4, 4, 2),
+}
+
 
 class _BasicBlock(nn.Module):
     features: int
@@ -42,6 +47,63 @@ class _BasicBlock(nn.Module):
             res = nn.BatchNorm(use_running_average=not train,
                                dtype=self.dtype)(res)
         return nn.relu(y + res)
+
+
+class _DenseLayer(nn.Module):
+    growth: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
+        y = nn.relu(y)
+        y = nn.Conv(4 * self.growth, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.growth, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype)(y)
+        return jnp.concatenate([x, y], axis=-1)
+
+
+class DenseNetFeatures(nn.Module):
+    """DenseNet-BC trunk (ref densenet feature option,
+    module/vae_layers/conv.py:247-272); from scratch, global-avg-pooled to
+    (C_out, 1, 1) like the resnet trunk."""
+    arch: str = 'densenet121'
+    growth: int = 32
+    init_features: int = 64
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def output_shape(self) -> Tuple[int, int, int]:
+        blocks = DENSENET_LAYERS[self.arch]
+        f = self.init_features
+        for bi, n in enumerate(blocks):
+            f += n * self.growth
+            if bi != len(blocks) - 1:
+                f = f // 2
+        return (f, 1, 1)
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        blocks = DENSENET_LAYERS[self.arch]
+        lead = x.shape[:-3]
+        c, h, w = x.shape[-3:]
+        x = x.reshape((-1, c, h, w)).transpose(0, 2, 3, 1).astype(self.dtype)
+        x = nn.Conv(self.init_features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype)(x)
+        for bi, n in enumerate(blocks):
+            for _ in range(n):
+                x = _DenseLayer(self.growth, self.dtype)(x, train)
+            if bi != len(blocks) - 1:   # transition: halve channels + pool
+                x = nn.BatchNorm(use_running_average=not train,
+                                 dtype=self.dtype)(x)
+                x = nn.relu(x)
+                x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
+                            dtype=self.dtype)(x)
+                x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        x = jnp.mean(x, axis=(1, 2))
+        return x.reshape(lead + (x.shape[-1], 1, 1))
 
 
 class ResNetFeatures(nn.Module):

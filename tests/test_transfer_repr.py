@@ -107,3 +107,25 @@ def test_transfer_pretrained_and_freeze():
         e0 = flat(job.state.params['encoder'])
         e1 = flat(state.params['encoder'])
         assert np.abs(e0 - e1).max() > 0
+
+
+def test_densenet_features_in_cvnet():
+    from joint_vae_tpu.models.resnet import DenseNetFeatures
+    import jax.numpy as jnp
+    m = DenseNetFeatures(arch='densenet-small', growth=8, init_features=16)
+    x = jnp.zeros((2, 3, 16, 16))
+    vs = m.init(jax.random.PRNGKey(0), x)
+    assert m.apply(vs, x).shape[1:] == m.output_shape
+
+    cfg = CVNetConfig(input_shape=(3, 8, 8), num_labels=3, type='cvae',
+                      features='densenet-small', encoder=(16,), decoder=(16,),
+                      classifier=(8,), latent_dim=4, latent_sampling=1,
+                      gamma=10.0, sigma=SigmaConfig(value=0.3))
+    assert cfg.has_batch_norm
+    job = new_job(cfg, key=jax.random.PRNGKey(0))
+    tx = build_optimizer(job.opt_cfg)
+    step = make_train_step(job.model, tx, donate=False)
+    x = jnp.asarray(RNG.uniform(0, 1, (8, 3, 8, 8)).astype(np.float32))
+    y = jnp.asarray(RNG.integers(0, 3, 8).astype(np.int32))
+    _, m_ = step(job.state, x, y)
+    assert np.isfinite(float(m_['total']))
