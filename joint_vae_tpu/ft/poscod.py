@@ -25,13 +25,23 @@ OOD_METHODS = ['llr']
 class PoscodJob:
     job: Job
     head: Optional[Dict[str, jax.Array]] = None
+    _mu_jit: Optional[object] = None
 
     def _mu(self, x, key):
-        out = evaluate(self.job.model, self.job.state.variables, x, None,
-                       rng=key, sigma_state=self.job.state.sigma_state,
-                       train=False, L=1, compute_iws=False)
-        mu = out.mu
-        return mu.reshape((-1, mu.shape[-1])) if mu.ndim > 2 else mu
+        if self._mu_jit is None:
+            model = self.job.model
+            sigma_state = self.job.state.sigma_state
+
+            @jax.jit
+            def mu_fn(variables, x, key):
+                out = evaluate(model, variables, x, None, rng=key,
+                               sigma_state=sigma_state, train=False, L=1,
+                               compute_iws=False)
+                mu = out.mu
+                return (mu.reshape((-1, mu.shape[-1]))
+                        if mu.ndim > 2 else mu)
+            self._mu_jit = mu_fn
+        return self._mu_jit(self.job.state.variables, x, key)
 
     def finetune(self, ind: ArrayDataset, moving: ArrayDataset,
                  epochs: int = 5, batch_size: int = 128, lr: float = 1e-3,

@@ -304,9 +304,17 @@ class CVNet(nn.Module):
 
         if cfg.features and cfg.features.startswith(('resnet', 'densenet')):
             from .resnet import ResNetFeatures, DenseNetFeatures
-            trunk = (ResNetFeatures if cfg.features.startswith('resnet')
-                     else DenseNetFeatures)
-            self.features_stack = trunk(arch=cfg.features, dtype=dtype)
+            # optional width suffix: 'resnet18:16' (base width),
+            # 'densenet121:12' (growth rate)
+            arch, _, width = cfg.features.partition(':')
+            if arch.startswith('resnet'):
+                kw = {'width': int(width)} if width else {}
+                self.features_stack = ResNetFeatures(arch=arch, dtype=dtype,
+                                                     **kw)
+            else:
+                kw = {'growth': int(width)} if width else {}
+                self.features_stack = DenseNetFeatures(arch=arch, dtype=dtype,
+                                                       **kw)
             self.features_name = cfg.features
             out_shape = self.features_stack.output_shape
             self.features_output_shape = out_shape

@@ -57,7 +57,7 @@ def test_resnet_features_shapes():
 
 def test_resnet_in_cvnet_trains():
     cfg = CVNetConfig(input_shape=(3, 8, 8), num_labels=3, type='cvae',
-                      features='resnet18', encoder=(16,), decoder=(16,),
+                      features='resnet18:8', encoder=(16,), decoder=(16,),
                       classifier=(8,), latent_dim=4, latent_sampling=1,
                       gamma=10.0, sigma=SigmaConfig(value=0.3))
     assert cfg.has_batch_norm
@@ -118,7 +118,7 @@ def test_densenet_features_in_cvnet():
     assert m.apply(vs, x).shape[1:] == m.output_shape
 
     cfg = CVNetConfig(input_shape=(3, 8, 8), num_labels=3, type='cvae',
-                      features='densenet-small', encoder=(16,), decoder=(16,),
+                      features='densenet-small:4', encoder=(16,), decoder=(16,),
                       classifier=(8,), latent_dim=4, latent_sampling=1,
                       gamma=10.0, sigma=SigmaConfig(value=0.3))
     assert cfg.has_batch_norm
