@@ -151,6 +151,14 @@ class LossRecorder:
         r._seed = None if seed < 0 else seed
         return r
 
+    def save_mat(self, path: str):
+        """Matlab export of the recorded tensors (ref recorders.py .mat
+        auxiliary export); requires scipy."""
+        from scipy.io import savemat
+        os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+        savemat(path, {k.replace('-', '_'): self.get(k)
+                       for k in self._tensors})
+
     @classmethod
     def loadall(cls, dir_path: str, *sets: str, file_name: str = 'record-{}.npz',
                 output: str = 'recorders') -> Dict[str, 'LossRecorder']:

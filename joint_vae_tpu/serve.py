@@ -1,0 +1,94 @@
+"""Serving: a precompiled classify + OOD-gate scorer.
+
+Production counterpart of the measurement engines: one compiled program per
+batch shape returns (predicted label, confidence, per-method OOD score) and
+applies thresholds calibrated from the job's stored ood_results (FPR@TPR
+operating points, ref ood.json schema) so callers get an accept/reject bit
+without any host-side math.
+"""
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.evaluate import evaluate
+from .ops.scores import batch_dist_measures, predict_after_evaluate
+from .save_load.jobs import Job
+
+
+@dataclasses.dataclass
+class Scorer:
+    """Compiled inference head over a trained job.
+
+    methods: OOD score methods to emit; thresholds: {method: low} accept
+    bounds (score >= low means in-distribution), default-calibrated from the
+    newest ood_results entry at the requested TPR."""
+    job: Job
+    predict_method: str = 'default'
+    methods: Sequence[str] = ('elbo',)
+    thresholds: Optional[Dict[str, float]] = None
+    tpr: float = 0.95
+    L: Optional[int] = None
+
+    def __post_init__(self):
+        self.methods = tuple(self.methods)
+        if self.thresholds is None:
+            self.thresholds = calibrated_thresholds(self.job, self.methods,
+                                                    self.tpr)
+        model = self.job.model
+        cfg = model.cfg
+        sigma_state = self.job.state.sigma_state
+        pm = (self.predict_method if self.predict_method != 'default'
+              else (cfg.predict_methods[0] if cfg.predict_methods else 'esty'))
+        methods = self.methods
+        thr = {m: jnp.asarray(self.thresholds.get(m, -jnp.inf), jnp.float32)
+               for m in methods}
+
+        @jax.jit
+        def run(variables, x, key):
+            out = evaluate(model, variables, x, None, rng=key,
+                           sigma_state=sigma_state, train=False, L=self.L)
+            scores = batch_dist_measures(cfg, out.logits, out.losses, methods)
+            label = predict_after_evaluate(cfg, out.logits, out.losses, pm)
+            conf = jnp.max(jax.nn.softmax(out.logits, axis=-1), axis=-1)
+            in_dist = jnp.ones(x.shape[0], bool)
+            for m in methods:
+                in_dist &= scores[m] >= thr[m]
+            return {'label': label, 'confidence': conf,
+                    'scores': scores, 'in_distribution': in_dist}
+
+        self._run = run
+
+    def __call__(self, x: np.ndarray, key: Optional[jax.Array] = None
+                 ) -> Dict[str, np.ndarray]:
+        key = key if key is not None else jax.random.PRNGKey(0)
+        out = self._run(self.job.state.variables, jnp.asarray(x), key)
+        return jax.device_get(out)
+
+
+def calibrated_thresholds(job: Job, methods: Sequence[str],
+                          tpr: float = 0.95) -> Dict[str, float]:
+    """Accept thresholds at the requested kept-TPR from stored ood_results
+    (lowest threshold over OOD sets = most permissive consistent gate)."""
+    out: Dict[str, float] = {}
+    epochs = sorted((e for e in job.ood_results if isinstance(e, int)),
+                    reverse=True)
+    for m in methods:
+        found: List[float] = []
+        for e in epochs:
+            for s, ms in job.ood_results[e].items():
+                r = ms.get(m)
+                if not isinstance(r, dict) or not r.get('thresholds'):
+                    continue
+                tprs = r.get('tpr') or []
+                idx = [i for i, t in enumerate(tprs)
+                       if abs(t - tpr) < 1e-6]
+                if idx:
+                    found.append(float(r['thresholds'][idx[0]]))
+            if found:
+                break
+        out[m] = min(found) if found else float('-inf')
+    return out
