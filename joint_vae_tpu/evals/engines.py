@@ -206,8 +206,11 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
              update_self_testing: bool = True,
              recording: bool = True,
              key: Optional[jax.Array] = None,
+             from_where: Optional[Sequence[str]] = None,
              outputs=None) -> Dict[str, float]:
-    """Classification accuracy per predict method (ref cvae.py:1187-1446)."""
+    """Classification accuracy per predict method (ref cvae.py:1187-1446).
+
+    from_where=('json',) reuses stored results without recomputing."""
     cfg = job.model_cfg
     epoch = _epoch_of(job, epoch)
     predict_methods = (cfg.predict_methods if method == 'all'
@@ -217,6 +220,14 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
     if testset is None:
         name = job.training_parameters.get('set') or 'cifar10'
         _, testset = get_dataset(name, splits=['test'])
+    # json tier: reuse stored accuracies with enough samples
+    # (ref available_results short-circuit, cvae.py:1241-1263)
+    if from_where is not None and 'compute' not in from_where:
+        stored = job.testing.get(epoch, {})
+        return {m: stored[m]['accuracy'] for m in predict_methods
+                if isinstance(stored.get(m), dict)
+                and stored[m].get('n', 0) >= len(testset)
+                and 'accuracy' in stored[m]}
     key = key if key is not None else jax.random.PRNGKey(epoch + 1)
 
     model = job.model
