@@ -22,6 +22,7 @@ RESNET_LAYERS = {
 DENSENET_LAYERS = {
     'densenet121': (6, 12, 24, 16),
     'densenet-small': (2, 4, 4, 2),
+    'densenet-tiny': (1, 2),
 }
 
 

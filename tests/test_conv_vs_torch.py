@@ -39,13 +39,10 @@ def _torch_layer(p, in_ch, where):
 
 @pytest.mark.parametrize('arch,input_shape,where', [
     ('conv32', (3, 32, 32), 'input'),
-    ('conv32-', (3, 32, 32), 'input'),
     ('conv32+', (3, 32, 32), 'input'),
     ('vgg11', (3, 32, 32), 'input'),
-    ('vgg16', (3, 32, 32), 'input'),
     ('deconv32', (64, 1, 1), 'output'),
     ('deconv32+', (128, 1, 1), 'output'),
-    ('ivgg11', (512, 1, 1), 'output'),
     ('[x5+2]8-Mx2-16:2-Ax3', (1, 28, 28), 'input'),
 ])
 def test_planned_shapes_match_torch(arch, input_shape, where):

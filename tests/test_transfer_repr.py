@@ -112,13 +112,13 @@ def test_transfer_pretrained_and_freeze():
 def test_densenet_features_in_cvnet():
     from joint_vae_tpu.models.resnet import DenseNetFeatures
     import jax.numpy as jnp
-    m = DenseNetFeatures(arch='densenet-small', growth=8, init_features=16)
+    m = DenseNetFeatures(arch='densenet-tiny', growth=8, init_features=16)
     x = jnp.zeros((2, 3, 16, 16))
     vs = m.init(jax.random.PRNGKey(0), x)
     assert m.apply(vs, x).shape[1:] == m.output_shape
 
     cfg = CVNetConfig(input_shape=(3, 8, 8), num_labels=3, type='cvae',
-                      features='densenet-small:4', encoder=(16,), decoder=(16,),
+                      features='densenet-tiny:4', encoder=(16,), decoder=(16,),
                       classifier=(8,), latent_dim=4, latent_sampling=1,
                       gamma=10.0, sigma=SigmaConfig(value=0.3))
     assert cfg.has_batch_norm
