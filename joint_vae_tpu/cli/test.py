@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument('--agg', action='store_true', help='mean/std aggregation')
     p.add_argument('--tex', default=None)
     p.add_argument('--tab', default=None)
+    p.add_argument('--export-losses', action='store_true',
+                   help='write per-job recorded losses as losses-<set>.tab '
+                        '(ref utils/tables.py:26-83)')
     p.add_argument('-v', '--verbose', action='count', default=0)
     args = p.parse_args(argv)
     set_log(args.verbose)
@@ -96,6 +99,24 @@ def main(argv=None):
         if args.early_stopping:
             cache_early_stopping(job)
         refreshed.append(make_dict_from_model(job, directory=m['dir']))
+
+    if args.export_losses:
+        import os
+        from ..save_load.recorders import LossRecorder
+        from ..results.tables import export_losses
+        for m in refreshed:
+            d = m.get('dir')
+            samples = os.path.join(d or '', 'samples')
+            if not d or not os.path.isdir(samples):
+                continue
+            epochs = sorted(e for e in os.listdir(samples) if e.isdigit())
+            if not epochs:
+                continue
+            for name, rec in LossRecorder.loadall(
+                    os.path.join(samples, epochs[-1])).items():
+                export_losses(rec, os.path.join(d, 'losses-{}.tab'.format(name)))
+                logging.info('losses-%s.tab written for job %s', name,
+                             m.get('job'))
 
     df = results_dataframe(refreshed)
     if df.empty:
