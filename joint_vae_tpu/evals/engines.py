@@ -77,7 +77,8 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
     host pull happens once at the end (tunnel/transfer friendly)."""
     variables = job.state.variables
     loader = DataLoader(dataset, batch_size, shuffle=False,
-                        seed=recorder.restore_seed() or 0 if recorder else 0,
+                        seed=((recorder.restore_seed() or 0)
+                              if recorder is not None else 0),
                         drop_last=False)
     per_method: Dict[str, List] = {m: [] for m in methods}
     rec_batches = []
