@@ -117,3 +117,57 @@ def test_train_mode_total_includes_gamma_cross_y():
             + BETA * np.asarray(out.losses['kl']))
     np.testing.assert_allclose(np.asarray(out.losses['total']), want,
                                rtol=1e-5)
+
+
+def test_xvae_y_coded_iws_alignment():
+    """xvae per-class eval: inputs expand along C before the encoder; verify
+    the (L, C, N) IWAE axis algebra against a manual recomputation."""
+    C2, N2, K2, L2 = 3, 5, 4, 2
+    cfg = CVNetConfig(
+        input_shape=INPUT_SHAPE, num_labels=C2, type='xvae', y_is_coded=True,
+        encoder=(10,), decoder=(10,), classifier=(6,), latent_dim=K2,
+        latent_sampling=L2, test_latent_sampling=L2, gamma=1.0, beta=1.0,
+        sigma=SigmaConfig(value=SIGMA),
+        prior=PriorConfig(dim=K2, num_priors=C2, init_mean=1.0))
+    model = CVNet(cfg)
+    x = jnp.asarray(RNG.uniform(0, 1, (N2, *INPUT_SHAPE)).astype(np.float32))
+    variables = model.init({'params': jax.random.PRNGKey(4),
+                            'sampling': jax.random.PRNGKey(5)},
+                           x, jnp.zeros(N2, jnp.int32))
+    st = init_sigma_state(cfg.sigma_cfg)
+    out = evaluate(model, variables, x, None, rng=jax.random.PRNGKey(6),
+                   sigma_state=st, train=False)
+
+    z = np.asarray(out.z, np.float64)              # (L+1, C, N, K)
+    mu = np.asarray(out.mu, np.float64)            # (C, N, K)
+    lv = np.asarray(out.log_var, np.float64)
+    x_reco = np.asarray(out.x_reco, np.float64)    # (L+1, C, N, ...)
+    mean = np.asarray(variables['params']['prior']['mean'], np.float64)
+    D = np.prod(INPUT_SHAPE)
+    xn = np.asarray(x, np.float64)
+
+    assert z.shape == (L2 + 1, C2, N2, K2)
+    wmse_l = (((x_reco[1:] - xn[None, None]) / SIGMA) ** 2).mean(
+        axis=(-1, -2, -3))                          # (L, C, N)
+    log_px = -D / 2 * (wmse_l + np.log(2 * np.pi)) - D * np.log(SIGMA)
+    zc = z[1:] - mean[None, :, None]                # (L, C, N, K)
+    log_pzy = -K2 / 2 * np.log(2 * np.pi) - 0.5 * (zc ** 2).sum(-1)
+    eps = (z[1:] - mu[None]) / np.exp(0.5 * lv)[None]
+    log_inv_q = (0.5 * ((eps ** 2).sum(-1) + lv.sum(-1)[None])
+                 + K2 / 2 * np.log(2 * np.pi))
+    liw = log_px + log_pzy + log_inv_q
+    m = liw.max(0)
+    want_iws = np.exp(liw - m[None]).mean(0) + m
+    np.testing.assert_allclose(np.asarray(out.losses['iws']), want_iws,
+                               rtol=1e-4, atol=1e-4)
+    # total = cross_x + gamma*cross_y + kl: xvae includes cross_y even at
+    # eval (cross_y_weight is unconditional for non-cvae/vae, ref
+    # cvae.py:557-562)
+    var = np.exp(lv)
+    dist = ((mu - mean[:, None]) ** 2).sum(-1)
+    var_kl = var.sum(-1) - lv.sum(-1) - K2
+    kl = 0.5 * (dist + var_kl)
+    cross_x = D / 2 * (wmse_l.mean(0) + np.log(2 * np.pi)) + D * np.log(SIGMA)
+    cross_y = np.asarray(out.losses['cross_y'])
+    np.testing.assert_allclose(np.asarray(out.losses['total']),
+                               cross_x + 1.0 * cross_y + kl, rtol=1e-4)
