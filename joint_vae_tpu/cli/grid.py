@@ -35,7 +35,12 @@ def expand_grid(section: Dict[str, str]) -> List[List[str]]:
     for combo in combos:
         argv = []
         for k, v in {**fixed, **combo}.items():
-            argv += ['--{}'.format(k), str(v)]
+            if str(v).lower() == 'true':       # store_true flags
+                argv.append('--{}'.format(k))
+            elif str(v).lower() == 'false':
+                continue
+            else:
+                argv += ['--{}'.format(k), str(v)]
         argvs.append(argv)
     return argvs
 

@@ -68,6 +68,10 @@ def make_train_step(model: CVNet, tx: optax.GradientTransformation,
         metrics = {k: jnp.mean(v) for k, v in out.losses.items()}
         metrics.update(out.measures)
         metrics['grad_norm'] = optax.global_norm(grads)
+        if cfg.y_is_decoded:
+            # running train accuracy from the sample-mean logits
+            metrics['train_acc'] = jnp.mean(
+                (jnp.argmax(out.logits, axis=-1) == y).astype(jnp.float32))
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -176,6 +176,9 @@ def train_model(job: Job,
                                     if k in mean},
                             metrics={k: mean.get(k, np.nan)
                                      for k in cfg.metrics if k in mean},
+                            accuracy=({'train': mean['train_acc']}
+                                      if (train_accuracy
+                                          and 'train_acc' in mean) else None),
                             time_per_i=t_per_i, batch_size=batch_size)
             if signal_handler.sig > 3:
                 break
@@ -183,6 +186,8 @@ def train_model(job: Job,
         checkpoint = {
             'train_loss': {k: running.get(k, np.nan) / max(per_epoch, 1)
                            for k in cfg.loss_components if k in running},
+            **({'train_accuracy': running['train_acc'] / max(per_epoch, 1)}
+               if 'train_acc' in running else {}),
             'train_measures': {k: float(metrics[k]) for k in cfg.metrics
                                if k in metrics},
             'lr': job.opt_cfg.lr_at_epoch(epoch),
