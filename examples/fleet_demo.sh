@@ -46,3 +46,7 @@ python -m joint_vae_tpu.cli.ft 1 --job-dir "$JOBS" --epochs 1 \
     --test-batch-size 64 --oodsets uniform32
 
 echo "fleet demo complete: $JOBS"
+
+# Note: on the tunneled-TPU sandbox the WIM stage's first-time compiles can
+# take tens of minutes (remote compile service); on CPU or a local TPU the
+# whole demo runs in a few minutes.
