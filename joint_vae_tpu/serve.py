@@ -69,6 +69,17 @@ class Scorer:
         return jax.device_get(out)
 
 
+def predict(job: Job, x: np.ndarray, method: str = 'default',
+            key: Optional[jax.Array] = None) -> np.ndarray:
+    """Convenience one-shot prediction (ref CVNet.predict, cvae.py:919-936):
+    label-free evaluate + predict_after_evaluate."""
+    key = key if key is not None else jax.random.PRNGKey(0)
+    out = evaluate(job.model, job.state.variables, jnp.asarray(x), None,
+                   rng=key, sigma_state=job.state.sigma_state, train=False)
+    return np.asarray(predict_after_evaluate(job.model_cfg, out.logits,
+                                             out.losses, method))
+
+
 def calibrated_thresholds(job: Job, methods: Sequence[str],
                           tpr: float = 0.95) -> Dict[str, float]:
     """Accept thresholds at the requested kept-TPR from stored ood_results
