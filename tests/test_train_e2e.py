@@ -171,3 +171,40 @@ def test_ghost_load_has_no_arrays():
         ghost = load_job(d, ghost=True)
         assert ghost.state is None
         assert ghost.model_cfg.type == 'vae'
+
+
+def test_checkpoint_roundtrip_with_batch_stats():
+    """BN models: batch_stats must persist through save/load."""
+    import tempfile
+    cfg = CVNetConfig(input_shape=(3, 8, 8), num_labels=C, type='cvae',
+                      features='[x3+1]4-4:2', encoder=(16,), decoder=(16,),
+                      classifier=(8,), latent_dim=4, latent_sampling=1,
+                      gamma=10.0, batch_norm='encoder',
+                      sigma=SigmaConfig(value=0.3))
+    from joint_vae_tpu.save_load.jobs import new_job as _new_job
+    job = new_job(cfg, OptimizerConfig(lr=1e-3), key=jax.random.PRNGKey(0))
+    tx = build_optimizer(job.opt_cfg)
+    step = make_train_step(job.model, tx, donate=False)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(0, 1, (8, 3, 8, 8)).astype(np.float32))
+    y = jnp.asarray(rng.integers(0, C, 8).astype(np.int32))
+    job.state, _ = step(job.state, x, y)
+    assert job.state.batch_stats is not None
+
+    with tempfile.TemporaryDirectory() as d:
+        save_job(job, d)
+        job2 = load_job(d)
+        for a, b in zip(jax.tree_util.tree_leaves(job.state.batch_stats),
+                        jax.tree_util.tree_leaves(job2.state.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6)
+        # eval outputs identical (uses running BN stats)
+        from joint_vae_tpu.models.evaluate import evaluate
+        o1 = evaluate(job.model, job.state.variables, x, y,
+                      rng=jax.random.PRNGKey(1),
+                      sigma_state=job.state.sigma_state, train=False)
+        o2 = evaluate(job2.model, job2.state.variables, x, y,
+                      rng=jax.random.PRNGKey(1),
+                      sigma_state=job2.state.sigma_state, train=False)
+        np.testing.assert_allclose(np.asarray(o1.losses['total']),
+                                   np.asarray(o2.losses['total']), rtol=1e-5)
