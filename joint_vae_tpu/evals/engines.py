@@ -51,9 +51,22 @@ def _sample_dir(job: Job, epoch: int) -> Optional[str]:
 def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
                   methods: Sequence[str] = ()):
     """One jitted program per batch: evaluate (+ ODIN grid) + all score
-    measures — scores stay on device, one host transfer per set."""
+    measures — scores stay on device, one host transfer per set.
+
+    The ODIN pass is restricted to the (T, eps) pairs the requested methods
+    actually need (the full reference grid is 10x21)."""
     methods = tuple(methods)
-    odin = make_odin_scores(model) if with_odin else None
+    odin = None
+    if with_odin:
+        temps, eps = set(), set()
+        for m in methods:
+            if m.startswith('odin-'):
+                parts = m.split('-')
+                temps.add(float(parts[1]))
+                eps.add(float(parts[2]))
+        odin = make_odin_scores(model,
+                                temps=sorted(temps) or None,
+                                eps_grid=sorted(eps) or None)
 
     @jax.jit
     def eval_batch(variables, x, key):
