@@ -158,6 +158,9 @@ def train_model(job: Job,
         for i, (x, y) in enumerate(loader):
             xb, yb = put_batch(x, y)
             state, metrics = step(state, xb, yb)
+            # one host pull for the whole metrics dict (device scalars pulled
+            # individually cost a round-trip each on tunneled devices)
+            metrics = jax.device_get(metrics)
             for k, v in metrics.items():
                 running[k] = running.get(k, 0.0) + float(v)
             if not np.isfinite(running.get('total', 0.0)):

@@ -80,6 +80,10 @@ def add_training_args(parser: argparse.ArgumentParser):
     g.add_argument('--encoder-forced-variance', type=float, default=0.0)
     g.add_argument('--compute-dtype', choices=['float32', 'bfloat16'],
                    default='float32')
+    g.add_argument('--iws-mode', choices=['reference', 'lme'],
+                   default='reference',
+                   help="IWAE estimator: the reference's published variant "
+                        "or the corrected log-mean-exp")
 
     p = parser.add_argument_group('prior')
     p.add_argument('--prior', default='gaussian',
@@ -215,7 +219,7 @@ def model_config_from_args(args) -> 'CVNetConfig':
         activation=args.activation, output_activation=args.output_activation,
         encoder_forced_variance=args.encoder_forced_variance,
         beta=args.beta, gamma=args.gamma, prior=prior, sigma=sigma,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype, iws_mode=args.iws_mode)
 
 
 def optimizer_config_from_args(args) -> 'OptimizerConfig':
