@@ -122,8 +122,8 @@ def load_registry_ini(conf_file: str) -> Dict[str, dict]:
         classes = p_.get('classes', '')
         if p_.get('classes_from_file'):
             with open(p_['classes_from_file']) as f:
-                p['classes'] = [' '.join(l.split()[1:]) for l in f
-                                if not l.startswith('#')]
+                p['classes'] = [' '.join(l.split()[1:]).replace('_', ' ')
+                                for l in f if not l.startswith('#')]
         elif classes == '$numbers':
             p['classes'] = list(_NUMBERS)
         elif classes == '$letters':

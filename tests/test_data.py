@@ -114,3 +114,29 @@ def test_loader_determinism_and_augmentation():
     x, y = get_batch(tr, 16, seed=3)
     x2, _ = get_batch(tr, 16, seed=3)
     np.testing.assert_array_equal(x, x2)
+
+
+def test_registry_ini_override(tmp_path):
+    """User INI extends the registry (ref sets.ini schema)."""
+    from joint_vae_tpu.data.registry import load_registry_ini, dataset_properties
+    ini = tmp_path / 'sets.ini'
+    cf = tmp_path / 'classes.txt'
+    cf.write_text('n01 spotted_cat\nn02 big_dog\n# comment\n')
+    ini.write_text(
+        '[custom64]\nshape = 3 64 64\nclasses = cat dog bird\n'
+        'pre_transform = resize tensor\n\n'
+        '[customfile]\nshape = 1 8 8\nclasses_from_file = {}\n\n'
+        '[customnoise]\nshape = 3 16 16\nby_shape = true\n'.format(cf))
+    reg = load_registry_ini(str(ini))
+    assert reg['custom64']['shape'] == (3, 64, 64)
+    assert reg['custom64']['classes'] == ['cat', 'dog', 'bird']
+    assert reg['custom64']['pre_transform'] == 'resize tensor'
+    assert reg['customfile']['classes'] == ['spotted cat', 'big dog']
+    assert reg['customnoise']['by_shape'] is True
+
+    # merged into the global registry
+    merged = dataset_properties(conf_file=str(ini), reload=True)
+    assert 'custom64' in merged and 'mnist' in merged
+    assert merged['custom64']['labels'] == 3
+    # restore the default registry for other tests
+    dataset_properties(reload=True)
