@@ -13,8 +13,17 @@ import os
 import socket
 from typing import Any, Dict, List, Optional
 
-DEFAULT_CONFIG_FILE = os.path.join(os.path.dirname(__file__), '..', '..',
-                                   'configs', 'default.ini')
+def _default_config_file() -> str:
+    """Repo-relative configs/default.ini, falling back to the cwd (for
+    pip-installed usage where the repo layout is absent)."""
+    here = os.path.join(os.path.dirname(__file__), '..', '..',
+                        'configs', 'default.ini')
+    if os.path.exists(here):
+        return here
+    return os.path.join('configs', 'default.ini')
+
+
+DEFAULT_CONFIG_FILE = _default_config_file()
 
 
 def next_job_number(job_dir: str = 'jobs') -> int:
