@@ -49,6 +49,8 @@ def save_dir_for(job, job_dir: str, latent_sampling: int,
 def main(argv=None):
     args = get_args(argv, 'train')
     set_log(args.verbose, args.debug)
+    if getattr(args, 'platform', None):
+        jax.config.update('jax_platforms', args.platform)
     handler = default_handler()
 
     if args.resume is not None:

@@ -140,6 +140,9 @@ def add_training_args(parser: argparse.ArgumentParser):
     t.add_argument('--no-final-test', action='store_true')
     t.add_argument('--no-final-ood', action='store_true')
 
+    t.add_argument('--platform', choices=['cpu', 'tpu', 'gpu'], default=None,
+                   help='force the jax backend (ref --device/--force-cpu)')
+
     j = parser.add_argument_group('job')
     j.add_argument('--job-dir', default='jobs')
     j.add_argument('--resume', type=int, default=None,
