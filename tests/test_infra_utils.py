@@ -105,3 +105,26 @@ def test_job_numbering():
         assert next_job_number(d) == 1
         assert next_job_number(d) == 2
         assert next_job_number(d) == 3
+
+
+def test_set_log_file_and_needed_remote_files(tmp_path):
+    from joint_vae_tpu.utils.print_log import set_log
+    import logging
+    root = set_log(verbose=1, log_dir=str(tmp_path), job_number=42)
+    logging.getLogger('t').info('hello file')
+    for h in list(root.handlers):
+        h.flush()
+    logs = [f for f in os.listdir(tmp_path) if f.endswith('.log')]
+    assert logs and '42' in logs[0]
+    # avoid polluting other tests' logging
+    for h in list(root.handlers):
+        if hasattr(h, 'baseFilename'):
+            root.removeHandler(h)
+
+    from joint_vae_tpu.save_load.fetch import needed_remote_files
+    d = tmp_path / 'jobs' / 'a'
+    d.mkdir(parents=True)
+    (d / 'params.json').write_text('{}')
+    needs = needed_remote_files(str(tmp_path / 'jobs'))
+    assert any('state.npz' in n for n in needs)
+    assert any(n.endswith('samples/') for n in needs)
