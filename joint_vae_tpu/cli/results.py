@@ -53,7 +53,13 @@ def main(argv=None):
         if not group:
             print('[{}] no models'.format(section))
             continue
-        df = auto_remove_index(results_dataframe(group))
+        try:
+            tpr = int(opts.get('tpr', 95))
+        except ValueError:
+            print('[{}] bad tpr option {!r} (want an integer percent)'
+                  .format(section, opts['tpr']))
+            continue
+        df = auto_remove_index(results_dataframe(group, tpr=tpr))
         if opts.get('agg', '').lower() == 'true':
             df = agg_results(df)
         tex = os.path.join(out_dir, '{}.tex'.format(section))

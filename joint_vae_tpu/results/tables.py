@@ -25,8 +25,11 @@ TRAIN_COLUMNS = ['beta', 'gamma', 'sigma', 'latent_sampling', 'optim', 'lr',
 
 
 def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
-                      ood: bool = True) -> pd.DataFrame:
-    """Rows = jobs; columns = (group, key) MultiIndex."""
+                      ood: bool = True, tpr: int = 95) -> pd.DataFrame:
+    """Rows = jobs; columns = (group, key) MultiIndex.
+
+    ``tpr`` selects which kept-TPR level's FPR column appears (the
+    reference's per-table tpr option, results/__main__.py)."""
     if not models:
         return pd.DataFrame()
     index = list(index or DEFAULT_INDEX)
@@ -43,11 +46,12 @@ def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
             if k.startswith('accuracy'):
                 row[('accuracy', k.replace('accuracy_', '') or 'best')] = v
         if ood:
+            fpr_suffix = '_fpr{}'.format(tpr)
             for k, v in m.items():
                 if k.startswith('ood_') and k.endswith('_auc'):
                     row[('auc', k[4:-4])] = v
-                elif k.startswith('ood_') and k.endswith('_fpr95'):
-                    row[('fpr95', k[4:-6])] = v
+                elif k.startswith('ood_') and k.endswith(fpr_suffix):
+                    row[('fpr{}'.format(tpr), k[4:-len(fpr_suffix)])] = v
         rows.append(row)
     df = pd.DataFrame(rows)
     df.columns = pd.MultiIndex.from_tuples(df.columns)
@@ -69,15 +73,19 @@ def auto_remove_index(df: pd.DataFrame, keep: Sequence[str] = ('job',)
 
 
 def agg_results(df: pd.DataFrame, group_by: Optional[Sequence[str]] = None,
-                metrics_groups: Sequence[str] = ('accuracy', 'auc', 'fpr95')
+                metrics_groups: Sequence[str] = ('accuracy', 'auc')
                 ) -> pd.DataFrame:
-    """mean/std/count per architecture group (ref tables.py:366-430)."""
+    """mean/std/count per architecture group (ref tables.py:366-430).
+
+    Any ``fpr<NN>`` column group counts as a metric regardless of the
+    table's selected TPR level."""
     if df.empty:
         return df
     group_by = [n for n in (group_by or [n for n in df.index.names
                                          if n != 'job'])
                 if n in df.index.names]
-    metric_cols = [c for c in df.columns if c[0] in metrics_groups]
+    metric_cols = [c for c in df.columns
+                   if c[0] in metrics_groups or c[0].startswith('fpr')]
     if not metric_cols or not group_by:
         return df
     g = df[metric_cols].groupby(level=group_by)

@@ -63,7 +63,11 @@ class TexTab:
             f.write(self.render() + '\n')
 
 
-PERCENT_GROUPS = ('accuracy', 'auc', 'fpr95')
+PERCENT_GROUPS = ('accuracy', 'auc')
+
+
+def _is_percent_group(group) -> bool:
+    return group in PERCENT_GROUPS or str(group).startswith('fpr')
 
 
 def texify_test_results_df(df: pd.DataFrame, dataset: Optional[str] = None,
@@ -109,7 +113,7 @@ def texify_test_results_df(df: pd.DataFrame, dataset: Optional[str] = None,
         for col, v in zip(df.columns, r.values):
             group = col[0] if isinstance(col, tuple) else ''
             if isinstance(v, (float, np.floating)) and not np.isnan(v):
-                if group in PERCENT_GROUPS:
+                if _is_percent_group(group):
                     tab.append_cell(100 * float(v), row, formatter='{:.1f}')
                 else:
                     tab.append_cell(float(v), row)

@@ -230,10 +230,12 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
                 d['ood_{}_method'.format(s)] = best
                 r = per_method[best]
                 if r.get('fpr') and r.get('tpr'):
-                    i95 = [i for i, t in enumerate(r['tpr'])
-                           if abs(t - 0.95) < 1e-6]
-                    if i95:
-                        d['ood_{}_fpr95'.format(s)] = r['fpr'][i95[0]]
+                    # one column per kept-TPR grid point (fpr90..fpr99),
+                    # selected per-table via the results INI `tpr` option
+                    for t, f in zip(r['tpr'], r['fpr']):
+                        tt = int(round(100 * t))
+                        if abs(100 * t - tt) < 1e-6:
+                            d['ood_{}_fpr{}'.format(s, tt)] = f
     return d
 
 

@@ -89,11 +89,13 @@ def test_ft_array_cli(job_dir, tmp_path, capsys):
 
 def test_results_cli(job_dir, tmp_path, capsys):
     ini = tmp_path / 'tabs.ini'
-    ini.write_text('[mnist-group]\nset = mnist\ntype = cvae\n')
+    ini.write_text('[mnist-group]\nset = mnist\ntype = cvae\n'
+                   '[mnist-t90]\nset = mnist\ntype = cvae\ntpr = 90\n')
     from joint_vae_tpu.cli.results import main
     assert main([str(ini), '--job-dir', job_dir,
                  '--out-dir', str(tmp_path)]) == 0
     assert (tmp_path / 'mnist-group.tex').exists()
+    assert (tmp_path / 'mnist-t90.tex').exists()
 
 
 def test_grid_cli(tmp_path, capsys):

@@ -35,7 +35,8 @@ def _model_dict(job=1, type_='cvae', acc=0.9):
             'latent_sampling': 1, 'optim': 'adam', 'lr': 1e-4,
             'batch_size': 128, 'done': 10, 'epochs': 10, 'finished': True,
             'accuracy_iws': acc, 'accuracy': acc,
-            'ood_fashion_auc': 0.8, 'ood_fashion_fpr95': 0.4}
+            'ood_fashion_auc': 0.8, 'ood_fashion_fpr95': 0.4,
+            'ood_fashion_fpr90': 0.25}
 
 
 def test_results_dataframe_and_agg():
@@ -51,6 +52,20 @@ def test_results_dataframe_and_agg():
         in agg.columns else agg['mean']
     tex = texify_test_results_df(df2)
     assert '\\begin{tabular}' in tex and 'fashion' in tex
+
+    # per-table kept-TPR selection (results INI `tpr` option)
+    df95 = results_dataframe([_model_dict(1)])
+    assert ('fpr95', 'fashion') in df95.columns
+    assert float(df95[('fpr95', 'fashion')].iloc[0]) == 0.4
+    df90 = results_dataframe([_model_dict(1)], tpr=90)
+    assert ('fpr90', 'fashion') in df90.columns
+    assert ('fpr95', 'fashion') not in df90.columns
+    assert float(df90[('fpr90', 'fashion')].iloc[0]) == 0.25
+    agg90 = agg_results(df90)
+    assert any(c[1].startswith('fpr90') if len(c) > 1 else False
+               for c in agg90.columns) or not agg90.empty
+    tex90 = texify_test_results_df(auto_remove_index(df90))
+    assert '25.0' in tex90  # fpr90 rendered as percent
 
 
 def test_textab_and_export_losses():
