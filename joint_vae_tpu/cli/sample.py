@@ -30,6 +30,9 @@ def main(argv=None):
                    choices=['reco', 'gen', 'zsample', 'ood'])
     p.add_argument('-N', type=int, default=8)
     p.add_argument('-L', type=int, default=8)
+    p.add_argument('--compare', nargs='*', type=int, default=[],
+                   help='other job numbers: side-by-side mean-reconstruction'
+                        ' grid + pairwise-MSE matrix (ref comparison mode)')
     p.add_argument('--out', default=None)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('-v', '--verbose', action='count', default=0)
@@ -79,6 +82,37 @@ def main(argv=None):
                 os.path.join(out_dir, 'generation.png'))
         except ImportError:
             pass
+
+    if args.compare:
+        from ..evals.sample import compare_reconstructions, tile_images
+        others, numbers = [], []
+        for n in args.compare:
+            if n == args.job:
+                continue
+            other = find_by_job_number(args.job_dir, n)
+            if other is None:
+                sys.exit('comparison job {} not found'.format(n))
+            if other.model_cfg.input_shape != job.model_cfg.input_shape:
+                sys.exit('comparison job {} has input shape {} != {}'.format(
+                    n, other.model_cfg.input_shape, job.model_cfg.input_shape))
+            others.append(other)
+            numbers.append(n)
+        all_jobs = [job] + others
+        mse, recos = compare_reconstructions(
+            all_jobs, x, key=jax.random.PRNGKey(args.seed))
+        base = os.path.join(out_dir, 'comparison')
+        np.savez(base + '.npz', input=np.asarray(x), recos=recos, mse=mse,
+                 jobs=np.asarray([args.job] + numbers))
+        try:
+            from PIL import Image
+            Image.fromarray(tile_images([np.asarray(x)] + list(recos))).save(
+                base + '.png')
+        except ImportError:
+            pass
+        import json
+        with open(base + '.json', 'w') as f:
+            json.dump({'jobs': [args.job] + numbers,
+                       'mse': mse.tolist()}, f, indent=1)
 
     if 'zsample' in args.grids:
         xb, yb = get_batch(testset, min(len(testset), 512), seed=args.seed)

@@ -82,10 +82,11 @@ def latent_samples(job: Job, x: np.ndarray, key=None):
 
 
 def compare_reconstructions(jobs: Sequence[Job], x: np.ndarray,
-                            key=None) -> np.ndarray:
-    """Cross-model reconstruction divergence (ref module/sample.py
+                            key=None):
+    """Cross-model reconstruction comparison (ref module/sample.py
     'comparison' mode): pairwise MSE matrix between the mean
-    reconstructions of several models on the same inputs."""
+    reconstructions of several models on the same inputs, plus the
+    (M, N, C, H, W) mean-reconstruction rows for side-by-side grids."""
     key = key if key is not None else jax.random.PRNGKey(0)
     recos = []
     for i, job in enumerate(jobs):
@@ -95,13 +96,14 @@ def compare_reconstructions(jobs: Sequence[Job], x: np.ndarray,
         r = np.asarray(out.x_reco.astype(jnp.float32))
         if job.model_cfg.output_distribution == 'categorical':
             r = np.argmax(r, axis=-4) / 255.0
-        recos.append(r[0].reshape(len(x), -1))
+        recos.append(r[0])
     M = len(jobs)
     d = np.zeros((M, M))
+    flat = [r.reshape(len(x), -1) for r in recos]
     for i in range(M):
         for j in range(M):
-            d[i, j] = float(np.mean((recos[i] - recos[j]) ** 2))
-    return d
+            d[i, j] = float(np.mean((flat[i] - flat[j]) ** 2))
+    return d, np.stack(recos)
 
 
 def tile_images(rows: Sequence[np.ndarray], pad: int = 2) -> np.ndarray:

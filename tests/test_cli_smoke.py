@@ -50,6 +50,15 @@ def test_sample_cli(job_dir):
     assert os.path.exists(os.path.join(out, 'generation.npz'))
     assert os.path.exists(os.path.join(out, 'hist-of-var.dat'))
 
+    # comparison grid (self-compare collapses to one row; still writes)
+    assert main(['1', '--job-dir', job_dir, '--grids', '-N', '4',
+                 '--compare', '1', '--out', out]) == 0
+    comp = np.load(os.path.join(out, 'comparison.npz'))
+    assert comp['mse'].shape == (1, 1) and comp['recos'].shape[0] == 1
+    with pytest.raises(SystemExit):
+        main(['1', '--job-dir', job_dir, '--grids', '--compare', '99',
+              '--out', out])
+
 
 def test_aggregate_cli(job_dir, capsys):
     from joint_vae_tpu.cli.aggregate import main

@@ -153,6 +153,17 @@ def test_sample_grids():
         assert os.path.exists(os.path.join(d, 'g.png'))
 
 
+def test_compare_reconstructions():
+    from joint_vae_tpu.evals.sample import compare_reconstructions
+    jobs = [_tiny_job(0), _tiny_job(1)]
+    x = RNG.uniform(0, 1, (4, 1, 6, 6)).astype(np.float32)
+    mse, recos = compare_reconstructions(jobs, x)
+    assert mse.shape == (2, 2) and recos.shape == (2, 4, 1, 6, 6)
+    np.testing.assert_allclose(np.diag(mse), 0, atol=1e-9)
+    np.testing.assert_allclose(mse, mse.T, atol=1e-9)
+    assert mse[0, 1] > 0  # different params -> different reconstructions
+
+
 def test_cascad():
     jobs = [_tiny_job(0), _tiny_job(1)]
     casc = CascadModels(*jobs)
