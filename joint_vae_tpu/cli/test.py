@@ -13,7 +13,7 @@ import logging
 import sys
 
 from ..data.loaders import get_dataset
-from ..save_load.dictify import available_results, make_dict_from_model
+from ..save_load.dictify import make_dict_from_model
 from ..save_load.fetch import fetch_models
 from ..save_load.jobs import load_job
 from ..evals.engines import (accuracy, ood_detection_rates,
@@ -74,28 +74,26 @@ def main(argv=None):
             refreshed.append(make_dict_from_model(job, directory=m['dir']))
             continue
         name = job.training_parameters.get('set')
-        froms = available_results(job, wanted_epoch=args.epoch,
-                                  epoch_tolerance=args.epoch_tolerance,
-                                  where=where)
-        needs = not froms or not any(
-            a['where']['json'] for sets in froms.values()
-            for a in sets.values())
-        if needs:
-            _, testset = get_dataset(name, splits=['test'])
-            oodsets = []
-            for n in testset.same_size:
-                try:
-                    _, s = get_dataset(n, splits=['test'])
-                    oodsets.append(s)
-                except Exception:
-                    pass
-            accuracy(job, testset, batch_size=args.batch_size)
-            ood_detection_rates(job, testset, oodsets,
-                                batch_size=args.batch_size)
-            misclassification_detection_rates(job, testset,
-                                              batch_size=args.batch_size)
-            from ..save_load.jobs import save_job
-            save_job(job, m['dir'], save_state=False)
+        # per-method recompute: the engines resolve each (set, method) from
+        # the json / recorders / compute tiers and only evaluate the residue
+        # (ref available_results, dictify.py:215-382 + test.py:178-318)
+        _, testset = get_dataset(name, splits=['test'])
+        oodsets = []
+        for n in testset.same_size:
+            try:
+                _, s = get_dataset(n, splits=['test'])
+                oodsets.append(s)
+            except Exception:
+                pass
+        accuracy(job, testset, batch_size=args.batch_size,
+                 from_where=where)
+        ood_detection_rates(job, testset, oodsets,
+                            batch_size=args.batch_size, from_where=where)
+        misclassification_detection_rates(job, testset,
+                                          batch_size=args.batch_size,
+                                          from_where=where)
+        from ..save_load.jobs import save_job
+        save_job(job, m['dir'], save_state=False)
         if args.early_stopping:
             cache_early_stopping(job)
         refreshed.append(make_dict_from_model(job, directory=m['dir']))

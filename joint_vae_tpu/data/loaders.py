@@ -171,6 +171,174 @@ def _load_npz(root: str, name: str, split: str):
     return None
 
 
+def _load_svhn_mat(root: str, split: str):
+    """SVHN cropped-digits .mat reader (ref sets.ini [svhn] via torchvision
+    SVHN): {split}_32x32.mat with X (32, 32, 3, N) uint8 and y in 1..10
+    where 10 means digit 0."""
+    path = os.path.join(root, '{}_32x32.mat'.format(split))
+    if not os.path.exists(path):
+        return None
+    import scipy.io
+    m = scipy.io.loadmat(path)
+    x = m['X'].transpose(3, 2, 0, 1).astype(np.float32) / 255.0
+    y = m['y'].reshape(-1).astype(np.int32) % 10
+    return x, y
+
+
+def _load_npy_dir(root: str, split: str, size: Optional[int] = None):
+    """Single-.npy-per-split reader (ref FromNumpy, torch_load.py:189-220;
+    random300k layout data/300k-random/<split>/*.npy of (N, H, W, 3) uint8).
+    Memmapped + truncated to ``size`` before the float conversion so 300k
+    images do not need 4 GB of host RAM."""
+    d = os.path.join(root, split)
+    if not os.path.isdir(d):
+        return None
+    files = [f for f in os.listdir(d) if f.endswith('.npy')]
+    if len(files) != 1:
+        return None
+    arr = np.load(os.path.join(d, files[0]), mmap_mode='r')
+    if size:
+        arr = arr[:size]
+    x = np.asarray(arr)
+    if x.ndim == 4 and x.shape[-1] in (1, 3):      # NHWC -> NCHW
+        x = x.transpose(0, 3, 1, 2)
+    elif x.ndim == 3:                               # grayscale NHW
+        x = x[:, None]
+    x = x.astype(np.float32)
+    if x.max() > 1.5:
+        x = x / 255.0
+    return x, np.zeros(len(x), np.int32)
+
+
+def _read_images(paths, shape, center_crop: Optional[int] = None,
+                 resize: bool = True):
+    """Decode + (center-crop) + resize a list of image files to CHW float."""
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    c0, h, w = shape
+    xs = []
+    for p in paths:
+        img = Image.open(p).convert('RGB' if c0 == 3 else 'L')
+        if center_crop:
+            side = min(img.size + (center_crop,))
+            left = (img.size[0] - side) // 2
+            top = (img.size[1] - side) // 2
+            img = img.crop((left, top, left + side, top + side))
+        if resize:
+            img = img.resize((w, h))
+        arr = np.asarray(img, np.float32) / 255.0
+        xs.append(arr[None] if arr.ndim == 2 else arr.transpose(2, 0, 1))
+    return np.stack(xs) if xs else None
+
+
+def _load_dtd(root: str, shape, split: str, size: Optional[int] = None):
+    """DTD texture reader (ref DTDConcatTestVal, torch_load.py:224-248):
+    torchvision layout <root>/dtd/{images/<class>/*.jpg, labels/<split>1.txt};
+    the 'test' split concatenates test1 + val1."""
+    base = os.path.join(root, 'dtd') if os.path.isdir(
+        os.path.join(root, 'dtd', 'images')) else root
+    images = os.path.join(base, 'images')
+    labels = os.path.join(base, 'labels')
+    if not os.path.isdir(images):
+        return None
+    split_files = ['train1.txt'] if split == 'train' else ['test1.txt',
+                                                           'val1.txt']
+    rel = []
+    for fn in split_files:
+        p = os.path.join(labels, fn)
+        if os.path.exists(p):
+            with open(p) as f:
+                rel += [l.strip() for l in f if l.strip()]
+    if not rel:       # no label lists: take every image
+        rel = [os.path.join(c, f) for c in sorted(os.listdir(images))
+               if os.path.isdir(os.path.join(images, c))
+               for f in sorted(os.listdir(os.path.join(images, c)))]
+    if size:
+        rel = rel[:size]
+    classes = sorted({r.split('/')[0] for r in rel})
+    cls_idx = {c: i for i, c in enumerate(classes)}
+    x = _read_images([os.path.join(images, r) for r in rel], shape,
+                     center_crop=256)
+    if x is None:
+        return None
+    y = np.asarray([cls_idx[r.split('/')[0]] for r in rel], np.int32)
+    return x, y
+
+
+def _load_lsun(root: str, shape, split: str, mode: str = 'crop',
+               size: Optional[int] = None):
+    """LSUN reader (ref sets.ini [lsunc]/[lsunr] via torchvision LSUN).
+
+    Two layouts: exported image folders <root>/<category>_<split>/*.jpg|webp
+    (use scripts/prepare_data.py to export), or the original
+    <category>_<split>_lmdb databases when the ``lmdb`` module is available
+    (it is not baked into this sandbox — gated import).  'crop' center-crops
+    to the target size, 'resize' center-crops to a square then scales."""
+    if not os.path.isdir(root):
+        return None
+    suffix = '_{}'.format(split)
+    cats = sorted(d[:-len(suffix)] for d in os.listdir(root)
+                  if d.endswith(suffix)
+                  and os.path.isdir(os.path.join(root, d)))
+    if cats:
+        per_cat = max(1, size // len(cats)) if size else None
+        xs, ys = [], []
+        for yi, c in enumerate(cats):
+            d = os.path.join(root, c + suffix)
+            files = sorted(f for f in os.listdir(d) if f.lower().endswith(
+                ('.jpg', '.jpeg', '.png', '.webp', '.bmp')))[:per_cat]
+            got = _read_images(
+                [os.path.join(d, f) for f in files], shape,
+                center_crop=(shape[1] if mode == 'crop' else 256),
+                resize=(mode != 'crop'))
+            if got is not None:
+                xs.append(got)
+                ys.append(np.full(len(got), yi, np.int32))
+        if xs:
+            return np.concatenate(xs), np.concatenate(ys)
+    # original lmdb databases
+    try:
+        import lmdb  # not in the default sandbox image
+    except ImportError:
+        return None
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+    import io
+    dbs = sorted(d for d in os.listdir(root) if d.endswith(
+        '{}_lmdb'.format(suffix)))
+    xs, ys = [], []
+    per_db = max(1, size // len(dbs)) if (size and dbs) else None
+    for yi, db in enumerate(dbs):
+        env = lmdb.open(os.path.join(root, db), readonly=True, lock=False)
+        with env.begin() as txn:
+            cur = txn.cursor()
+            imgs = []
+            for i, (_, buf) in enumerate(cur):
+                if per_db and i >= per_db:
+                    break
+                imgs.append(Image.open(io.BytesIO(buf)).convert('RGB'))
+        c0, h, w = shape
+        for img in imgs:
+            if mode == 'crop':
+                side = shape[1]
+            else:
+                side = min(img.size)
+            left = (img.size[0] - side) // 2
+            top = (img.size[1] - side) // 2
+            img = img.crop((left, top, left + side, top + side))
+            if mode != 'crop':
+                img = img.resize((w, h))
+            xs.append(np.asarray(img, np.float32).transpose(2, 0, 1) / 255.0)
+            ys.append(yi)
+    if not xs:
+        return None
+    return np.stack(xs), np.asarray(ys, np.int32)
+
+
 _DEFAULT_SIZES = {'train': 50000, 'test': 10000}
 
 
@@ -285,9 +453,18 @@ _cache: Dict[Tuple, ArrayDataset] = {}
 def get_dataset(name: str, transformer: str = 'default',
                 data_augmentation: Sequence[str] = (),
                 splits: Sequence[str] = ('train', 'test'),
-                size: Optional[int] = None):
+                size: Optional[int] = None,
+                require_real: Optional[bool] = None):
     """-> (trainset, testset) (None for unrequested splits)
-    (ref utils/torch_load.py:312-523)."""
+    (ref utils/torch_load.py:312-523).
+
+    ``require_real=True`` (or env JVT_REQUIRE_REAL=1) raises
+    FileNotFoundError instead of silently substituting synthetic data when
+    the source files are absent under $JVT_DATA_DIR — for flagship parity
+    runs that must not degrade quietly."""
+    if require_real is None:
+        require_real = os.environ.get('JVT_REQUIRE_REAL',
+                                      '').lower() in ('1', 'true', 'yes')
     out = []
     for split in ('train', 'test'):
         if split not in splits:
@@ -296,7 +473,13 @@ def get_dataset(name: str, transformer: str = 'default',
         key = (name, transformer, split, size)
         if key not in _cache:
             _cache[key] = _build_split(name, transformer, split, size)
-        out.append(_cache[key])
+        ds = _cache[key]
+        if require_real and ds.synthetic:
+            raise FileNotFoundError(
+                'dataset {}/{} not found under {} and require_real is set '
+                '(see scripts/prepare_data.py for the expected layouts)'
+                .format(name, split, DATA_DIR))
+        out.append(ds)
     return tuple(out)
 
 
@@ -328,12 +511,17 @@ def _build_split(name: str, transformer: str, split: str,
         elif parent.startswith('uniform'):
             # uniform noise (ref UniformDataset, torch_load.py:179)
             x = rng.uniform(0, 1, size=(n, *shape)).astype(np.float32)
-        else:  # random300k-style numpy noise file
-            arr = _load_npz(DATA_DIR, parent, split)
-            if arr is not None:
-                x, _ = arr
+        else:  # random300k-style numpy noise file (ref FromNumpy, :189)
+            loaded = None
+            for root in (os.path.join(DATA_DIR, '300k-random'),
+                         os.path.join(DATA_DIR, parent)):
+                loaded = loaded or _load_npy_dir(root, split, size)
+            loaded = loaded or _load_npz(DATA_DIR, parent, split)
+            if loaded is not None:
+                x = loaded[0]
             else:
                 x = rng.uniform(0, 1, size=(n, *shape)).astype(np.float32)
+                synthetic = True
         y = np.zeros(len(x), np.int32)
     elif props.get('procedural'):
         x, y = _procedural_shapes(parent, shape, num_labels, split, size)
@@ -347,6 +535,16 @@ def _build_split(name: str, transformer: str, split: str,
             loaded = _load_mnist_like(root, split)
         if loaded is None and src.startswith('cifar'):
             loaded = _load_cifar(root, split) or _load_cifar(DATA_DIR, split)
+        if loaded is None and src == 'svhn':
+            loaded = _load_svhn_mat(root, split) or _load_svhn_mat(DATA_DIR,
+                                                                   split)
+        if loaded is None and src == 'dtd':
+            loaded = _load_dtd(root, src_shape, split, size) \
+                or _load_dtd(DATA_DIR, src_shape, split, size)
+        if loaded is None and src.startswith('lsun'):
+            loaded = _load_lsun(os.path.join(DATA_DIR, 'lsun'), src_shape,
+                                split, mode=('resize' if src == 'lsunr'
+                                             else 'crop'), size=size)
         if loaded is None:
             loaded = _load_npz(DATA_DIR, src, split)
         if loaded is None and (props.get('folder') or src.startswith(

@@ -31,6 +31,7 @@ from ..models.evaluate import evaluate
 from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
 from ..ops.scores import (batch_dist_measures, develop_starred_methods,
                           predict_after_evaluate)
+from ..save_load.dictify import needed_components
 from ..save_load.jobs import Job
 from ..save_load.recorders import LossRecorder
 from .odin import make_odin_scores
@@ -132,10 +133,19 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                         epoch='last',
                         update_self_ood: bool = True,
                         recording: bool = True,
-                        from_where: Sequence[str] = ('recorders', 'compute'),
+                        from_where: Sequence[str] = ('json', 'recorders',
+                                                     'compute'),
                         key: Optional[jax.Array] = None,
                         outputs=None) -> Dict[str, Dict[str, dict]]:
-    """OOD scores + ROC for the test set against each OOD set."""
+    """OOD scores + ROC for the test set against each OOD set.
+
+    Per-(set, method) 3-tier reuse (ref available_results dictify.py:215-382
+    consumed by cvae.py:1455-1620): a method whose stored json already covers
+    the wanted sample count is returned as-is; one whose needed loss
+    components sit in a recorder is re-scored without model forwards; only
+    the remainder triggers fresh evaluation — and the in-distribution scores
+    are only computed for methods some OOD set still needs.
+    """
     cfg = job.model_cfg
     epoch = _epoch_of(job, epoch)
     methods = (develop_starred_methods(cfg.ood_methods) if method == 'all'
@@ -154,50 +164,93 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
 
     key = key if key is not None else jax.random.PRNGKey(epoch)
     sdir = _sample_dir(job, epoch)
-    has_odin = any(m.startswith('odin') for m in methods)
-    eval_batch, odin = _make_eval_fn(job.model, job.state.sigma_state,
-                                     has_odin, methods)
+
+    def n_wanted(s):
+        n = len(s)
+        return min(n, num_batch * batch_size) if num_batch else n
+
+    # --- tier 1: stored json per (ood set, method) -------------------------
+    stored = job.ood_results.get(epoch, {})
+    json_ok: Dict[str, set] = {}
+    for s in oodsets:
+        per = stored.get(s.name, {}) if 'json' in from_where else {}
+        json_ok[s.name] = {m for m in methods
+                           if isinstance(per.get(m), dict)
+                           and per[m].get('n', 0) >= n_wanted(s)}
+
+    need: Dict[str, List[str]] = {
+        s.name: [m for m in methods if m not in json_ok[s.name]]
+        for s in oodsets}
+    ind_methods = [m for m in methods
+                   if any(m in ms for ms in need.values())]
+    need[testset.name] = ind_methods
 
     all_sets = [testset] + list(oodsets)
-    measures: Dict[str, Dict[str, np.ndarray]] = {}
-    for s in all_sets:
-        rec = None
-        rec_path = os.path.join(sdir, 'record-{}.npz'.format(s.name)) if sdir else None
-        if (rec_path and os.path.exists(rec_path) and 'recorders' in from_where):
-            loaded = LossRecorder.load(rec_path)
-            if all((m in loaded or not m.startswith('odin')) for m in methods):
-                try:
-                    measures[s.name] = _scores_from_recorder(job, loaded, methods)
-                    continue
-                except KeyError:
-                    pass
-        if 'compute' not in from_where:
-            continue
-        if recording and rec_path:
-            rec = LossRecorder(batch_size)
-            rec.init_seed_for_dataloader(0)
-        measures[s.name] = _collect_scores(job, s, methods, batch_size, rec,
-                                           eval_batch, odin, key, num_batch)
-        if rec is not None:
-            rec.save(rec_path)
+    sets_to_score = [s for s in all_sets if need.get(s.name)]
 
-    ind = measures.get(testset.name)
+    # --- tier 2: recorders per method; plan tier-3 residue -----------------
+    measures: Dict[str, Dict[str, np.ndarray]] = {}
+    to_compute: List = []            # (dataset, [methods])
+    for s in sets_to_score:
+        wanted = need[s.name]
+        rec_path = (os.path.join(sdir, 'record-{}.npz'.format(s.name))
+                    if sdir else None)
+        loaded = None
+        if rec_path and 'recorders' in from_where and os.path.exists(rec_path):
+            loaded = LossRecorder.load(rec_path)
+        from_rec, residue = [], []
+        for m in wanted:
+            if (loaded is not None
+                    and loaded.recorded_samples >= n_wanted(s)
+                    and all(c in loaded for c in needed_components(m))):
+                from_rec.append(m)
+            else:
+                residue.append(m)
+        if from_rec:
+            measures[s.name] = _scores_from_recorder(job, loaded, from_rec)
+        if residue and 'compute' in from_where:
+            to_compute.append((s, residue))
+
+    # --- tier 3: fresh evaluation, one compiled program for the union ------
+    if to_compute:
+        union = [m for m in methods
+                 if any(m in ms for _, ms in to_compute)]
+        has_odin = any(m.startswith('odin') for m in union)
+        eval_batch, odin = _make_eval_fn(job.model, job.state.sigma_state,
+                                         has_odin, union)
+        for s, ms in to_compute:
+            rec = None
+            rec_path = (os.path.join(sdir, 'record-{}.npz'.format(s.name))
+                        if sdir else None)
+            if recording and rec_path:
+                rec = LossRecorder(batch_size)
+                rec.init_seed_for_dataloader(0)
+            scored = _collect_scores(job, s, ms, batch_size, rec,
+                                     eval_batch, odin, key, num_batch)
+            measures.setdefault(s.name, {}).update(scored)
+            if rec is not None:
+                rec.save(rec_path)
+
+    # --- assemble: ROC for fresh methods, stored entries for json-tier -----
+    ind = measures.get(testset.name, {})
     results: Dict[str, Dict[str, dict]] = {}
-    if ind is None:
-        return results
+    fresh: Dict[str, Dict[str, dict]] = {}
     for s in oodsets:
-        if s.name not in measures:
-            continue
         results[s.name] = {}
-        for m in methods:
-            r = roc_curve(jnp.asarray(ind[m]), jnp.asarray(measures[s.name][m]),
+        for m in json_ok[s.name]:
+            results[s.name][m] = stored[s.name][m]
+        ood_scores = measures.get(s.name, {})
+        for m in need[s.name]:
+            if m not in ind or m not in ood_scores:
+                continue
+            r = roc_curve(jnp.asarray(ind[m]), jnp.asarray(ood_scores[m]),
                           kept_tpr=KEPT_TPR,
                           two_sided=two_sided_from_method(m))
-            results[s.name][m] = {
+            entry = {
                 'epochs': epoch,
                 'n': int(ind[m].shape[0]),
-                'mean': float(np.mean(measures[s.name][m])),
-                'std': float(np.std(measures[s.name][m])),
+                'mean': float(np.mean(ood_scores[m])),
+                'std': float(np.std(ood_scores[m])),
                 'auc': float(r['auc']),
                 'tpr': [float(t) for t in KEPT_TPR],
                 'fpr': np.asarray(r['fpr']).tolist(),
@@ -205,9 +258,13 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                 'thresholds_up': np.asarray(r['thresholds_up']).tolist(),
                 'precision': np.asarray(r['precision']).tolist(),
             }
-    if update_self_ood:
+            results[s.name][m] = entry
+            fresh.setdefault(s.name, {})[m] = entry
+        if not results[s.name]:
+            results.pop(s.name)
+    if update_self_ood and fresh:
         job.ood_results.setdefault(epoch, {})
-        for s_name, rs in results.items():
+        for s_name, rs in fresh.items():
             job.ood_results[epoch].setdefault(s_name, {}).update(rs)
     return results
 
@@ -224,7 +281,10 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
              outputs=None) -> Dict[str, float]:
     """Classification accuracy per predict method (ref cvae.py:1187-1446).
 
-    from_where=('json',) reuses stored results without recomputing."""
+    3-tier per-method reuse: stored json with enough samples is returned
+    as-is; a recorder holding the needed loss components is *replayed*
+    (predictions recomputed from recorded tensors, zero model forwards — ref
+    cvae.py:1268-1330); only the residue evaluates the model."""
     cfg = job.model_cfg
     epoch = _epoch_of(job, epoch)
     predict_methods = (cfg.predict_methods if method == 'all'
@@ -234,14 +294,58 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
     if testset is None:
         name = job.training_parameters.get('set') or 'cifar10'
         _, testset = get_dataset(name, splits=['test'])
-    # json tier: reuse stored accuracies with enough samples
-    # (ref available_results short-circuit, cvae.py:1241-1263)
-    if from_where is not None and 'compute' not in from_where:
-        stored = job.testing.get(epoch, {})
-        return {m: stored[m]['accuracy'] for m in predict_methods
-                if isinstance(stored.get(m), dict)
-                and stored[m].get('n', 0) >= len(testset)
-                and 'accuracy' in stored[m]}
+    if from_where is None:
+        from_where = ('json', 'recorders', 'compute')
+
+    n_want = (min(len(testset), num_batch * batch_size) if num_batch
+              else len(testset))
+    acc: Dict[str, float] = {}
+
+    # tier 1: stored json (ref available_results short-circuit, cvae.py:1241)
+    stored = job.testing.get(epoch, {})
+    if 'json' in from_where:
+        for m in predict_methods:
+            r = stored.get(m)
+            if (isinstance(r, dict) and r.get('n', 0) >= n_want
+                    and 'accuracy' in r):
+                acc[m] = r['accuracy']
+    remaining = [m for m in predict_methods if m not in acc]
+
+    # tier 2: recorder replay (ref cvae.py:1268-1330)
+    sdir = _sample_dir(job, epoch)
+    rec_path = (os.path.join(sdir, 'record-{}.npz'.format(testset.name))
+                if sdir else None)
+    if (remaining and 'recorders' in from_where and rec_path
+            and os.path.exists(rec_path)):
+        loaded = LossRecorder.load(rec_path)
+        if loaded.recorded_samples >= n_want and 'y_true' in loaded:
+            losses = {k: jnp.asarray(loaded.get(k)) for k in loaded.keys()
+                      if k not in ('logits', 'y_true')}
+            logits = (jnp.asarray(loaded.get('logits')).T
+                      if 'logits' in loaded else None)
+            y_true = np.asarray(loaded.get('y_true'))
+            replayed = {}
+            for m in remaining:
+                if m == 'already' or not all(
+                        c in loaded for c in needed_components(m)):
+                    continue
+                y_ = np.asarray(predict_after_evaluate(cfg, logits, losses, m))
+                replayed[m] = float((y_ == y_true).mean())
+            if replayed and update_self_testing:
+                job.testing.setdefault(epoch, {})
+                for m, a in replayed.items():
+                    prev = job.testing[epoch].get(m, {})
+                    if len(y_true) >= prev.get('n', 0):
+                        job.testing[epoch][m] = {
+                            'n': int(len(y_true)), 'epochs': epoch,
+                            'sampling': cfg.test_latent_sampling,
+                            'accuracy': a}
+            acc.update(replayed)
+            remaining = [m for m in remaining if m not in acc]
+
+    if not remaining or 'compute' not in from_where:
+        return acc
+    predict_methods = remaining
     key = key if key is not None else jax.random.PRNGKey(epoch + 1)
 
     model = job.model
@@ -298,7 +402,7 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
             rec.append_batch(**r)
         rec.save(os.path.join(sdir, 'record-{}.npz'.format(testset.name)))
 
-    acc = {m: n_correct[m] / max(n_total, 1) for m in predict_methods}
+    computed = {m: n_correct[m] / max(n_total, 1) for m in predict_methods}
     if update_self_testing:
         job.testing.setdefault(epoch, {})
         for m in predict_methods:
@@ -307,7 +411,8 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
                 job.testing[epoch][m] = {
                     'n': n_total, 'epochs': epoch,
                     'sampling': cfg.test_latent_sampling,
-                    'accuracy': acc[m]}
+                    'accuracy': computed[m]}
+    acc.update(computed)
     return acc
 
 
@@ -321,9 +426,12 @@ def misclassification_detection_rates(job: Job,
                                       num_batch: Optional[int] = None,
                                       update_self_results: bool = True,
                                       key: Optional[jax.Array] = None,
+                                      from_where: Sequence[str] = (
+                                          'recorders', 'compute'),
                                       outputs=None) -> Dict[str, dict]:
     """Detect misclassifications by thresholding confidence scores
-    (ref cvae.py:1913-2080)."""
+    (ref cvae.py:1913-2080).  The recorder tier replays recorded tensors
+    without model forwards (ref from_where=('json', 'recorders'))."""
     cfg = job.model_cfg
     epoch = _epoch_of(job, epoch)
     pms = (cfg.predict_methods if predict_methods == 'all'
@@ -338,8 +446,11 @@ def misclassification_detection_rates(job: Job,
     name = (testset.name if testset is not None
             else job.training_parameters.get('set') or 'cifar10')
     rec_path = os.path.join(sdir, 'record-{}.npz'.format(name)) if sdir else None
-    if rec_path and os.path.exists(rec_path):
+    if (rec_path and os.path.exists(rec_path)
+            and 'recorders' in from_where):
         rec = LossRecorder.load(rec_path)
+    elif 'compute' not in from_where:
+        return {}
     else:
         if testset is None:
             _, testset = get_dataset(name, splits=['test'])
@@ -375,10 +486,20 @@ def misclassification_detection_rates(job: Job,
         results[pm] = {'accuracy': float(acc)}
         for m in mms_avail:
             v = np.asarray(ms[m])
+            # honor the -2s / -a-p-q suffix geometry here too (the reference's
+            # misclass path omits it, cvae.py:2003, but none of its default
+            # misclass methods carry a suffix — with one, one-sided would be
+            # silently wrong).
+            two_sided = two_sided_from_method(m)
             r = roc_curve(jnp.asarray(v[correct]), jnp.asarray(v[missed]),
-                          kept_tpr=KEPT_TPR)
+                          kept_tpr=KEPT_TPR, two_sided=two_sided)
             thr = np.asarray(r['thresholds_low'])
-            pos = v[None, :] >= thr[:, None]
+            if two_sided:
+                thr_up = np.asarray(r['thresholds_up'])
+                pos = ((v[None, :] >= thr[:, None])
+                       & (v[None, :] <= thr_up[:, None]))
+            else:
+                pos = v[None, :] >= thr[:, None]
             tp = (pos & correct[None]).sum(1)
             fp = (pos & missed[None]).sum(1)
             precision = tp / np.maximum(tp + fp, 1)

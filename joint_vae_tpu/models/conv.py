@@ -61,59 +61,66 @@ UPSAMPLER_ARCHS = {
 }
 
 
+# One left-to-right field scan over a layer token: either a marked field
+# ('++O' output padding, 'xK' kernel, '+P' padding, ':S' stride, '^C'
+# channels, '!C' plain-conv-in-deconv) or a bare digit run (channels when it
+# opens the token).  '*' or an empty value keeps the running default.
+_FIELD_RX = re.compile(r'(\+\+|[x^+:!])([\d*]*)|(\d+)')
+_FIELD_OF = {'x': 'kernel_size', '^': 'out_channels', '+': 'padding',
+             ':': 'stride', '++': 'output_padding', '!': 'conv_in_deconv'}
+_PREFIX_LTYPE = {'a': 'apooling', 'm': 'mpooling', 'u': 'upsampler'}
+
+
 def parse_conv_layer_name(s: str, ltype: str = 'conv', out_channels: int = 32,
                           kernel_size: int = 5, padding='*', stride=None,
                           output_padding: int = 0, where: str = 'input') -> dict:
-    """Parse one layer token (ref parse_conv_layer_name, conv.py:20-86)."""
-    delimiters = {'out_channels': '^', 'kernel_size': 'x',
-                  'padding': r'\+', 'stride': ':'}
+    """Parse one layer token of the conv-string DSL.
+
+    The grammar is the behavioral spec shared with the reference
+    (module/vae_layers/conv.py:20-86); the implementation here is a single
+    tokenizing scan.  ``where='output'`` switches the base type to deconv and
+    enables the ``++``/``!`` fields; an ``a``/``m``/``u`` prefix selects
+    avg/max pooling or an upsampling layer.
+    """
     if where == 'output':
-        delimiters['output_padding'] = r'\+\+'
-        delimiters['conv_in_deconv'] = '!'
         ltype = 'deconv'
-
-    if s and s[0].lower() in 'am':
-        ltype = s[0].lower() + 'pooling'
-        s = s[1:]
-    elif s and s[0].lower() == 'u':
-        ltype = 'upsampler'
+    if s[:1].lower() in _PREFIX_LTYPE:
+        ltype = _PREFIX_LTYPE[s[0].lower()]
         s = s[1:]
 
-    params = dict(ltype=ltype, out_channels=out_channels,
-                  kernel_size=kernel_size, padding=padding, stride=stride)
-    if ltype == 'deconv':
-        params['output_padding'] = output_padding
-    if ltype.endswith('pooling') or ltype == 'upsampler':
-        params.pop('out_channels')
-        delimiters.pop('out_channels')
+    fields = {}
+    for m in _FIELD_RX.finditer(s):
+        if m.group(3) is not None:
+            if m.start() == 0:              # leading bare int = channels
+                fields['out_channels'] = int(m.group(3))
+            continue
+        v = m.group(2)
+        if v.isdigit():
+            fields[_FIELD_OF[m.group(1)]] = int(v)
 
-    for k, c in delimiters.items():
-        res = re.search('{}(?P<{}>[0-9|*]*)'.format(c, k), s)
-        if res:
-            try:
-                params[k] = int(res.groupdict()[k])
-            except ValueError:
-                params[k] = params.get(k)
-
-    # the leading integer (no delimiter) is out_channels
-    lead = re.match(r'^\d+', s)
-    if lead and 'out_channels' in params:
-        params['out_channels'] = int(lead.group())
-
-    if 'conv_in_deconv' in params:
-        params['ltype'] = 'conv'
-        params['out_channels'] = params.pop('conv_in_deconv')
-        params.pop('output_padding', None)
+    if where != 'output':
+        fields.pop('output_padding', None)
+        fields.pop('conv_in_deconv', None)
+    if 'conv_in_deconv' in fields:          # '!C': plain conv inside a deconv stack
         ltype = 'conv'
+        out_channels = fields.pop('conv_in_deconv')
+        fields.pop('out_channels', None)
+        fields.pop('output_padding', None)
 
-    if params.get('padding') == '*':
-        params['padding'] = params['kernel_size'] // 2 if params['ltype'].endswith('conv') \
-            and params['ltype'] == 'conv' else (
-            params['kernel_size'] // 2 if params['ltype'] == 'deconv' else 0)
-    if params['ltype'].endswith('pooling') and params.get('padding') == '*':
-        params['padding'] = 0
+    is_convolution = ltype in ('conv', 'deconv')
+    params = {'ltype': ltype,
+              'kernel_size': fields.get('kernel_size', kernel_size),
+              'padding': fields.get('padding', padding),
+              'stride': fields.get('stride', stride)}
+    if is_convolution:
+        params['out_channels'] = fields.get('out_channels', out_channels)
+    if ltype == 'deconv':
+        params['output_padding'] = fields.get('output_padding', output_padding)
+
+    if params['padding'] == '*':
+        params['padding'] = params['kernel_size'] // 2 if is_convolution else 0
     if params['stride'] is None:
-        params['stride'] = 1 if params['ltype'].endswith('conv') else params['kernel_size']
+        params['stride'] = 1 if is_convolution else params['kernel_size']
     return params
 
 

@@ -101,9 +101,17 @@ def _kept_at_tpr(tpr, fpr, lows, ups, kept_tpr, valid):
 def roc_curve(ins: jax.Array, outs: jax.Array,
               kept_tpr: Sequence[float] = DEFAULT_KEPT_TPR,
               two_sided: TwoSided = False,
-              validation: int = 0,
-              ins_are_higher: bool = True) -> Dict[str, jax.Array]:
+              validation: Union[int, float] = 0,
+              ins_are_higher: bool = True,
+              key: jax.Array = None) -> Dict[str, jax.Array]:
     """Compute AUROC + FPR/thresholds at kept TPRs, on device.
+
+    ``validation`` (two-sided tests only, ref roc_curves.py:49-64): a count
+    (or fraction) of in-scores set aside by a *random permutation split*; the
+    'around-mean' center (resp. the `-a-p-q` threshold base) comes from the
+    held-out subset while the sweep and TPR counting use only the remaining
+    ins.  ``key`` seeds the split (the reference draws a fresh OS seed; here
+    it is deterministic unless a key is passed).
 
     Returns dict: auc (scalar), fpr (K,), tpr (K,), thresholds_low/up (K,),
     precision (K,).
@@ -111,21 +119,44 @@ def roc_curve(ins: jax.Array, outs: jax.Array,
     sign = 1.0 if ins_are_higher else -1.0
     ins = sign * jnp.ravel(ins).astype(jnp.float32)
     outs = sign * jnp.ravel(outs).astype(jnp.float32)
-    n_in = ins.shape[0]
+    n_total = ins.shape[0]
+    mean_all = jnp.mean(sign * ins)
+    std_all = jnp.std(ins)
 
+    if two_sided and validation:
+        if validation < 1:
+            validation = int(validation * n_total)
+        validation = int(validation)
+        if key is None:
+            key = jax.random.key(0)
+        perm = jax.random.permutation(key, n_total)
+        val_scores = ins[perm[:validation]]
+        ins = ins[perm[validation:]]
+    else:
+        validation = 0
+        val_scores = ins
+
+    n_in = ins.shape[0]
     sorted_ins = jnp.sort(ins)
     sorted_outs = jnp.sort(outs)
 
     if two_sided == 'around-mean':
-        center = (jnp.mean(sorted_ins[:validation]) if validation
-                  else jnp.mean(ins))
+        center = jnp.mean(val_scores)
         deltas = jnp.sort(jnp.abs(ins - center))
         lows = jnp.concatenate([jnp.array([-jnp.inf]), center - deltas[::-1]])
         ups = jnp.concatenate([jnp.array([jnp.inf]), center + deltas[::-1]])
         valid = lows < ups
     elif isinstance(two_sided, tuple):
         p, q = two_sided
-        base = sorted_ins
+        if validation:
+            # upsample the sorted validation scores back to n_total points
+            # before striding (ref fits a cubic spline, roc_curves.py:76-83;
+            # linear interpolation here — documented deviation).
+            sv = jnp.sort(val_scores)
+            xi = jnp.linspace(0.0, validation - 1.0, n_total)
+            base = jnp.interp(xi, jnp.arange(validation, dtype=jnp.float32), sv)
+        else:
+            base = sorted_ins
         lo_seq = base[::p]
         up_seq = base[::q]
         nt = min(lo_seq.shape[0], up_seq.shape[0]) + 1
@@ -151,8 +182,8 @@ def roc_curve(ins: jax.Array, outs: jax.Array,
     return {'auc': auc, 'fpr': kf, 'tpr': kt,
             'thresholds_low': kl, 'thresholds_up': ku,
             'precision': precision,
-            'mean': jnp.mean(sign * ins), 'std': jnp.std(ins),
-            'n': jnp.asarray(n_in)}
+            'mean': mean_all, 'std': std_all,
+            'n': jnp.asarray(n_total)}
 
 
 def two_sided_from_method(method: str) -> TwoSided:

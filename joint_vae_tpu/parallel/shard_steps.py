@@ -21,6 +21,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.cvnet import CVNet
 from ..models.evaluate import evaluate
+from ..ops.sigma import update_sigma_rmse
 from ..train.state import TrainState, grad_mask, apply_grad_mask
 from ..train.steps import warmup_weight
 
@@ -63,9 +64,21 @@ def make_shard_map_train_step(model: CVNet, tx: optax.GradientTransformation,
         m = grad_mask(model, state.params, frozen_modules)
         grads = apply_grad_mask(model, grads, m, state.epoch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = apply_grad_mask(model, updates, m, state.epoch)
         params = optax.apply_updates(state.params, updates)
+        # out.sigma_state tracked the LOCAL shard's batch mse; rebuild the
+        # rmse/decay update from the global-batch mean so the persisted sigma
+        # matches the GSPMD step (out_specs=P() would otherwise keep shard 0's).
+        scfg = cfg.sigma_cfg
+        sig = out.sigma_state
+        if scfg.coded:
+            sig = sig.replace(data=jax.lax.pmean(sig.data, 'data'))
+        elif cfg.x_is_generated:
+            g_mse = jax.lax.pmean(out.measures['mse'], 'data')
+            sig = update_sigma_rmse(scfg, state.sigma_state,
+                                    jnp.sqrt(jnp.maximum(g_mse, 0.0)))
         new_state = state.replace(params=params, opt_state=opt_state,
-                                  sigma_state=out.sigma_state, rng=rng,
+                                  sigma_state=sig, rng=rng,
                                   step=state.step + 1)
         metrics = {k: jax.lax.pmean(jnp.mean(v), 'data')
                    for k, v in out.losses.items()}

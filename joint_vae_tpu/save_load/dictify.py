@@ -10,6 +10,7 @@
 """
 
 import os
+import zlib
 from typing import Any, Dict, List, Optional, Sequence
 
 from ..models.cvnet import METHODS_PARAMS
@@ -158,7 +159,9 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
         'type': cfg.type,
         'set': tp.get('set'),
         'arch': arch_str,
-        'arch_code': hex(abs(hash(arch_str)) % (1 << 32))[2:],
+        # stable digest: Python hash() is salted per process, which would
+        # fragment groupby keys across sessions (ref uses hashlib, dictify.py)
+        'arch_code': format(zlib.crc32(arch_str.encode()), 'x'),
         'features': cfg.features or 'none',
         'upsampler': cfg.upsampler or 'none',
         'encoder': '-'.join(map(str, cfg.encoder)),

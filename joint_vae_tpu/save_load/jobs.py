@@ -163,6 +163,11 @@ def load_job(job_dir: str, load_state: bool = True, ghost: bool = False,
                                     jax.numpy.int32),
             step=jax.numpy.asarray(arrays.get('counters/step', 0),
                                    jax.numpy.int32))
+        if 'rng' in arrays:
+            # resume continues the saved sampling-noise stream instead of
+            # restarting from the fresh init key
+            saved_rng = jax.numpy.asarray(arrays['rng'], jax.numpy.uint32)
+            state = state.replace(rng=saved_rng.reshape(state.rng.shape))
         opt_path = os.path.join(job_dir, 'optimizer.npz')
         if os.path.exists(opt_path):
             oarrays = load_checkpoint(opt_path)

@@ -59,9 +59,14 @@ def build_optimizer(cfg: OptimizerConfig) -> optax.GradientTransformation:
     if cfg.optim_type == 'adam':
         @optax.inject_hyperparams
         def core(learning_rate):
-            inner = [optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1])]
+            # torch optim.Adam couples weight decay INTO the gradient before
+            # the adaptive-moment update (L2-in-gradient), unlike AdamW's
+            # decoupled decay — the reference uses the former
+            # (module/optimizers.py:41-49).
+            inner = []
             if cfg.weight_decay:
                 inner.append(optax.add_decayed_weights(cfg.weight_decay))
+            inner.append(optax.scale_by_adam(b1=cfg.betas[0], b2=cfg.betas[1]))
             inner.append(optax.scale(-learning_rate))
             return optax.chain(*inner)
     else:

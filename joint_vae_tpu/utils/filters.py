@@ -20,74 +20,96 @@ _INTERVAL_RE = re.compile(r'\.{2,}')
 _LIST_RE = re.compile(r'[\s\,]+\s*')
 
 
+def _coerce(token: str, type, default):
+    """Best-effort typed parse of an interval end; open ends keep ±inf."""
+    try:
+        return type(token)
+    except (ValueError, TypeError):
+        return default
+
+
 class ParamFilter:
-    def __init__(self, type=str, interval=None, values=None, neg=False,
-                 any_value=False, always_true=False):
-        assert bool(interval) + (values is not None) + any_value + always_true == 1
+    """One predicate over a single model-dict value.
+
+    Holds a base test callable plus a negation flag; built through the named
+    constructors below.  :meth:`from_string` implements the query grammar
+    (behavior of ref utils/filters.py:12-144, re-implemented here as
+    predicate composition).  Negation is tri-state aware: a negated filter
+    over a *list-valued* field passes only if every element fails the base
+    test, and the 'always true' filter (a missing INI value) is never
+    negated.
+    """
+
+    def __init__(self, test, description: str, type=str, neg: bool = False,
+                 unconditional: bool = False):
+        self._test = test
+        self._description = description
         self.type = type
         self.neg = neg
-        self.interval = interval
-        self.values = values
-        self.any_value = any_value
-        self.always_true = always_true
+        self.unconditional = unconditional
 
+    # --- named constructors ------------------------------------------------
+    @classmethod
+    def tautology(cls, type=str) -> 'ParamFilter':
+        return cls(lambda v: True, 'always true', type, unconditional=True)
+
+    @classmethod
+    def of_type(cls, type=str, neg=False) -> 'ParamFilter':
+        return cls(lambda v: isinstance(v, type), 'any', type, neg=neg)
+
+    @classmethod
+    def within(cls, lo, hi, type=float, neg=False) -> 'ParamFilter':
+        def test(v):
+            try:
+                return lo <= v <= hi
+            except TypeError:
+                return False
+        return cls(test, 'in [{}...{}]'.format(lo, hi), type, neg=neg)
+
+    @classmethod
+    def among(cls, values, type=str, neg=False) -> 'ParamFilter':
+        values = list(values)
+        return cls(lambda v: v in values,
+                   'in ' + ', '.join(str(v) for v in values), type, neg=neg)
+
+    # --- the string grammar ------------------------------------------------
     @classmethod
     def from_string(cls, arg_str: Optional[str] = '', type=str) -> 'ParamFilter':
         if arg_str is None:
-            return cls(always_true=True, type=type)
-        parts = arg_str.split()
-        neg = bool(parts) and parts[0].lower() == 'not'
+            return cls.tautology(type)
+        s = arg_str.strip()
+        neg = s.lower().startswith('not') and (len(s) == 3 or s[3].isspace())
         if neg:
-            parts = parts[1:]
-        s = ' '.join(parts)
+            s = s[3:].strip()
 
         if _INTERVAL_RE.search(s):
-            ends = _INTERVAL_RE.split(s)
-            interval = [-np.inf, np.inf]
-            for i in (0, -1):
-                try:
-                    interval[i] = type(ends[i])
-                except (ValueError, TypeError):
-                    pass
-            return cls(type=type, interval=interval, neg=neg)
-        if _LIST_RE.search(s):
-            return cls(type=type, values=[type(v) for v in _LIST_RE.split(s)],
-                       neg=neg)
+            raw = _INTERVAL_RE.split(s)
+            lo = _coerce(raw[0], type, -np.inf)
+            hi = _coerce(raw[-1], type, np.inf)
+            return cls.within(lo, hi, type, neg=neg)
         if not s:
-            return cls(type=type, any_value=True, neg=neg)
+            return cls.of_type(type, neg=neg)
+        tokens = _LIST_RE.split(s)
         if type is bool:
-            return cls(type=type, values=[s.lower() == 'true'], neg=neg)
-        return cls(type=type, values=[type(s)], neg=neg)
+            values = [t.lower() == 'true' for t in tokens]
+        else:
+            values = [type(t) for t in tokens]
+        return cls.among(values, type, neg=neg)
 
+    # --- evaluation ----------------------------------------------------------
     def filter(self, value) -> bool:
-        if self.always_true:
-            return not self.neg
+        if self.unconditional:
+            return True
         if isinstance(value, list):
-            sub = [self.filter(v) for v in value]
-            return all(sub) if self.neg else any(sub)
-        if self.any_value:
-            return isinstance(value, self.type) ^ self.neg
-        if self.interval:
-            try:
-                a, b = self.interval
-                return (a <= value <= b) ^ self.neg
-            except TypeError:
-                return self.neg
-        return (value in self.values) ^ self.neg
+            hits = [self.filter(v) for v in value]
+            return all(hits) if self.neg else any(hits)
+        return self._test(value) ^ self.neg
 
     def __call__(self, value) -> bool:
         return self.filter(value)
 
     def __str__(self):
-        if self.always_true:
-            s = 'always true'
-        elif self.any_value:
-            s = 'any'
-        elif self.interval:
-            s = 'in [' + '...'.join(str(_) for _ in self.interval) + ']'
-        else:
-            s = 'in ' + ', '.join(str(_) for _ in self.values)
-        return ('not ' if self.neg else '') + s
+        return ('not ' if self.neg else '') + self._description
 
 
 class ListOfParamFilters(list):

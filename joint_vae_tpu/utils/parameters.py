@@ -198,8 +198,11 @@ def model_config_from_args(args) -> 'CVNetConfig':
                     freeze_means=args.freeze_prior_means,
                     var_dim=args.prior_variance)
     if args.prior in ('tilted', 'uniform'):
-        prior_kw['tau'] = args.tilted_tau
         prior_kw.pop('var_dim')
+    if args.prior == 'tilted':
+        # ref train.py:182-183 forwards tau only for tilted; uniform keeps
+        # its family default (tau=5, module/priors.py:411).
+        prior_kw['tau'] = args.tilted_tau
     prior = build_prior_config(args.latent_dim, args.prior, **prior_kw)
 
     s = str(args.sigma)

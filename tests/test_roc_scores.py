@@ -157,3 +157,66 @@ def test_predict_methods():
     np.testing.assert_array_equal(
         np.asarray(predict_after_evaluate(cfg, jnp.array(logits), losses)),
         iws.argmax(0))
+
+
+# ---------------------------------------------------------------------------
+# Oracle check: a loop-based transcription of the reference's threshold walk
+# (utils/roc_curves.py:38-210) written independently here — validates the
+# device sweep's semantics (strict below-low / above-up counting, trapezoid
+# AUC with appended (0,0), kept fpr = smallest with tpr >= target) for all
+# three geometries on shared score vectors.
+# ---------------------------------------------------------------------------
+
+def _oracle_roc(ins, outs, kept_tpr, two_sided=False):
+    ins = np.asarray(ins, np.float64)
+    outs = np.asarray(outs, np.float64)
+    s_in = np.sort(ins)
+    n_in, n_out = len(ins), len(outs)
+
+    if two_sided == 'around-mean':
+        center = ins.mean()
+        deltas = np.sort(np.abs(ins - center))[::-1]
+        lows = np.concatenate([[-np.inf], center - deltas])
+        ups = np.concatenate([[np.inf], center + deltas])
+    elif isinstance(two_sided, tuple):
+        p, q = two_sided
+        lo_seq = s_in[::p]
+        up_seq = s_in[::q][::-1]
+        nt = min(len(lo_seq), len(up_seq)) + 1
+        lows = np.concatenate([[-np.inf], lo_seq])[:nt]
+        ups = np.concatenate([[np.inf], up_seq])[:nt]
+    else:
+        lows = np.concatenate([[-np.inf], s_in])
+        ups = np.full_like(lows, np.inf)
+
+    pts = []
+    for lo, up in zip(lows, ups):
+        if lo >= up:
+            continue
+        tpr = np.mean((ins >= lo) & (ins <= up))
+        fpr = np.mean((outs >= lo) & (outs <= up))
+        pts.append((fpr, tpr, lo, up))
+    pts.append((0.0, 0.0, np.nan, np.nan))
+    f = np.array([p_[0] for p_ in pts])
+    t = np.array([p_[1] for p_ in pts])
+    auc = np.sum((f[:-1] - f[1:]) * (t[:-1] + t[1:]) / 2)
+    kept = []
+    for a in kept_tpr:
+        ok = t[:-1] >= a
+        kept.append(f[:-1][ok].min() if ok.any() else 1.0)
+    return auc, np.array(kept)
+
+
+def test_roc_matches_oracle_all_geometries():
+    rng = np.random.default_rng(11)
+    ins = rng.normal(0.0, 1.0, 600).astype(np.float32)
+    outs = rng.normal(1.8, 1.3, 500).astype(np.float32)
+    kept = [0.9, 0.95, 0.99]
+    for ts in (False, 'around-mean', (1, 1), (4, 1), (2, 3)):
+        r = roc_curve(jnp.asarray(ins), jnp.asarray(outs), kept_tpr=kept,
+                      two_sided=ts, ins_are_higher=False)
+        want_auc, want_fpr = _oracle_roc(-ins, -outs, kept, two_sided=ts)
+        np.testing.assert_allclose(float(r['auc']), want_auc, atol=5e-3,
+                                   err_msg=str(ts))
+        np.testing.assert_allclose(np.asarray(r['fpr']), want_fpr,
+                                   atol=6e-3, err_msg=str(ts))

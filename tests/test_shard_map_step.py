@@ -74,3 +74,30 @@ def test_shard_map_matches_global_when_deterministic():
     p2 = np.concatenate([np.ravel(l) for l in
                          jax.tree_util.tree_leaves(s2.params)])
     np.testing.assert_allclose(p1, p2, rtol=2e-4, atol=2e-6)
+
+
+def test_shard_map_sigma_state_matches_global():
+    """decay-to-rmse sigma must follow the GLOBAL batch mse, not one shard's
+    local value (advisor finding r1)."""
+    cfg = CVNetConfig(input_shape=INPUT_SHAPE, num_labels=C, type='cvae',
+                      encoder=(16,), decoder=(16,), classifier=(8,),
+                      latent_dim=8, latent_sampling=1, gamma=10.0, beta=0.0,
+                      sigma=SigmaConfig(value=0.5, decay=0.2, reach=1.0))
+    job = new_job(cfg, OptimizerConfig(lr=1e-3), key=jax.random.PRNGKey(0))
+    tx = build_optimizer(job.opt_cfg)
+    mesh = make_mesh(8, model_axis=1)
+    x, y = _batch(32)
+
+    global_step = make_train_step(job.model, tx, donate=False)
+    s1, _ = global_step(job.state, x, y)
+
+    sm_step = make_shard_map_train_step(job.model, tx, mesh,
+                                        split_sampling_per_shard=False)
+    state = replicate_state(mesh, job.state)
+    xb, yb = shard_batch(mesh, x, y)
+    s2, _ = sm_step(state, xb, yb)
+
+    np.testing.assert_allclose(np.asarray(s2.sigma_state.rmse),
+                               np.asarray(s1.sigma_state.rmse), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2.sigma_state.data),
+                               np.asarray(s1.sigma_state.data), rtol=1e-5)
