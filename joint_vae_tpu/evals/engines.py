@@ -51,8 +51,15 @@ def _sample_dir(job: Job, epoch: int) -> Optional[str]:
 
 def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
                   methods: Sequence[str] = ()):
-    """One jitted program per batch: evaluate (+ ODIN grid) + all score
-    measures — scores stay on device, one host transfer per set.
+    """Jitted scoring programs: evaluate (+ ODIN grid) + all score measures —
+    scores stay on device, one host transfer per set.
+
+    Returns ``(eval_batch, eval_scan, odin)``: ``eval_batch`` runs one batch;
+    ``eval_scan`` runs a (nb, B, ...) stack of batches through a
+    ``lax.scan`` inside a single compiled program (kills the ~1.4 ms/batch
+    Python dispatch of a per-batch loop on the tunneled TPU).  The mean
+    (sample-0) reconstruction is never consumed by scores, so its decode is
+    skipped (1/(L+1) of the decode FLOPs).
 
     The ODIN pass is restricted to the (T, eps) pairs the requested methods
     actually need (the full reference grid is 10x21)."""
@@ -69,10 +76,10 @@ def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
                                 temps=sorted(temps) or None,
                                 eps_grid=sorted(eps) or None)
 
-    @jax.jit
-    def eval_batch(variables, x, key):
+    def _one(variables, x, key):
         out = evaluate(model, variables, x, None, rng=key,
-                       sigma_state=sigma_state, train=False)
+                       sigma_state=sigma_state, train=False,
+                       decode_mean=False)
         losses = dict(out.losses)
         if odin is not None:
             losses.update(odin(variables, x, key))
@@ -80,38 +87,81 @@ def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
                   if methods else {})
         return losses, out.logits, scores
 
-    return eval_batch, odin
+    eval_batch = jax.jit(_one)
+
+    @jax.jit
+    def eval_scan(variables, xs, keys):
+        def body(carry, inp):
+            x, k = inp
+            return carry, _one(variables, x, k)
+        _, outs = jax.lax.scan(body, 0, (xs, keys))
+        return outs                       # leaves stacked along batch axis 0
+
+    return eval_batch, eval_scan, odin
+
+
+_SCAN_CHUNK = 16         # batches per compiled scan dispatch
 
 
 def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
                     batch_size: int, recorder: Optional[LossRecorder],
-                    eval_batch, odin, key, num_batch: Optional[int] = None):
+                    eval_batch, eval_scan, odin, key,
+                    num_batch: Optional[int] = None):
     """Run the model over a dataset; returns {method: np(N,)} scores and the
-    (optionally filled) recorder.  Device arrays accumulate per batch; the
-    host pull happens once at the end (tunnel/transfer friendly)."""
+    (optionally filled) recorder.
+
+    Full-size batches are grouped into stacks of ``_SCAN_CHUNK`` and scored
+    by one ``lax.scan`` dispatch each (device-resident loop); the partial
+    tail batch goes through the per-batch program.  Device arrays accumulate
+    across dispatches; the host pull happens once at the end
+    (tunnel/transfer friendly)."""
     variables = job.state.variables
     loader = DataLoader(dataset, batch_size, shuffle=False,
                         seed=((recorder.restore_seed() or 0)
                               if recorder is not None else 0),
                         drop_last=False)
-    per_method: Dict[str, List] = {m: [] for m in methods}
-    rec_batches = []
+    batches = []
     for i, (x, y) in enumerate(loader):
         if num_batch is not None and i >= num_batch:
             break
-        k = jax.random.fold_in(key, i)
-        losses, logits, scores = eval_batch(variables, jnp.asarray(x), k)
-        for m in methods:
-            per_method[m].append(scores[m])
+        batches.append((x, y))
+
+    per_method: Dict[str, List] = {m: [] for m in methods}
+    rec_outs = []           # (device (losses, logits), [y...], stacked?)
+    idx = 0
+    while idx < len(batches):
+        run = batches[idx:idx + _SCAN_CHUNK]
+        run = run[:next((j for j, b in enumerate(run)
+                         if b[0].shape[0] != batch_size), len(run))]
+        if len(run) >= 2:
+            xs = jnp.asarray(np.stack([b[0] for b in run]))
+            keys = jax.vmap(jax.random.fold_in, (None, 0))(
+                key, jnp.arange(idx, idx + len(run)))
+            losses, logits, scores = eval_scan(variables, xs, keys)
+            for m in methods:
+                per_method[m].append(scores[m].reshape(-1))
+        else:
+            x, y = batches[idx]
+            losses, logits, scores = eval_batch(
+                variables, jnp.asarray(x), jax.random.fold_in(key, idx))
+            for m in methods:
+                per_method[m].append(scores[m])
         if recorder is not None:
-            rec_batches.append((losses, logits, np.asarray(y)))
-    if recorder is not None and rec_batches:
-        host = jax.device_get([(l, lo) for l, lo, _ in rec_batches])
-        for (losses, logits), (_, _, y) in zip(host, rec_batches):
-            rec = {k_: np.asarray(v) for k_, v in losses.items()}
-            rec['logits'] = np.asarray(logits).T
-            rec['y_true'] = y
-            recorder.append_batch(**rec)
+            rec_outs.append(((losses, logits),
+                             [b[1] for b in run] if len(run) >= 2 else
+                             [batches[idx][1]],
+                             len(run) >= 2))
+        idx += max(len(run), 1)
+
+    if recorder is not None and rec_outs:
+        host = jax.device_get([t for t, _, _ in rec_outs])
+        for (losses, logits), (_, ys, stacked) in zip(host, rec_outs):
+            for j, y in enumerate(ys):
+                rec = {k_: np.asarray(v[j] if stacked else v)
+                       for k_, v in losses.items()}
+                rec['logits'] = np.asarray(logits[j] if stacked else logits).T
+                rec['y_true'] = np.asarray(y)
+                recorder.append_batch(**rec)
     out = jax.device_get({m: jnp.concatenate(v) for m, v in per_method.items()})
     return {m: np.asarray(v) for m, v in out.items()}
 
@@ -216,8 +266,8 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
         union = [m for m in methods
                  if any(m in ms for _, ms in to_compute)]
         has_odin = any(m.startswith('odin') for m in union)
-        eval_batch, odin = _make_eval_fn(job.model, job.state.sigma_state,
-                                         has_odin, union)
+        eval_batch, eval_scan, odin = _make_eval_fn(
+            job.model, job.state.sigma_state, has_odin, union)
         for s, ms in to_compute:
             rec = None
             rec_path = (os.path.join(sdir, 'record-{}.npz'.format(s.name))
@@ -226,7 +276,8 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                 rec = LossRecorder(batch_size)
                 rec.init_seed_for_dataloader(0)
             scored = _collect_scores(job, s, ms, batch_size, rec,
-                                     eval_batch, odin, key, num_batch)
+                                     eval_batch, eval_scan, odin, key,
+                                     num_batch)
             measures.setdefault(s.name, {}).update(scored)
             if rec is not None:
                 rec.save(rec_path)
@@ -356,7 +407,8 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
     @jax.jit
     def eval_batch(variables, x, y, k):
         out = evaluate(model, variables, x, None, rng=k,
-                       sigma_state=sigma_state, train=False)
+                       sigma_state=sigma_state, train=False,
+                       decode_mean=False)
         correct = {m: jnp.sum(predict_after_evaluate(cfg, out.logits,
                                                      out.losses, m) == y)
                    for m in pm_tuple if m != 'already'}
@@ -455,12 +507,12 @@ def misclassification_detection_rates(job: Job,
         if testset is None:
             _, testset = get_dataset(name, splits=['test'])
         has_odin = any(m.startswith('odin') for m in mms)
-        eval_batch, odin = _make_eval_fn(job.model, job.state.sigma_state,
-                                         has_odin, mms)
+        eval_batch, eval_scan, odin = _make_eval_fn(
+            job.model, job.state.sigma_state, has_odin, mms)
         rec = LossRecorder(batch_size)
         key = key if key is not None else jax.random.PRNGKey(epoch + 2)
         _collect_scores(job, testset, list(mms), batch_size, rec,
-                        eval_batch, odin, key, num_batch)
+                        eval_batch, eval_scan, odin, key, num_batch)
         if rec_path:
             rec.save(rec_path)
 

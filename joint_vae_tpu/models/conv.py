@@ -28,6 +28,7 @@ from typing import List, Optional, Sequence, Tuple
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 # ---------------------------------------------------------------------------
@@ -259,6 +260,118 @@ ACTIVATIONS = {
 }
 
 
+# ---------------------------------------------------------------------------
+# Phase-packed (space-to-depth) convolution lowering.
+#
+# The conv32/deconv32 family computes most of its FLOPs in 3-to-64-channel
+# convs whose output-channel count uses a fraction of the MXU's 128 lanes
+# (measured on a v5e: the 32->3 output conv ran at ~12 TFLOP/s, the 32->32
+# convs at ~75).  Lowering them onto an f x f phase-packed grid — tensor
+# (H, W, C) stored as (H/f, W/f, f^2 C) — multiplies the lane occupancy by
+# f^2 at the cost of structurally-zero kernel taps.
+#
+# One index identity covers conv, strided conv, and transposed conv: with
+# output pixel m = f_out*P + R, input pixel i = f_in*pi + qi, and the layer
+# relation i = (num*m + t - off)/den (conv: num=s, den=1, off=p; deconv:
+# num=1, den=s, off=k-1-p), the packed operation is a plain conv over P with
+# integer stride g = num*f_out/(den*f_in) and tap offsets
+# d = (num*R + t - off - den*qi)/(den*f_in) wherever that is an integer.
+# The packed kernel is a gather of the original (k, k, Cin, Cout) parameter
+# (zeros elsewhere), so the stored parameter layout — and therefore
+# checkpoints — are lowering-agnostic.
+# ---------------------------------------------------------------------------
+
+_PACK_DEFAULT = 2
+
+
+def _pack_target() -> int:
+    import os
+    v = os.environ.get('JVT_PACK', '')
+    if v == '':
+        return _PACK_DEFAULT
+    return max(int(v), 0)
+
+
+def _packed_geometry(k: int, off: int, num: int, den: int,
+                     f_in: int, f_out: int):
+    """Tap table of the packed lowering; returns (g, dmin, tap) with
+    tap[a, qi, R] = original tap index t at packed offset d = dmin + a for
+    input phase qi / output phase R, or -1 where no tap lands."""
+    assert (num * f_out) % (den * f_in) == 0, (num, den, f_in, f_out)
+    g = (num * f_out) // (den * f_in)
+    entries = []
+    for R in range(f_out):
+        for qi in range(f_in):
+            for t in range(k):
+                n = num * R + t - off - den * qi
+                if n % (den * f_in) == 0:
+                    entries.append((R, qi, t, n // (den * f_in)))
+    dmin = min(e[3] for e in entries)
+    dmax = max(e[3] for e in entries)
+    tap = np.full((dmax - dmin + 1, f_in, f_out), -1, np.int64)
+    for R, qi, t, d in entries:
+        tap[d - dmin, qi, R] = t
+    return g, dmin, tap
+
+
+def _packed_kernel(kern: jax.Array, tap_h: np.ndarray,
+                   tap_w: np.ndarray) -> jax.Array:
+    """(k, k, Cin, Cout) -> (k'_h, k'_w, f_in^2 Cin, f_out^2 Cout); packed
+    channel order is (phase_h, phase_w, channel) on both sides."""
+    kph, fi, fo = tap_h.shape
+    kpw = tap_w.shape[0]
+    ih = np.maximum(tap_h, 0)[:, None, :, None, :, None]
+    iw = np.maximum(tap_w, 0)[None, :, None, :, None, :]
+    mask = ((tap_h >= 0)[:, None, :, None, :, None]
+            & (tap_w >= 0)[None, :, None, :, None, :])
+    g = kern[jnp.asarray(ih), jnp.asarray(iw)]   # (kph,kpw,fi,fi,fo,fo,Ci,Co)
+    g = g * jnp.asarray(mask, kern.dtype)[..., None, None]
+    ci, co = kern.shape[2], kern.shape[3]
+    g = g.transpose(0, 1, 2, 3, 6, 4, 5, 7)
+    return g.reshape(kph, kpw, fi * fi * ci, fo * fo * co)
+
+
+def space_to_depth(x: jax.Array, f: int) -> jax.Array:
+    """(N, H, W, C) -> (N, H/f, W/f, f^2 C), channel order (rh, rw, c)."""
+    if f == 1:
+        return x
+    n, h, w, c = x.shape
+    x = x.reshape(n, h // f, f, w // f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, h // f, w // f, f * f * c)
+
+
+def depth_to_space(x: jax.Array, f: int) -> jax.Array:
+    if f == 1:
+        return x
+    n, hp, wp, cf = x.shape
+    c = cf // (f * f)
+    x = x.reshape(n, hp, wp, f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(n, hp * f, wp * f, c)
+
+
+def _unpack_to(x: jax.Array, f: int, h: int, w: int) -> jax.Array:
+    """depth_to_space + slice to the true (h, w) when f does not divide."""
+    y = depth_to_space(x, f)
+    return y[:, :h, :w]
+
+
+def packed_conv(x: jax.Array, kern: jax.Array, *, k: int, off: int, num: int,
+                den: int, f_in: int, f_out: int, h_out: int, w_out: int) -> jax.Array:
+    """Run a (de)conv on an f_in-packed input, producing an f_out-packed
+    output of ceil(h_out/f_out) x ceil(w_out/f_out) packed pixels."""
+    g, dmin, tap = _packed_geometry(k, off, num, den, f_in, f_out)
+    kd = _packed_kernel(kern, tap, tap)
+    hp_in, wp_in = x.shape[-3], x.shape[-2]
+    p_h = -(-h_out // f_out)
+    p_w = -(-w_out // f_out)
+    dmax = dmin + tap.shape[0] - 1
+    pad = lambda n_out, n_in: (-dmin, g * (n_out - 1) + dmax - (n_in - 1))
+    return lax.conv_general_dilated(
+        x, kd, window_strides=(g, g),
+        padding=[pad(p_h, hp_in), pad(p_w, wp_in)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+
+
 class ConvStack(nn.Module):
     """A (de)conv stack executing a static plan.
 
@@ -272,6 +385,35 @@ class ConvStack(nn.Module):
     where: str = 'input'
     dtype: jnp.dtype = jnp.float32
 
+    def _packing_factor(self) -> int:
+        """Static decision: phase-pack this stack (0 = unpacked).
+
+        Packing requires a pure (de)conv stack (no pooling/upsampler/BN —
+        pooling is phase-coupled, BN stats are per-true-channel) and even
+        intermediate spatial dims (an odd packed row would carry garbage
+        phases into the next layer's padding region)."""
+        pack = _pack_target()
+        if pack < 2:
+            return 0
+        if self.where == 'input':
+            # measured on the v5e (probe_stacks): packing conv32 LOSES
+            # (0.92 vs 0.66 ms fwd+bwd) — the packed kernels' structural
+            # zeros inflate the MACs ~2-5x on the cheap early convs, more
+            # than the f^2 lane gain recovers.  Decoder stacks win big
+            # (1.06 vs 1.40 ms) because their expensive convs are
+            # few-channel and late.
+            return 0
+        for pl in self.plans:
+            if pl.ltype not in ('conv', 'deconv') or pl.batch_norm:
+                return 0
+            if pl.ltype == 'deconv' and pl.stride > 1 and pl.stride != pack:
+                return 0
+        for pl in self.plans[:-1]:
+            _, oh, ow = pl.out_shape
+            if oh % pack or ow % pack:
+                return 0
+        return pack
+
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         lead = x.shape[:-3]
@@ -279,30 +421,83 @@ class ConvStack(nn.Module):
         x = x.reshape((-1, c0, h0, w0)).transpose(0, 2, 3, 1)  # NCHW->NHWC
         x = x.astype(self.dtype)
 
+        pack = self._packing_factor()
+        f = 1                                  # current packing of x
+        h, w, c = h0, w0, c0                   # current true dims
+        n_layers = len(self.plans)
+
         for i, pl in enumerate(self.plans):
-            if pl.ltype == 'conv':
-                x = nn.Conv(pl.out_channels, (pl.kernel_size, pl.kernel_size),
-                            strides=(pl.stride, pl.stride),
-                            padding=[(pl.padding, pl.padding)] * 2,
-                            dtype=self.dtype, name='conv_{}'.format(i))(x)
-            elif pl.ltype == 'deconv':
-                x = _DeconvLayer(pl, dtype=self.dtype, name='deconv_{}'.format(i))(x)
+            oc, oh, ow = pl.out_shape
+            last = i == n_layers - 1
+            if pl.ltype in ('conv', 'deconv'):
+                is_dc = pl.ltype == 'deconv'
+                k, p, s = pl.kernel_size, pl.padding, pl.stride
+                op = pl.output_padding
+                kern, bias = _ConvParams(
+                    (k, k, c, pl.out_channels),
+                    name=('deconv_{}' if is_dc else 'conv_{}').format(i))()
+                kern = kern.astype(self.dtype)
+                if is_dc and h == 1 and w == 1 and f == 1:
+                    # latent->spatial expansion: one MXU matmul
+                    kf = _flipped_1x1_kernel(kern, k, p, k - 2 * p + op)
+                    x = jnp.einsum('nc,hwcd->nhwd', x[:, 0, 0, :], kf)
+                    f = 1
+                elif is_dc and s > 1:
+                    # sub-pixel: dense conv to s^2-phase-packed channels
+                    if f > 1:
+                        x = _unpack_to(x, f, h, w)
+                    x = packed_conv(x, kern, k=k, off=k - 1 - p, num=1, den=s,
+                                    f_in=1, f_out=s, h_out=oh, w_out=ow)
+                    if s == pack and not last:
+                        f = s              # stay packed through what follows
+                    else:
+                        x = _unpack_to(x, s, oh, ow)
+                        f = 1
+                else:
+                    num, den, off = (1, 1, k - 1 - p) if is_dc else (s, 1, p)
+                    f_in = f
+                    f_out = f if f > 1 else (
+                        pack if pack and self.where == 'input' else 1)
+                    if f_in == 1 and f_out == 1:
+                        pad = (p, p) if not is_dc else (k - 1 - p, k - 1 - p + op)
+                        x = lax.conv_general_dilated(
+                            x, kern, window_strides=(s, s) if not is_dc else (1, 1),
+                            padding=[pad, pad],
+                            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                    else:
+                        x = packed_conv(x, kern, k=k, off=off, num=num, den=den,
+                                        f_in=f_in, f_out=f_out, h_out=oh, w_out=ow)
+                    f = f_out
+                b = jnp.tile(bias, f * f) if f > 1 else bias
+                x = x + b.astype(self.dtype)
             elif pl.ltype == 'mpooling':
+                if f > 1:
+                    x = _unpack_to(x, f, h, w)
+                    f = 1
                 x = nn.max_pool(x, (pl.kernel_size, pl.kernel_size),
                                 strides=(pl.stride, pl.stride),
                                 padding=[(pl.padding, pl.padding)] * 2)
             elif pl.ltype == 'apooling':
+                if f > 1:
+                    x = _unpack_to(x, f, h, w)
+                    f = 1
                 x = nn.avg_pool(x, (pl.kernel_size, pl.kernel_size),
                                 strides=(pl.stride, pl.stride),
                                 padding=[(pl.padding, pl.padding)] * 2)
             elif pl.ltype == 'upsampler':
+                if f > 1:
+                    x = _unpack_to(x, f, h, w)
+                    f = 1
                 x = jnp.repeat(jnp.repeat(x, pl.stride, axis=1), pl.stride, axis=2)
-            if pl.batch_norm:
+            if pl.batch_norm:           # _packing_factor guarantees f == 1
                 x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype,
                                  name='bn_{}'.format(i))(x)
             if pl.activation is not None:
                 x = ACTIVATIONS[pl.activation](x)
+            h, w, c = oh, ow, oc
 
+        if f > 1:
+            x = _unpack_to(x, f, h, w)
         x = x.transpose(0, 3, 1, 2)  # NHWC->NCHW
         c, h, w = self.plans[-1].out_shape
         if self.where == 'output' and self.output_distribution == 'categorical':
@@ -310,41 +505,31 @@ class ConvStack(nn.Module):
         return x.reshape(lead + (c, h, w))
 
 
-class _DeconvLayer(nn.Module):
-    """Fractionally-strided conv matching torch ConvTranspose2d shape math.
-
-    An exact phase-decomposition path (:func:`_phase_deconv`, sub-pixel
-    convolution — s^2 dense convs instead of a zero-dilated one) is kept
-    behind ``phase_decompose=True``: measured on the v5e it LOSES to XLA's
-    native dilated lowering (90k vs 112k img/s on the flagship bench; the
-    strided-scatter interleave and narrow sub-kernels cost more than the
-    dilation zeros) — the MAC-count argument does not survive contact with
-    the Mosaic scheduler.  Parity-tested in tests/test_phase_deconv.py;
-    revisit for larger spatial dims.
-    """
-    plan: LayerPlan
-    dtype: jnp.dtype = jnp.float32
-    phase_decompose: bool = False
+class _ConvParams(nn.Module):
+    """Parameter holder: the (k, k, Cin, Cout) kernel + bias, in the same
+    tree position/layout as the round-1 nn.Conv / _DeconvLayer params, so
+    checkpoints are independent of the (packed/subpixel/matmul) lowering."""
+    kshape: Tuple[int, int, int, int]
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        pl = self.plan
-        k, p, s, op = pl.kernel_size, pl.padding, pl.stride, pl.output_padding
-        in_ch = x.shape[-1]
-        kernel = self.param('kernel', nn.initializers.lecun_normal(),
-                            (k, k, in_ch, pl.out_channels), jnp.float32)
-        bias = self.param('bias', nn.initializers.zeros, (pl.out_channels,), jnp.float32)
-        x = x.astype(self.dtype)
-        kern = kernel.astype(self.dtype)
-        if s > 1 and self.phase_decompose:
-            y = _phase_deconv(x, kern, k, p, s, op)
-        else:
-            pad = (k - 1 - p, k - 1 - p + op)
-            y = lax.conv_general_dilated(
-                x, kern, window_strides=(1, 1), padding=[pad, pad],
-                lhs_dilation=(s, s),
-                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
-        return y + bias.astype(self.dtype)
+    def __call__(self):
+        kern = self.param('kernel', nn.initializers.lecun_normal(),
+                          self.kshape, jnp.float32)
+        bias = self.param('bias', nn.initializers.zeros,
+                          (self.kshape[-1],), jnp.float32)
+        return kern, bias
+
+
+def _flipped_1x1_kernel(kern: jax.Array, k: int, p: int, h_out: int) -> jax.Array:
+    """(h_out, h_out, Cin, Cout) gather of K[A-m, A-n] (zero where invalid)."""
+    A = k - 1 - p
+    rows = []
+    zero = jnp.zeros_like(kern[0])
+    for m in range(h_out):
+        cols = [kern[A - m, A - n] if 0 <= A - m < k and 0 <= A - n < k
+                else zero for n in range(h_out)]
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
 
 
 def _phase_deconv(x: jax.Array, kernel: jax.Array, k: int, p: int, s: int,

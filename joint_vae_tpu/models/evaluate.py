@@ -50,7 +50,7 @@ class EvalOutput:
 
 
 def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
-             expand_x_classes: bool, mutable):
+             expand_x_classes: bool, mutable, decode_mean: bool = True):
     """Run features -> encode -> sample -> decode -> classify through a
     single bound module so BN/dropout state works; returns raw tensors."""
     cfg = model.cfg
@@ -70,8 +70,11 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
             # training never consumes the mean-sample reconstruction
             # (losses use x_reco[1:], ref cvae.py:649-660) — skip decoding
             # sample 0 under train: ~1/(L+1) of the decode FLOPs/bytes saved
-            # (half, at the reference's default train L=1).
-            x_reco = mdl.decode(z if not train else z[1:], train)
+            # (half, at the reference's default train L=1).  Scoring-only
+            # callers (OOD engines) pass decode_mean=False for the same
+            # saving at eval (1/17 of the decode at the default test L=16).
+            x_reco = mdl.decode(z if (decode_mean and not train) else z[1:],
+                                train)
         else:
             x_reco = x
         logits = mdl.classify(z)
@@ -100,7 +103,8 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
              L: Optional[int] = None,
              compute_iws: Optional[bool] = None,
              prior_override: Optional[Tuple[PriorConfig, Dict[str, jax.Array]]] = None,
-             return_bn_updates: bool = False):
+             return_bn_updates: bool = False,
+             decode_mean: bool = True):
     """Evaluate a batch; returns EvalOutput (and BN updates if requested).
 
     x: (N, *input_shape); y: (N,) int labels or None (per-class evaluation).
@@ -132,7 +136,8 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
 
     (x_reco, logits, mu, log_var, z, eps_norm, sigma_coded), bn_updates = _forward(
         model, variables, x, y_fwd, rng=rng, train=train, L=L, sampled=sampled,
-        expand_x_classes=x_rep, mutable=return_bn_updates)
+        expand_x_classes=x_rep, mutable=return_bn_updates,
+        decode_mean=decode_mean)
 
     losses: Dict[str, jax.Array] = {}
     measures: Dict[str, jax.Array] = {}
@@ -144,8 +149,9 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
 
     log_iws = None
     if cfg.x_is_generated:
-        # sampled reconstructions (sample 0 = mean is not decoded in train)
-        x_reco_s = x_reco if train else x_reco[1:]
+        # sampled reconstructions (sample 0 = mean is not decoded in train
+        # or when the caller asked to skip it)
+        x_reco_s = x_reco[1:] if (decode_mean and not train) else x_reco
         # ---- sigma resolution (ref cvae.py:626-675) ----
         if scfg.coded:
             out_dim = scfg.output_dim

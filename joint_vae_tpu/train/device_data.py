@@ -41,6 +41,27 @@ class DeviceDataset:
     def __len__(self):
         return self.n
 
+    def shuffled(self, key) -> Tuple[jax.Array, jax.Array]:
+        """One materialized on-device shuffle per epoch.
+
+        A per-step random gather of the batch (take with a permutation
+        window) costs ~2.5x the train step on a v5e — scattered rows defeat
+        the DMA engines.  Shuffling the whole array once (~two sequential
+        copies of the dataset, amortized over an epoch of steps) lets each
+        step read its batch with a contiguous dynamic_slice instead."""
+        perm = jax.random.permutation(key, self.n)
+        return _shuffle(self.x, self.y, perm)
+
+    def epoch_view(self, key=None):
+        if key is None:
+            return self.x, self.y
+        return self.shuffled(key)
+
+
+@jax.jit
+def _shuffle(x, y, perm):
+    return jnp.take(x, perm, axis=0), jnp.take(y, perm, axis=0)
+
 
 def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
                            batch_size: int,
@@ -53,10 +74,11 @@ def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
     cfg = model.cfg
     has_bn = cfg.has_batch_norm
 
-    def step(state: TrainState, data_x, data_y, perm, i):
-        idx = jax.lax.dynamic_slice_in_dim(perm, i * batch_size, batch_size)
-        x = jnp.take(data_x, idx, axis=0)
-        y = jnp.take(data_y, idx, axis=0)
+    def step(state: TrainState, data_x, data_y, i):
+        # data_x/data_y are pre-shuffled per epoch (DeviceDataset.shuffled);
+        # the batch read is a contiguous dynamic_slice.
+        x = jax.lax.dynamic_slice_in_dim(data_x, i * batch_size, batch_size)
+        y = jax.lax.dynamic_slice_in_dim(data_y, i * batch_size, batch_size)
         rng, sub = jax.random.split(state.rng)
         kl_w = warmup_weight(state.epoch, warmup)
         g_w = warmup_weight(state.epoch, warmup_gamma)
@@ -115,10 +137,10 @@ def train_epochs_on_device(job, dataset: ArrayDataset, epochs: int,
             epoch=jnp.asarray(epoch, jnp.int32),
             opt_state=set_learning_rate(state.opt_state,
                                         job.opt_cfg.lr_at_epoch(epoch)))
-        perm = jax.random.permutation(jax.random.fold_in(pkey, epoch), dd.n)
+        ex, ey = dd.shuffled(jax.random.fold_in(pkey, epoch))
         acc: Dict[str, float] = {}
         for i in range(steps_per_epoch):
-            state, metrics = step(state, dd.x, dd.y, perm, i)
+            state, metrics = step(state, ex, ey, i)
         last = jax.device_get({k: v for k, v in metrics.items()})
         job.train_history[epoch + 1] = {
             'train_loss': {k: float(v) for k, v in last.items()
