@@ -50,7 +50,7 @@ def _sample_dir(job: Job, epoch: int) -> Optional[str]:
 
 
 def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
-                  methods: Sequence[str] = ()):
+                  methods: Sequence[str] = (), mesh=None):
     """Jitted scoring programs: evaluate (+ ODIN grid) + all score measures —
     scores stay on device, one host transfer per set.
 
@@ -76,10 +76,15 @@ def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
                                 temps=sorted(temps) or None,
                                 eps_grid=sorted(eps) or None)
 
+    constrain_z = None
+    if mesh is not None:
+        from ..parallel.mesh import sample_constraint
+        constrain_z = sample_constraint(mesh)
+
     def _one(variables, x, key):
         out = evaluate(model, variables, x, None, rng=key,
                        sigma_state=sigma_state, train=False,
-                       decode_mean=False)
+                       decode_mean=False, constrain_z=constrain_z)
         losses = dict(out.losses)
         if odin is not None:
             losses.update(odin(variables, x, key))
@@ -106,7 +111,7 @@ _SCAN_CHUNK = 16         # batches per compiled scan dispatch
 def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
                     batch_size: int, recorder: Optional[LossRecorder],
                     eval_batch, eval_scan, odin, key,
-                    num_batch: Optional[int] = None):
+                    num_batch: Optional[int] = None, mesh=None):
     """Run the model over a dataset; returns {method: np(N,)} scores and the
     (optionally filled) recorder.
 
@@ -116,6 +121,14 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
     across dispatches; the host pull happens once at the end
     (tunnel/transfer friendly)."""
     variables = job.state.variables
+    put_b = put_s = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        tail = [None] * len(dataset.shape)
+        sh_b = NamedSharding(mesh, P('data', *tail))          # (B, ...)
+        sh_s = NamedSharding(mesh, P(None, 'data', *tail))    # (nb, B, ...)
+        put_b = lambda a: jax.device_put(jnp.asarray(a), sh_b)  # noqa: E731
+        put_s = lambda a: jax.device_put(jnp.asarray(a), sh_s)  # noqa: E731
     loader = DataLoader(dataset, batch_size, shuffle=False,
                         seed=((recorder.restore_seed() or 0)
                               if recorder is not None else 0),
@@ -134,7 +147,7 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
         run = run[:next((j for j, b in enumerate(run)
                          if b[0].shape[0] != batch_size), len(run))]
         if len(run) >= 2:
-            xs = jnp.asarray(np.stack([b[0] for b in run]))
+            xs = put_s(np.stack([b[0] for b in run]))
             keys = jax.vmap(jax.random.fold_in, (None, 0))(
                 key, jnp.arange(idx, idx + len(run)))
             losses, logits, scores = eval_scan(variables, xs, keys)
@@ -143,7 +156,7 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
         else:
             x, y = batches[idx]
             losses, logits, scores = eval_batch(
-                variables, jnp.asarray(x), jax.random.fold_in(key, idx))
+                variables, put_b(x), jax.random.fold_in(key, idx))
             for m in methods:
                 per_method[m].append(scores[m])
         if recorder is not None:
@@ -186,6 +199,7 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                         from_where: Sequence[str] = ('json', 'recorders',
                                                      'compute'),
                         key: Optional[jax.Array] = None,
+                        mesh=None,
                         outputs=None) -> Dict[str, Dict[str, dict]]:
     """OOD scores + ROC for the test set against each OOD set.
 
@@ -267,7 +281,7 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                  if any(m in ms for _, ms in to_compute)]
         has_odin = any(m.startswith('odin') for m in union)
         eval_batch, eval_scan, odin = _make_eval_fn(
-            job.model, job.state.sigma_state, has_odin, union)
+            job.model, job.state.sigma_state, has_odin, union, mesh=mesh)
         for s, ms in to_compute:
             rec = None
             rec_path = (os.path.join(sdir, 'record-{}.npz'.format(s.name))
@@ -277,7 +291,7 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                 rec.init_seed_for_dataloader(0)
             scored = _collect_scores(job, s, ms, batch_size, rec,
                                      eval_batch, eval_scan, odin, key,
-                                     num_batch)
+                                     num_batch, mesh=mesh)
             measures.setdefault(s.name, {}).update(scored)
             if rec is not None:
                 rec.save(rec_path)

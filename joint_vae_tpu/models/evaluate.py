@@ -50,7 +50,8 @@ class EvalOutput:
 
 
 def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
-             expand_x_classes: bool, mutable, decode_mean: bool = True):
+             expand_x_classes: bool, mutable, decode_mean: bool = True,
+             constrain_z=None):
     """Run features -> encode -> sample -> decode -> classify through a
     single bound module so BN/dropout state works; returns raw tensors."""
     cfg = model.cfg
@@ -66,6 +67,10 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
         key = mdl.make_rng('sampling')
         dist = 'uniform' if cfg.prior.distribution == 'uniform' else 'gaussian'
         z, eps = reparameterize(key, mu, log_var, L, dist, sampled)
+        if constrain_z is not None:
+            # large-L eval: pin the sample axis to the mesh 'sample' dim so
+            # the (L+1)-wide decode shards over it (parallel/mesh.py)
+            z = constrain_z(z)
         if cfg.x_is_generated:
             # training never consumes the mean-sample reconstruction
             # (losses use x_reco[1:], ref cvae.py:649-660) — skip decoding
@@ -104,7 +109,8 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
              compute_iws: Optional[bool] = None,
              prior_override: Optional[Tuple[PriorConfig, Dict[str, jax.Array]]] = None,
              return_bn_updates: bool = False,
-             decode_mean: bool = True):
+             decode_mean: bool = True,
+             constrain_z=None):
     """Evaluate a batch; returns EvalOutput (and BN updates if requested).
 
     x: (N, *input_shape); y: (N,) int labels or None (per-class evaluation).
@@ -137,7 +143,7 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
     (x_reco, logits, mu, log_var, z, eps_norm, sigma_coded), bn_updates = _forward(
         model, variables, x, y_fwd, rng=rng, train=train, L=L, sampled=sampled,
         expand_x_classes=x_rep, mutable=return_bn_updates,
-        decode_mean=decode_mean)
+        decode_mean=decode_mean, constrain_z=constrain_z)
 
     losses: Dict[str, jax.Array] = {}
     measures: Dict[str, jax.Array] = {}

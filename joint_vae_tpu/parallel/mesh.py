@@ -25,15 +25,41 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Sequence[str] = ('data', 'model'),
               model_axis: int = 1,
+              sample_axis: int = 1,
               devices=None) -> Mesh:
     """Mesh over the first n devices: ('data', 'model') with the model axis
-    sized ``model_axis`` (1 = pure DP)."""
+    sized ``model_axis`` (1 = pure DP).  ``sample_axis > 1`` adds a third
+    'sample' axis for sharding the L latent-sample dim during large-L
+    evaluation (SURVEY section 7 stage 6; the reference tests at L up to
+    128-256, config.ini:28,96 — at that width the (L, N) eval grid is the
+    dominant axis and deserves its own mesh dim)."""
     devices = list(devices if devices is not None else jax.devices())
     n = n_devices or len(devices)
     devices = devices[:n]
-    assert n % model_axis == 0, (n, model_axis)
+    assert n % (model_axis * sample_axis) == 0, (n, model_axis, sample_axis)
+    if sample_axis > 1:
+        arr = np.array(devices).reshape(
+            n // (model_axis * sample_axis), model_axis, sample_axis)
+        return Mesh(arr, axis_names=tuple(axis_names) + ('sample',))
     arr = np.array(devices).reshape(n // model_axis, model_axis)
     return Mesh(arr, axis_names=tuple(axis_names))
+
+
+def sample_constraint(mesh: Mesh):
+    """with_sharding_constraint callable for eval tensors carrying the
+    latent-sample axis first and the batch axis second-to-last:
+    z (L+1, [C,] N, K) -> P('sample', ..., 'data', None).  Returns None when
+    the mesh has no 'sample' axis (nothing to constrain — GSPMD already
+    propagates the batch sharding)."""
+    if 'sample' not in mesh.axis_names or mesh.shape['sample'] == 1:
+        return None
+
+    def constrain(z):
+        spec = ['sample'] + [None] * (z.ndim - 3) + ['data', None]
+        return jax.lax.with_sharding_constraint(
+            z, NamedSharding(mesh, P(*spec)))
+
+    return constrain
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

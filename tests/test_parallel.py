@@ -104,3 +104,31 @@ def test_eval_engine_under_dp_mesh():
     v = f(variables, xb)
     assert v.shape == (C, 32)
     assert np.isfinite(np.asarray(v)).all()
+
+
+def test_sample_axis_mesh_eval_matches_unsharded():
+    """A ('data','model','sample') mesh shards the eval sample axis; OOD
+    scores and AUC match the unsharded engine bit-for-bit."""
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    from joint_vae_tpu.evals.engines import ood_detection_rates
+
+    job, _ = _setup()
+    rng = np.random.default_rng(3)
+
+    def synth(name, seed, n=32):
+        r = np.random.default_rng(seed)
+        return ArrayDataset(
+            r.uniform(0, 1, (n, *INPUT_SHAPE)).astype(np.float32),
+            r.integers(0, C, n).astype(np.int32), name, synthetic=True)
+
+    mesh = make_mesh(8, model_axis=2, sample_axis=2)
+    assert mesh.shape == {'data': 2, 'model': 2, 'sample': 2}
+    kw = dict(testset=synth('t', 1), oodsets=[synth('o', 2)], batch_size=8,
+              method=['elbo', 'iws'], recording=False, update_self_ood=False,
+              from_where=('compute',))
+    sharded = ood_detection_rates(job, mesh=mesh, **kw)
+    plain = ood_detection_rates(job, **kw)
+    for m in ('elbo', 'iws'):
+        assert sharded['o'][m]['auc'] == plain['o'][m]['auc']
+        np.testing.assert_allclose(sharded['o'][m]['mean'],
+                                   plain['o'][m]['mean'], rtol=1e-6)
