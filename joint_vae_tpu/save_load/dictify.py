@@ -144,11 +144,23 @@ def available_results(job: Job,
 
 
 def make_dict_from_model(job: Job, directory: Optional[str] = None,
-                         wanted_epoch='last') -> Dict[str, Any]:
-    """Flat ~summary dict per job (ref dictify.py:474-876)."""
+                         wanted_epoch='last', tpr: float = 0.95,
+                         oodsets: Optional[Sequence[str]] = None
+                         ) -> Dict[str, Any]:
+    """Flat summary dict per job (ref dictify.py:474-876).
+
+    Key families: identity/arch, training hyper-parameters, history-derived
+    metrics at the wanted epoch (test/train/validation losses, rmse/dB,
+    bits-per-dim nll), accuracy per predict method, and per-(ood set, method)
+    auc / fpr@tpr / n / mean / std grids plus the cross-set 'average'.
+    ``wanted_epoch`` may be an int, 'last', or 'min-loss' (the early-stopping
+    epoch cached in train_params, ref utils/testing.py).
+    """
     cfg = job.model_cfg
     tp = job.training_parameters
     opt = job.opt_cfg
+    if wanted_epoch == 'min-loss':
+        wanted_epoch = tp.get('early-min-loss', 'last')
     if wanted_epoch == 'last':
         wanted_epoch = job.trained
 
@@ -197,12 +209,26 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
         'data_augmentation': '-'.join(tp.get('data_augmentation') or []) or 'none',
         'epochs': tp.get('epochs', 0),
         'done': job.trained,
-        'trained': job.trained,
+        # fraction of the planned run (ref 'trained', dictify.py:826)
+        'trained': (job.trained / tp['epochs'] if tp.get('epochs')
+                    else float(job.trained > 0)),
         'finished': job.trained >= (tp.get('epochs') or 0),
         'validation': tp.get('validation', 0),
+        'has_validation': False,
+        'full_test_every': tp.get('full_test_every'),
+        'warmup': (tp.get('warmup') or (0, 0))[-1],
+        'warmup_gamma': (tp.get('warmup_gamma') or (0, 0))[-1],
+        'transformer': tp.get('transformer', 'default'),
+        'train_batch_size': tp.get('batch_size'),
+        'rep': cfg.representation,
+        'epoch': wanted_epoch,
+        'early_min_loss': tp.get('early-min-loss'),
+        'optim_str': '{} lr={:g}'.format(opt.optim_type, opt.lr),
         'wim': bool(tp.get('wim')),
         'wim_prior': (tp.get('wim') or {}).get('distribution'),
         'wim_mean': (tp.get('wim') or {}).get('init_mean'),
+        'wim_sets': '-'.join(sorted((tp.get('wim') or {}).get('sets', [])))
+                    or None,
         'wim_alpha': None,
         'version': cfg.version,
     }
@@ -210,27 +236,117 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
         if isinstance(ft, dict) and ft.get('type') == 'wim':
             d['wim_alpha'] = ft.get('alpha')
 
-    # accuracy summaries at the closest epoch
+    # name grammar: heldout classes + the parent set (ref dictify.py:810-813)
+    try:
+        from ..data.registry import get_heldout_classes_by_name
+        parent, heldout = get_heldout_classes_by_name(d['set'] or '')
+        d['parent_set'] = parent
+        d['heldout'] = tuple(sorted(heldout))
+    except Exception:
+        d['parent_set'], d['heldout'] = d['set'], ()
+
+    # sentinels (ref fetch.py:260-285, cvae.py:2713-2722)
+    jdir = d['dir']
+    for sentinel, key in (('RESUMED', 'is_resumed'), ('derailed', 'derailed'),
+                          ('deleted', 'deleted')):
+        d[key] = bool(jdir) and os.path.exists(os.path.join(jdir, sentinel))
+
+    # sigma summary (ref dictify.py:684-700)
+    scfg = cfg.sigma_cfg
+    d['sigma_size'] = 'M' if scfg.per_dim else 'S'
+    d['beta_sigma'] = (scfg.value * (cfg.beta ** 0.5)
+                       if not scfg.is_rmse else None)
+
+    # ---- history-derived metrics at the closest history epoch ------------
+    # (ref dictify.py:656-682: rmse/dB at epoch, test/train/validation loss,
+    # bits-per-dim nll from the iws estimate)
+    import numpy as np
+    hist_epochs = [e for e in job.train_history
+                   if isinstance(e, int) and isinstance(job.train_history[e],
+                                                        dict)]
+    d['recorded_epoch'] = None
+    if job.saved_dir:
+        sd = os.path.join(job.saved_dir, 'samples')
+        if os.path.isdir(sd):
+            rec_epochs = [int(x) for x in os.listdir(sd) if x.isdigit()
+                          and os.listdir(os.path.join(sd, x))]
+            if rec_epochs:
+                d['recorded_epoch'] = min(
+                    rec_epochs, key=lambda e: abs(e - wanted_epoch))
+    if hist_epochs:
+        he = min(hist_epochs, key=lambda e: abs(e - wanted_epoch))
+        h = job.train_history[he]
+        d['history_epoch'] = he
+        d['lr_at_epoch'] = h.get('lr')
+        for split in ('train', 'test', 'validation'):
+            losses = h.get('{}_loss'.format(split)) or {}
+            for comp in ('total', 'kl', 'zdist', 'iws', 'cross_x'):
+                if comp in losses:
+                    d['{}_{}'.format(split, comp)] = losses[comp]
+            if split != 'validation' and 'total' in losses:
+                d['{}_loss'.format(split)] = losses['total']
+        if 'validation_loss' in h:
+            d['has_validation'] = True
+            d['validation_loss'] = (h['validation_loss'] or {}).get('total')
+        measures = h.get('test_measures') or h.get('train_measures') or {}
+        for k in ('rmse', 'dB', 'sigma', 'mse'):
+            if k in measures:
+                d[k] = measures[k]
+        if 'test_zdist' in d:
+            d['test_zdist'] = float(np.sqrt(max(d['test_zdist'], 0.0)))
+        # bits-per-dim from the iws evidence estimate (ref dictify.py:672-678)
+        iws = (h.get('test_loss') or {}).get('iws')
+        if iws is not None:
+            D = 1
+            for s_ in cfg.input_shape:
+                D *= s_
+            nll = -iws / np.log(2) / D
+            if cfg.type in ('cvae', 'xvae'):
+                nll += np.log2(cfg.num_labels) / D
+            d['nll'] = float(nll)
+        if 'kl' not in d and 'test_kl' in d:
+            d['kl'] = d['test_kl']
+
+    # ---- accuracy per predict method at the closest epoch ----------------
     epoch = _closest(job.testing, wanted_epoch)
     if epoch is not None:
+        n_tested = []
         for m, r in job.testing[epoch].items():
             if isinstance(r, dict) and 'accuracy' in r:
                 d['accuracy_{}'.format(m)] = r['accuracy']
+                n_tested.append(r.get('n', 0))
         accs = [v for k, v in d.items() if k.startswith('accuracy_')]
         if accs:
-            d['accuracy'] = max(accs)
+            d['accuracy'] = d['best_accuracy'] = max(accs)
             d['accuracy_epoch'] = epoch
+            d['n_tested'] = min(n_tested) if n_tested else 0
+            first = (cfg.predict_methods or [None])[0]
+            if 'accuracy_{}'.format(first) in d:
+                d['accuracy_first'] = d['accuracy_{}'.format(first)]
 
-    # ood summaries: best auc per set
+    # ---- per-(ood set, method) grids + best-method summary ----------------
     epoch = _closest(job.ood_results, wanted_epoch)
     if epoch is not None:
+        per_set_best = {}
         for s, per_method in job.ood_results[epoch].items():
             aucs = {m: r.get('auc') for m, r in per_method.items()
                     if isinstance(r, dict) and r.get('auc') is not None}
+            for m, r in per_method.items():
+                if not isinstance(r, dict):
+                    continue
+                base = 'ood_{}_{}'.format(s, m)
+                for k in ('auc', 'n', 'mean', 'std'):
+                    if r.get(k) is not None:
+                        d['{}_{}'.format(base, k)] = r[k]
+                f = _fpr_at(r, tpr)
+                if f is not None:
+                    d['{}_fpr{}'.format(base, int(round(100 * tpr)))] = f
             if aucs:
                 best = max(aucs, key=aucs.get)
+                per_set_best[s] = (aucs[best], best, per_method[best])
                 d['ood_{}_auc'.format(s)] = aucs[best]
                 d['ood_{}_method'.format(s)] = best
+                d['ood_{}_n'.format(s)] = per_method[best].get('n')
                 r = per_method[best]
                 if r.get('fpr') and r.get('tpr'):
                     # one column per kept-TPR grid point (fpr90..fpr99),
@@ -239,7 +355,42 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
                         tt = int(round(100 * t))
                         if abs(100 * t - tt) < 1e-6:
                             d['ood_{}_fpr{}'.format(s, tt)] = f
+        # cross-set average over the requested (or all) ood sets
+        # (ref average_ood_results, dictify.py:552-565)
+        avg_over = [s for s in (oodsets or per_set_best) if s in per_set_best]
+        if avg_over:
+            d['ood_average_auc'] = float(
+                np.mean([per_set_best[s][0] for s in avg_over]))
+            tt = int(round(100 * tpr))
+            fprs = [d.get('ood_{}_fpr{}'.format(s, tt)) for s in avg_over]
+            fprs = [f for f in fprs if f is not None]
+            if fprs:
+                d['ood_average_fpr{}'.format(tt)] = float(np.mean(fprs))
+            d['ood_average_over'] = '-'.join(sorted(avg_over))
+
+    # ---- misclassification detection per predict method -------------------
+    # (ref in_out 'errors-' rows, dictify.py:574-585)
+    epoch = _closest(job.testing, wanted_epoch)
+    if epoch is not None:
+        for pm, r in job.testing[epoch].items():
+            if not isinstance(r, dict):
+                continue
+            for mm, rr in r.items():
+                if isinstance(rr, dict) and rr.get('auc') is not None:
+                    base = 'errors_{}_{}'.format(pm, mm)
+                    d['{}_auc'.format(base)] = rr['auc']
+                    f = _fpr_at(rr, tpr)
+                    if f is not None:
+                        d['{}_fpr{}'.format(base,
+                                             int(round(100 * tpr)))] = f
     return d
+
+
+def _fpr_at(r: dict, tpr: float) -> Optional[float]:
+    for t, f in zip(r.get('tpr') or [], r.get('fpr') or []):
+        if abs(t - tpr) < 1e-4:
+            return f
+    return None
 
 
 def _closest(results: Dict, wanted: int) -> Optional[int]:

@@ -198,7 +198,17 @@ def train_model(job: Job,
 
         if validationset is not None:
             checkpoint['validation_loss'] = _mean_losses(
-                model, state, validationset, test_batch_size, epoch)
+                model, state, validationset, test_batch_size, epoch)[0]
+        # test losses/measures at full-test epochs and the last epoch (the
+        # history-derived summary keys — rmse/dB/test_loss at epoch — feed
+        # make_dict_from_model, ref dictify.py:656-676)
+        if testset is not None and (
+                epoch == epochs - 1
+                or (epoch - first_epoch) % full_test_every == full_test_every - 1):
+            tl, tm = _mean_losses(model, state, testset, test_batch_size,
+                                  epoch)
+            checkpoint['test_loss'] = tl
+            checkpoint['test_measures'] = tm
         job.train_history[epoch + 1] = checkpoint
         job.train_history['epochs'] = epoch + 1
         if fine_tuning:
@@ -222,25 +232,38 @@ def train_model(job: Job,
 
 
 def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
-                 batch_size: int, epoch: int) -> Dict[str, float]:
-    """Mean per-component losses with labels (validation tracking)."""
+                 batch_size: int, epoch: int):
+    """-> (mean per-component losses, mean measures incl. rmse/dB) with
+    labels (validation/test history tracking)."""
 
     @jax.jit
     def eval_batch(variables, x, y, k):
         out = evaluate(model, variables, x, y, rng=k,
                        sigma_state=state.sigma_state, train=False)
-        return {k_: jnp.mean(v) for k_, v in out.losses.items()}
+        return ({k_: jnp.mean(v) for k_, v in out.losses.items()},
+                {k_: jnp.mean(v) for k_, v in out.measures.items()})
 
     sums: Dict[str, float] = {}
+    msums: Dict[str, float] = {}
     n = 0
     loader = DataLoader(dataset, batch_size, shuffle=False)
     for i, (x, y) in enumerate(loader):
         k = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
-        m = eval_batch(state.variables, jnp.asarray(x), jnp.asarray(y), k)
+        m, meas = eval_batch(state.variables, jnp.asarray(x), jnp.asarray(y), k)
         for k_, v in m.items():
             sums[k_] = sums.get(k_, 0.0) + float(v)
+        for k_, v in meas.items():
+            msums[k_] = msums.get(k_, 0.0) + float(v)
         n += 1
-    return {k_: v / max(n, 1) for k_, v in sums.items()}
+    losses = {k_: v / max(n, 1) for k_, v in sums.items()}
+    measures = {k_: v / max(n, 1) for k_, v in msums.items()}
+    if 'mse' in measures:
+        measures['rmse'] = float(np.sqrt(max(measures['mse'], 0.0)))
+        if measures.get('xpow'):
+            # SNR in dB (ref metric, cvae.py:97-101)
+            measures['dB'] = float(10 * np.log10(
+                measures['xpow'] / max(measures['mse'], 1e-30)))
+    return losses, measures
 
 
 class _NullSignal:

@@ -114,3 +114,22 @@ def test_grid_cli(tmp_path, capsys):
     assert main([str(g)]) == 0
     out = capsys.readouterr().out
     assert out.count('cli.train') == 2
+
+
+def test_results_cli_comparison(job_dir, tmp_path):
+    """Comparison mode: one table per INI, sections as columns, rows acc +
+    ood sets + average, best-in-row bolding (ref results/__main__.py)."""
+    ini = tmp_path / 'cmp.ini'
+    ini.write_text('[DEFAULT]\ndataset = mnist\nood = fashion letters\n'
+                   'tpr = 95\naverage = average fashion letters\n'
+                   '[cvae-g]\nset = mnist\ntype = cvae\n')
+    from joint_vae_tpu.cli.results import main
+    assert main([str(ini), '--job-dir', job_dir,
+                 '--out-dir', str(tmp_path)]) == 0
+    tex = (tmp_path / 'cmp-tab.tex').read_text()
+    assert 'acc' in tex and 'fashion' in tex
+    assert r'\bfseries' in tex           # single section: its values are best
+    assert r'\cmidrule' in tex or r'\midrule' in tex
+    assert '% ' in tex                    # job-list comments
+    tab = (tmp_path / 'cmp-tab.tab').read_text()
+    assert 'cvae-g-rate' in tab and 'average' in tab
