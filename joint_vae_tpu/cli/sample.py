@@ -53,12 +53,18 @@ def main(argv=None):
         grid = reconstruction_grid(job, x, y, L=args.L,
                                    key=jax.random.PRNGKey(args.seed))
         save_grid_image(grid, os.path.join(out_dir, 'reco-{}'.format(dataset)))
-        if 'correct' in grid and grid['correct'].any() and (~grid['correct']).any():
-            for name, m in (('correct', grid['correct']),
-                            ('incorrect', ~grid['correct'])):
-                g = {k: (v[..., m, :, :, :] if v.ndim >= 4 else v[m])
-                     for k, v in grid.items() if k != 'correct'}
-                save_grid_image(g, os.path.join(out_dir, 'reco-{}'.format(name)))
+        # correct / incorrect rows pooled across the whole test set
+        # (ref module/sample.py:437-466)
+        from ..evals.sample import select_correct_incorrect
+        pools = select_correct_incorrect(job, testset, args.N,
+                                         key=jax.random.PRNGKey(args.seed))
+        for name, (xp, yp) in pools.items():
+            if not len(xp):
+                continue
+            g = reconstruction_grid(job, xp, yp, L=args.L,
+                                    key=jax.random.PRNGKey(args.seed))
+            g.pop('correct', None)
+            save_grid_image(g, os.path.join(out_dir, 'reco-{}'.format(name)))
 
     if 'ood' in args.grids:
         for n in testset.same_size[:2]:

@@ -45,6 +45,49 @@ def reconstruction_grid(job: Job, x: np.ndarray, y: Optional[np.ndarray] = None,
     return grid
 
 
+def select_correct_incorrect(job: Job, dataset, n: int,
+                             batch_size: int = 256, key=None,
+                             max_batches: int = 64):
+    """Scan a dataset until n correctly- and n incorrectly-classified
+    inputs are pooled (ref module/sample.py:437-466: the reference walks
+    the test loader accumulating both pools before building its 'correct'
+    and 'incorrect' grids).  -> {'correct': (x, y), 'incorrect': (x, y)}
+    (pools may be shorter than n if the set runs out)."""
+    from ..data.loaders import DataLoader
+    from ..ops.scores import predict_after_evaluate
+    key = key if key is not None else jax.random.PRNGKey(3)
+    model = job.model
+    if not model.cfg.predict_methods:
+        return {}
+
+    @jax.jit
+    def pred(variables, x, k):
+        out = evaluate(model, variables, x, None, rng=k,
+                       sigma_state=job.state.sigma_state, train=False,
+                       decode_mean=False)
+        return predict_after_evaluate(model.cfg, out.logits, out.losses,
+                                      model.cfg.predict_methods[0])
+
+    pools = {'correct': ([], []), 'incorrect': ([], [])}
+
+    def have(name):
+        return sum(len(a) for a in pools[name][0])
+
+    loader = DataLoader(dataset, batch_size, shuffle=False)
+    for i, (x, y) in enumerate(loader):
+        if i >= max_batches or all(have(nm) >= n for nm in pools):
+            break
+        y_ = np.asarray(pred(job.state.variables, jnp.asarray(x),
+                             jax.random.fold_in(key, i)))
+        ok = y_ == np.asarray(y)
+        for name, m in (('correct', ok), ('incorrect', ~ok)):
+            if have(name) < n and m.any():
+                pools[name][0].append(np.asarray(x)[m])
+                pools[name][1].append(np.asarray(y)[m])
+    return {name: (np.concatenate(xs)[:n], np.concatenate(ys)[:n])
+            for name, (xs, ys) in pools.items() if xs}
+
+
 def generation_grid(job: Job, n_per_class: int = 8, key=None,
                     use_class_means: bool = True) -> np.ndarray:
     """Decode z ~ prior; (C or 1, n, C_img, H, W) (ref sample.py:88-140)."""

@@ -49,6 +49,12 @@ def test_sample_cli(job_dir):
     assert os.path.exists(os.path.join(out, 'reco-mnist.npz'))
     assert os.path.exists(os.path.join(out, 'generation.npz'))
     assert os.path.exists(os.path.join(out, 'hist-of-var.dat'))
+    assert os.path.exists(os.path.join(out, 'mu-sigma-scatter.dat'))
+    # correct/incorrect pools scanned across the test set
+    assert os.path.exists(os.path.join(out, 'reco-correct.npz'))
+    assert os.path.exists(os.path.join(out, 'reco-incorrect.npz'))
+    # per-class latent exports (the reference's per-class coloring)
+    assert os.path.exists(os.path.join(out, 'hist-of-var-0.dat'))
 
     # comparison grid (self-compare collapses to one row; still writes)
     assert main(['1', '--job-dir', job_dir, '--grids', '-N', '4',
