@@ -331,7 +331,27 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
         job.ood_results.setdefault(epoch, {})
         for s_name, rs in fresh.items():
             job.ood_results[epoch].setdefault(s_name, {}).update(rs)
+    if outputs is not None:
+        # one grouped live row per OOD set (ref EpochOutput fpr columns)
+        for s_name, rs in results.items():
+            fpr95 = {m: _fpr_at_95(r) for m, r in rs.items()
+                     if isinstance(r, dict)}
+            aucs = {m: r.get('auc') for m, r in rs.items()
+                    if isinstance(r, dict)}
+            outputs.results(0, 1, epoch, epoch,
+                            preambule='ood:' + s_name,
+                            accuracy={'auc:' + m: v
+                                      for m, v in list(aucs.items())[:4]},
+                            fpr={m: v for m, v in list(fpr95.items())[:4]
+                                 if v is not None})
     return results
+
+
+def _fpr_at_95(r: dict):
+    for t, f in zip(r.get('tpr') or [], r.get('fpr') or []):
+        if abs(t - 0.95) < 1e-6:
+            return f
+    return None
 
 
 def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
@@ -469,6 +489,9 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
         rec.save(os.path.join(sdir, 'record-{}.npz'.format(testset.name)))
 
     computed = {m: n_correct[m] / max(n_total, 1) for m in predict_methods}
+    if outputs is not None and computed:
+        outputs.results(0, 1, epoch, epoch, preambule='test',
+                        accuracy=computed)
     if update_self_testing:
         job.testing.setdefault(epoch, {})
         for m in predict_methods:
