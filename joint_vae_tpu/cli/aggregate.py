@@ -58,6 +58,13 @@ def main(argv=None):
     p.add_argument('--ood', action='store_true')
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--dataset-size', type=int, default=None)
+    p.add_argument('--record', action='store_true',
+                   help='record per-sample Im-{T} tensors per set into '
+                        '<job-dir>/<set>/<j1|j2>/record-<set>.npz '
+                        '(ref module/aggregation.py:219; consumed by '
+                        'results.mutual_info)')
+    p.add_argument('-T', '--temps', nargs='*', type=float,
+                   default=[1.0, 2.0, 5.0])
     p.add_argument('-v', '--verbose', action='count', default=0)
     args = p.parse_args(argv)
     set_log(args.verbose)
@@ -93,6 +100,39 @@ def main(argv=None):
                                                           all_posts[k]))
                for k in range(len(jobs))]
         print('  job {:>6}: {}'.format(jobs[i].job_number, ' '.join(row)))
+
+    if args.record:
+        if len(jobs) != 2:
+            sys.exit('--record needs exactly two jobs')
+        import os
+        from ..evals.aggregation import latent_mutual_info_tensors
+        from ..save_load.recorders import LossRecorder
+        out_dir = os.path.join(
+            args.job_dir, name,
+            '|'.join(str(n) for n in sorted(args.jobs)))
+        os.makedirs(out_dir, exist_ok=True)
+        sets = [testset]
+        if args.ood:
+            for ood_name in testset.same_size:
+                try:
+                    _, s = get_dataset(ood_name, splits=['test'],
+                                       size=args.dataset_size)
+                    sets.append(s)
+                except Exception:
+                    continue
+        for s in sets:
+            rec = LossRecorder(args.batch_size)
+            for i, (x, yb) in enumerate(DataLoader(s, args.batch_size,
+                                                   shuffle=False)):
+                Im, y_hat = latent_mutual_info_tensors(
+                    jobs[0], jobs[1], x, temps=args.temps,
+                    key=jax.random.fold_in(key, 31 + i))
+                rec.append_batch(
+                    **{'Im-{:g}'.format(T): v for T, v in Im.items()},
+                    y_=y_hat, y_true=np.asarray(yb))
+            path = os.path.join(out_dir, 'record-{}.npz'.format(s.name))
+            rec.save(path)
+            print('recorded Im tensors for {} -> {}'.format(s.name, path))
 
     if args.ood:
         for ood_name in testset.same_size[:3]:

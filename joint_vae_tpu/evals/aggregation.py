@@ -51,6 +51,48 @@ def ensemble_predict(scores: Sequence[np.ndarray], method: str = 'elbo'
     return ensemble_posterior(scores, method).argmax(0)
 
 
+def latent_mutual_info_tensors(job1, job2, x, temps=(1.0, 2.0, 5.0),
+                               key=None):
+    """Per-sample latent agreement Im(T) between two conditional jobs
+    (ref latent_mutual_info, module/aggregation.py:70-111): each model's
+    latent samples z_l score every class through its prior log-density,
+    p_i(y|z;T) = softmax_C(log p(z|y)/T), and
+    Im(T)[n] = E_{l1,l2}[log sum_y p_1(y|z_l1;T) p_2(y|z_l2;T)] — the log
+    probability both posteriors agree on a label.
+
+    -> ({T: (N,) float32}, y_ ensemble prediction of model 1).
+    """
+    import jax
+    import jax.numpy as jnp
+    from ..models.evaluate import evaluate
+    from ..ops.priors import prior_log_density
+
+    key = key if key is not None else jax.random.PRNGKey(0)
+    log_ps = []
+    y_ = None
+    for i, job in enumerate((job1, job2)):
+        out = evaluate(job.model, job.state.variables, jnp.asarray(x), None,
+                       rng=jax.random.fold_in(key, i),
+                       sigma_state=job.state.sigma_state, train=False,
+                       decode_mean=False)
+        z1 = out.z[1:].astype(jnp.float32)            # (L, N, K)
+        lp = prior_log_density(job.model_cfg.prior, job.state.params['prior'],
+                               z1, all_classes=True)  # (C, L, N)
+        lp = jnp.moveaxis(lp, 0, 1)                   # (L, C, N)
+        log_ps.append(lp)
+        if i == 0:
+            y_ = np.asarray(jnp.argmax(jnp.mean(lp, axis=0), axis=0))
+    Im = {}
+    for T in temps:
+        p1 = jax.nn.softmax(log_ps[0] / T, axis=1)
+        p2 = jax.nn.softmax(log_ps[1] / T, axis=1)
+        agree = jnp.einsum('acn,bcn->abn', p1, p2)    # (L1, L2, N)
+        Im[T] = np.asarray(jnp.mean(
+            jnp.log(jnp.maximum(agree, 1e-30)), axis=(0, 1)),
+            dtype=np.float32)
+    return Im, y_
+
+
 def compute_latent_mutual_info(p1: np.ndarray, p2: np.ndarray) -> float:
     """I between two models' label posteriors p(y|z) of shape (C, N):
     joint = E_n[p1(:, n) outer p2(:, n)] (ref aggregation.py:60-111)."""

@@ -139,3 +139,19 @@ def test_results_cli_comparison(job_dir, tmp_path):
     assert '% ' in tex                    # job-list comments
     tab = (tmp_path / 'cmp-tab.tab').read_text()
     assert 'cvae-g-rate' in tab and 'average' in tab
+
+
+def test_aggregate_record_and_mutual_info(job_dir, capsys):
+    """Im-(T) recording (aggregate --record) + the recorded-Im table
+    pipeline (ref results/mutual_info.py)."""
+    from joint_vae_tpu.cli.aggregate import main as agg_main
+    assert agg_main(['1', '1', '--job-dir', job_dir, '--methods', 'elbo',
+                     '--batch-size', '48', '--dataset-size', '96',
+                     '--record', '-T', '1', '2']) == 0
+    rec_dir = os.path.join(job_dir, 'mnist', '1|1')
+    assert os.path.exists(os.path.join(rec_dir, 'record-mnist.npz'))
+
+    from joint_vae_tpu.results.mutual_info import main as mi_main
+    assert mi_main([rec_dir]) == 0
+    out = capsys.readouterr().out
+    assert 'Im[ok]' in out and 'acc' in out
