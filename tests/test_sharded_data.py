@@ -58,3 +58,27 @@ def test_sharded_loader_feeds_train_step():
         n_batches += 1
     assert n_batches == 4
     assert np.isfinite(float(m['total']))
+
+
+def test_device_dataset_uint8_auto_storage():
+    """8-bit-quantized [0,1] data is stored as uint8 on device and
+    normalizes back exactly; non-quantized data stays float."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    from joint_vae_tpu.train.device_data import DeviceDataset
+
+    rng = np.random.default_rng(0)
+    q = rng.integers(0, 256, (32, 1, 4, 4)).astype(np.float32) / 255.0
+    ds = ArrayDataset(q, rng.integers(0, 3, 32).astype(np.int32), 'q')
+    dd = DeviceDataset(ds)
+    assert dd.x.dtype == jnp.uint8
+    np.testing.assert_allclose(
+        np.asarray(dd.x, np.float32) / 255.0, q, rtol=0, atol=1e-7)
+    ex, ey = dd.shuffled(jax.random.PRNGKey(0))
+    assert ex.dtype == jnp.uint8 and ex.shape == dd.x.shape
+
+    f = rng.uniform(0, 1, (8, 1, 4, 4)).astype(np.float32)
+    df = DeviceDataset(ArrayDataset(f, np.zeros(8, np.int32), 'f'))
+    assert df.x.dtype == jnp.float32
