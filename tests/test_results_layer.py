@@ -178,3 +178,63 @@ def test_cascad():
     ps = [p / p.sum(0) for p in ps]
     it = iterate_with_prior(ps)
     np.testing.assert_allclose(it.sum(0), 1.0, rtol=1e-6)
+
+
+def test_textab_rich_features():
+    """Round-2 TexTab surface: multicolumn spans, faces, na_rep, cmidrule,
+    custom column separators, comments (ref texify.py:346-790)."""
+    t = TexTab('l', 'r', 'r', na_rep='--')
+    t.append_cell('', 'meta')
+    t.append_cell('grp', 'meta', width=2)
+    for c in ('a', 'x', 'y'):
+        t.append_cell(c, 'h')
+    t.add_midrule('h', after=True)
+    t.append_cell('r1', 'row1')
+    t.append_cell(1.0, 'row1', face='bf')
+    t.append_cell(None, 'row1')
+    t.add_midrule('row1', after=False, start=1)
+    t.add_col_sep(2, '/')
+    t.comment('jobs: 1 2 3')
+    s = t.render()
+    assert r'\multicolumn{2}{c}{grp}' in s
+    assert r'\bfseries' in s and '--' in s
+    assert r'\cmidrule(l){2-3}' in s
+    assert '@{/}' in s
+    assert '% jobs: 1 2 3' in s
+
+
+def test_texify_best_in_group_bolding():
+    df = results_dataframe([_model_dict(1, acc=0.9), _model_dict(2, acc=0.8)])
+    tex = texify_test_results_df(df, best_in_group=True)
+    assert tex.count(r'\bfseries') >= 1
+
+
+def test_dict_history_derived_keys():
+    """make_dict_from_model history-derived metrics (ref dictify.py:656-682)."""
+    import jax
+    from joint_vae_tpu.models.cvnet import CVNetConfig
+    from joint_vae_tpu.ops.priors import PriorConfig
+    from joint_vae_tpu.ops.sigma import SigmaConfig
+    from joint_vae_tpu.save_load.jobs import new_job
+    from joint_vae_tpu.save_load.dictify import make_dict_from_model
+    from joint_vae_tpu.train.optimizers import OptimizerConfig
+
+    cfg = CVNetConfig(input_shape=(1, 4, 4), num_labels=2, type='cvae',
+                      encoder=(8,), decoder=(8,), latent_dim=4,
+                      latent_sampling=1, sigma=SigmaConfig(value=0.5),
+                      prior=PriorConfig(dim=4, num_priors=2))
+    job = new_job(cfg, OptimizerConfig(lr=1e-3), key=jax.random.PRNGKey(0))
+    job.training_parameters.update(set='mnist', epochs=2, batch_size=8)
+    job.train_history[2] = {
+        'train_loss': {'total': 5.0},
+        'test_loss': {'total': 4.0, 'iws': -100.0, 'kl': 1.0},
+        'test_measures': {'mse': 0.01, 'rmse': 0.1, 'dB': 12.0},
+        'lr': 1e-3}
+    job.train_history['epochs'] = 2
+    d = make_dict_from_model(job)
+    assert d['test_loss'] == 4.0 and d['train_loss'] == 5.0
+    assert d['rmse'] == 0.1 and d['dB'] == 12.0
+    assert d['trained'] == 1.0 and d['finished']
+    D = 16
+    assert abs(d['nll'] - (100.0 / np.log(2) / D + np.log2(2) / D)) < 1e-9
+    assert d['kl'] == 1.0 and d['lr_at_epoch'] == 1e-3
