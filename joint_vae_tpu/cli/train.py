@@ -73,6 +73,8 @@ def main(argv=None):
             'set': args.dataset, 'transformer': args.transformer,
             'epochs': args.epochs, 'batch_size': args.batch_size,
             'validation': args.validation})
+        if args.freeze:
+            job.training_parameters['frozen_modules'] = list(args.freeze)
         dataset = args.dataset
         save_dir = save_dir_for(job, args.job_dir, args.latent_sampling,
                                 args.data_augmentation)

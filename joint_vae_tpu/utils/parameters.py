@@ -134,6 +134,11 @@ def add_training_args(parser: argparse.ArgumentParser):
     t.add_argument('--grad-clipping', type=float, default=0.0)
     t.add_argument('--seed', type=int, default=0)
     t.add_argument('--fine-tuning', action='store_true')
+    t.add_argument('--freeze', nargs='*', default=[],
+                   help='module names whose params never train (ref '
+                        'pretrained feature/upsampler freezing, '
+                        'module/vae_layers/conv.py:237-243), e.g. '
+                        '--freeze features upsampler')
 
     t.add_argument('--dataset-size', type=int, default=None,
                    help='cap train/test sizes (smoke tests)')
