@@ -53,6 +53,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
         ctypes.c_void_p, ctypes.c_void_p,
         ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
         ctypes.c_uint64, ctypes.c_int, ctypes.c_int]
+    lib.jvt_batcher_create_v2.restype = ctypes.c_void_p
+    lib.jvt_batcher_create_v2.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p,
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_int64, ctypes.c_int64,
+        ctypes.c_uint64, ctypes.c_int, ctypes.c_int,
+        ctypes.c_void_p, ctypes.c_void_p]
     lib.jvt_batcher_destroy.argtypes = [ctypes.c_void_p]
     lib.jvt_batcher_start_epoch.argtypes = [ctypes.c_void_p, ctypes.c_uint64,
                                             ctypes.c_int]
@@ -69,25 +76,47 @@ def available() -> bool:
 
 
 class NativeBatcher:
-    """Owns a native handle over pinned dataset arrays."""
+    """Owns a native handle over pinned dataset arrays.
+
+    ``data`` may be float32 in [0,1] or uint8 (stored as-is; uint8 quarters
+    host RAM for imagenet-scale sets and is scaled by 1/255 during
+    assembly).  ``out_shape=(h, w)`` enables fused bilinear resize;
+    ``mean``/``std`` (per channel) a fused normalize — both applied in the
+    same multithreaded gather pass as shuffle/flip/crop."""
 
     def __init__(self, data: np.ndarray, labels: np.ndarray, seed: int = 0,
-                 hflip: bool = False, crop_pad: int = 0):
+                 hflip: bool = False, crop_pad: int = 0,
+                 out_shape: Optional[Tuple[int, int]] = None,
+                 mean: Optional[np.ndarray] = None,
+                 std: Optional[np.ndarray] = None):
         lib = get_lib()
         if lib is None:
             raise RuntimeError('native batcher not available')
         self._lib = lib
         # keep references: the native side does not copy
-        self._data = np.ascontiguousarray(data, np.float32)
+        is_u8 = np.asarray(data).dtype == np.uint8
+        self._data = np.ascontiguousarray(data,
+                                          np.uint8 if is_u8 else np.float32)
         self._labels = np.ascontiguousarray(labels, np.int32)
         n, c, h, w = self._data.shape
-        self.shape = (c, h, w)
+        oh, ow = out_shape if out_shape else (h, w)
+        self.shape = (c, oh, ow)
         self.n = n
-        self._h = lib.jvt_batcher_create(
-            self._data.ctypes.data_as(ctypes.c_void_p),
+        self._mean = (np.ascontiguousarray(mean, np.float32)
+                      if mean is not None else None)
+        self._std = (np.ascontiguousarray(std, np.float32)
+                     if std is not None else None)
+
+        def _ptr(a):
+            return (a.ctypes.data_as(ctypes.c_void_p) if a is not None
+                    else None)
+
+        self._h = lib.jvt_batcher_create_v2(
+            self._data.ctypes.data_as(ctypes.c_void_p), int(is_u8),
             self._labels.ctypes.data_as(ctypes.c_void_p),
-            n, c, h, w, seed & 0xffffffffffffffff,
-            int(bool(hflip)), int(crop_pad))
+            n, c, h, w, oh, ow, seed & 0xffffffffffffffff,
+            int(bool(hflip)), int(crop_pad), _ptr(self._mean),
+            _ptr(self._std))
 
     def start_epoch(self, epoch: int, shuffle: bool = True):
         self._lib.jvt_batcher_start_epoch(self._h, epoch, int(bool(shuffle)))
