@@ -118,6 +118,8 @@ class EpochOutput:
         if signature != self._signature:
             self._signature = signature
             header = self._header_lines(len(lead), groups, time_per_i > 0)
+        file_header = (header if header is not None else
+                       self._header_lines(len(lead), groups, time_per_i > 0))
 
         cells = [lead]
         for g, d in groups:
@@ -141,8 +143,14 @@ class EpochOutput:
                 pass
         if last:
             for f in self.files:
-                if header:
-                    f.write('\n'.join(header) + '\n')
+                # files only receive end-of-epoch rows; give each its own
+                # header whenever the signature it last saw differs
+                if getattr(f, '_jvt_sig', None) != signature:
+                    f.write('\n'.join(file_header) + '\n')
+                    try:
+                        f._jvt_sig = signature
+                    except AttributeError:
+                        pass
                 f.write(line + '\n')
                 f.flush()
 
