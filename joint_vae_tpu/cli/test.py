@@ -40,6 +40,9 @@ def main(argv=None):
     p.add_argument('--agg', action='store_true', help='mean/std aggregation')
     p.add_argument('--tex', default=None)
     p.add_argument('--tab', default=None)
+    p.add_argument('--best', action='store_true',
+                   help='bold the best value per metric column in the .tex '
+                        '(max accuracy/auc, min fpr)')
     p.add_argument('--export-losses', action='store_true',
                    help='write per-job recorded losses as losses-<set>.tab '
                         '(ref utils/tables.py:26-83)')
@@ -129,7 +132,8 @@ def main(argv=None):
     except Exception:
         print(with_all)
     if args.tex or args.tab:
-        texify_test_results_df(df, tex_file=args.tex, tab_file=args.tab)
+        texify_test_results_df(df, tex_file=args.tex, tab_file=args.tab,
+                               best_in_group=args.best)
     return 0
 
 

@@ -54,9 +54,16 @@ def process_directory(folder: str, tpr: float = 0.95,
 
     y_true = np.asarray(ind.get('y_true'))
     y_hat = np.asarray(ind.get('y_')) if 'y_' in ind else None
+
+    def _per_sample(rec, key):
+        """(N,) Im vector; cascade recordings stack stage pairs on a
+        leading axis (ref cascad.py:162) — averaged here."""
+        a = np.asarray(rec.get(key))
+        return a.reshape(-1, a.shape[-1]).mean(0) if a.ndim > 1 else a
+
     out: Dict = {}
     for T, key in sorted(temps.items()):
-        im = np.asarray(ind.get(key)).ravel()
+        im = _per_sample(ind, key)
         row = {'n': len(im), 'im_ind': float(im.mean())}
         if y_hat is not None:
             correct = y_hat.ravel()[:len(im)] == y_true.ravel()[:len(im)]
@@ -73,7 +80,7 @@ def process_directory(folder: str, tpr: float = 0.95,
         for s, rec in recorders.items():
             if s == dataset or key not in rec:
                 continue
-            imo = np.asarray(rec.get(key)).ravel()
+            imo = _per_sample(rec, key)
             entry = {'im': float(imo.mean())}
             if 'threshold' in row:
                 fp = int((imo >= row['threshold']).sum())
