@@ -30,6 +30,15 @@ def main(argv=None):
     p.add_argument('-N', type=int, default=512)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--out', default=None)
+    p.add_argument('--record', action='store_true',
+                   help='record per-sample latent-agreement Im-<T> tensors '
+                        'for every consecutive stage pair, stacked on a '
+                        'leading pair axis, into '
+                        '<job-dir>/<set>/<j1-j2-...>/record-<set>.npz '
+                        '(ref cascad.py:162; consumed by '
+                        'results.mutual_info)')
+    p.add_argument('-T', '--temps', nargs='*', type=float,
+                   default=[1.0, 2.0, 5.0])
     p.add_argument('-v', '--verbose', action='count', default=0)
     args = p.parse_args(argv)
     set_log(args.verbose)
@@ -79,6 +88,31 @@ def main(argv=None):
     os.makedirs(out, exist_ok=True)
     save_json(report, os.path.join(out, 'cascade.json'))
     np.savez(os.path.join(out, 'cascade-recos.npz'), recos=recos, mse=mse)
+
+    if args.record and len(jobs) >= 2:
+        from ..evals.aggregation import latent_mutual_info_tensors
+        from ..save_load.recorders import LossRecorder
+        rec_dir = os.path.join(args.job_dir, name,
+                               '-'.join(str(n) for n in args.jobs))
+        os.makedirs(rec_dir, exist_ok=True)
+        rec = LossRecorder(len(x))
+        pair_im = {T: [] for T in args.temps}
+        y_hat = None
+        for i in range(len(jobs) - 1):
+            Im, yh = latent_mutual_info_tensors(
+                jobs[i], jobs[i + 1], x, temps=args.temps,
+                key=jax.random.fold_in(jax.random.PRNGKey(args.seed), 7 + i))
+            for T in args.temps:
+                pair_im[T].append(Im[T])
+            if y_hat is None:
+                y_hat = yh
+        rec.append_batch(
+            **{'Im-{:g}'.format(T): np.stack(v) for T, v in pair_im.items()},
+            y_=y_hat, y_true=np.asarray(y))
+        path = os.path.join(rec_dir, 'record-{}.npz'.format(name))
+        rec.save(path)
+        print('recorded stage-pair Im tensors -> {}'.format(path))
+
     print('written to {}'.format(out))
     return 0
 

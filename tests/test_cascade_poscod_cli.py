@@ -44,3 +44,22 @@ def test_poscod_cli(job_dir, capsys):
     from joint_vae_tpu.save_load.fetch import find_by_job_number
     j = find_by_job_number(job_dir, 1, load_state=False)
     assert 'llr' in j.ood_results[j.trained]['fashion']
+
+
+def test_cascade_record_im(job_dir, capsys):
+    """--record writes stage-pair-stacked Im-<T> tensors that the
+    mutual-info table pipeline consumes (ref cascad.py:162)."""
+    from joint_vae_tpu.cli.cascade import main
+    assert main(['1', '2', '--job-dir', job_dir, '-N', '64',
+                 '--record', '-T', '1', '2']) == 0
+    rec = os.path.join(job_dir, 'mnist', '1-2', 'record-mnist.npz')
+    assert os.path.exists(rec)
+    import numpy as np
+    from joint_vae_tpu.save_load.recorders import LossRecorder
+    r = LossRecorder.load(rec)
+    assert np.asarray(r.get('Im-1')).shape == (1, 64)   # (pairs, N)
+
+    from joint_vae_tpu.results.mutual_info import main as mi_main
+    assert mi_main([os.path.join(job_dir, 'mnist', '1-2')]) == 0
+    out = capsys.readouterr().out
+    assert 'Im[ok]' in out
