@@ -61,10 +61,13 @@ def grad_mask(model: CVNet, params, frozen_modules=()) -> Dict[str, Any]:
     cfg.sigma.learned (ref requires_grad semantics); ``frozen_modules``
     (pretrained features/upsampler, ref conv.py:237-243) never train."""
     cfg = model.cfg
-    frozen = set(frozen_modules)
+    frozen = tuple(frozen_modules)
 
     def mask_for(path_names, leaf):
-        if frozen and frozen.intersection(path_names):
+        # prefix match: 'features' freezes 'features_stack' etc. (user-facing
+        # module names are shorter than some internal flax scope names)
+        if frozen and any(str(n).startswith(f) for n in path_names
+                          for f in frozen):
             return 0.0
         if 'prior' in path_names:
             if 'mean' in path_names:

@@ -97,3 +97,44 @@ def test_early_stopping_from_history():
     j = J()
     assert cache_early_stopping(j) == 2
     assert j.training_parameters['early-min-loss'] == 2
+
+
+def test_frozen_modules_never_train():
+    """training_parameters['frozen_modules'] (the --freeze CLI flag) pins
+    those modules' params exactly (ref pretrained freezing semantics)."""
+    import jax
+    import numpy as np
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    from joint_vae_tpu.models.cvnet import CVNetConfig
+    from joint_vae_tpu.ops.priors import PriorConfig
+    from joint_vae_tpu.ops.sigma import SigmaConfig
+    from joint_vae_tpu.save_load.jobs import new_job
+    from joint_vae_tpu.train.optimizers import OptimizerConfig
+    from joint_vae_tpu.train.trainer import train_model
+    from joint_vae_tpu.utils.print_log import EpochOutput
+
+    cfg = CVNetConfig(input_shape=(3, 8, 8), num_labels=3, type='cvae',
+                      features='[x3+1]8-8:2',
+                      upsampler='[x3+1]8x2+0-8:2++1-!3x3+1',
+                      encoder=(8,), decoder=(36,), classifier=(4,),
+                      latent_dim=4, latent_sampling=1, gamma=10.0, beta=1e-2,
+                      sigma=SigmaConfig(value=0.3),
+                      prior=PriorConfig(dim=4, num_priors=3))
+    job = new_job(cfg, OptimizerConfig(lr=1e-2), key=jax.random.PRNGKey(0))
+    job.training_parameters.update({'set': 'd', 'epochs': 1, 'batch_size': 16,
+                                    'frozen_modules': ['features']})
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.uniform(0, 1, (32, 3, 8, 8)).astype(np.float32),
+                      rng.integers(0, 3, 32).astype(np.int32), 'd')
+    before = jax.device_get(job.state.params)
+    train_model(job, ds, None, [], epochs=1, batch_size=16,
+                final_test=False, final_ood=False,
+                outputs=EpochOutput(stdout=False))
+    after = jax.device_get(job.state.params)
+    feats_b = jax.tree.leaves(before['features_stack'])
+    feats_a = jax.tree.leaves(after['features_stack'])
+    for a, b in zip(feats_a, feats_b):
+        np.testing.assert_array_equal(a, b)
+    enc_b = jax.tree.leaves(before['encoder'])
+    enc_a = jax.tree.leaves(after['encoder'])
+    assert any(not np.array_equal(a, b) for a, b in zip(enc_a, enc_b))
