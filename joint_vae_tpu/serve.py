@@ -50,7 +50,8 @@ class Scorer:
         @jax.jit
         def run(variables, x, key):
             out = evaluate(model, variables, x, None, rng=key,
-                           sigma_state=sigma_state, train=False, L=self.L)
+                           sigma_state=sigma_state, train=False, L=self.L,
+                           decode_mean=False)
             scores = batch_dist_measures(cfg, out.logits, out.losses, methods)
             label = predict_after_evaluate(cfg, out.logits, out.losses, pm)
             conf = jnp.max(jax.nn.softmax(out.logits, axis=-1), axis=-1)
