@@ -14,12 +14,14 @@ accumulator over l — one HBM pass over z, no (L, C, N) intermediate.
 
 Falls back to interpret mode off-TPU (tests run it on CPU).
 
-Status (measured on the v5e, L=16 N=512 C=100 K=128): XLA's own fusion of
-the reference combine runs ~0.9ms/call vs ~8.4ms for this kernel — at the
-problem sizes this model family produces, the (L, C, N) intermediate fits
-comfortably and XLA's schedule wins, so the kernel is an opt-in
-(``evaluate`` keeps the XLA path).  Revisit when L*C*N grows by ~100x
-(e.g. imagenet-1k classes x large eval L).
+Status (measured on the v5e): XLA's own fusion of the matmul-decomposed
+combine wins at every scale this model family produces — 0.9 ms vs 8.4 ms
+at L=16/N=512/C=100/K=128, and 2.1 ms vs 27.8 ms at L=64/C=1000 (the
+imagenet-class revisit; the (L, N, C) intermediate is 131 MB there and XLA
+still streams it faster than this kernel's per-l (Nt, K)x(K, Ct) matmuls
+fill the MXU).  Kept as a parity-tested opt-in; the L axis is chunked
+through a third grid dim with VMEM scratch accumulators, so arbitrarily
+large L compiles (a single-slab version OOMed VMEM at L=64).
 """
 
 import functools
@@ -35,14 +37,24 @@ _LOG_2PI = math.log(2 * math.pi)
 
 
 def _iws_kernel(z_ref, logpxq_ref, mean_ref, s2_ref, const_ref, out_ref,
-                *, L: int, ref_mode: bool):
-    """Grid: (C tiles, N tiles).
-    z: (L, Nt, K); logpxq: (L, Nt); mean: (Ct, K); s2, const: (Ct, 1).
-    out: (Ct, Nt)."""
+                m_sc, s_sc, *, L: int, Lc: int, n_lc: int, ref_mode: bool):
+    """Grid: (C tiles, N tiles, L chunks) — the L axis runs innermost, so
+    the VMEM scratch (running max / running sum per (Ct, Nt) tile) carries
+    the online log-mean-exp across chunks and only an Lc-deep z slab is
+    resident at a time (no VMEM ceiling at large L).
+    z: (Lc, Nt, K); logpxq: (Lc, Nt); mean: (Ct, K); s2, const: (Ct, 1);
+    out: (Ct, Nt).  Padded l entries carry logpxq = -1e30 and vanish from
+    the sum; the mean divides by the true L."""
+    l_blk = pl.program_id(2)
     mean = mean_ref[:]                                   # (Ct, K)
     s2 = s2_ref[:]                                       # (Ct, 1)
     const = const_ref[:]                                 # (Ct, 1)
     m_norm2 = jnp.sum(jnp.square(mean), axis=-1, keepdims=True)  # (Ct, 1)
+
+    @pl.when(l_blk == 0)
+    def _init():
+        m_sc[:] = jnp.full(m_sc.shape, -1e30, m_sc.dtype)
+        s_sc[:] = jnp.zeros(s_sc.shape, s_sc.dtype)
 
     def logw(l):
         z = z_ref[l]                                     # (Nt, K)
@@ -51,10 +63,6 @@ def _iws_kernel(z_ref, logpxq_ref, mean_ref, s2_ref, const_ref, out_ref,
         mahala = s2 * (zz - 2.0 * zm + m_norm2)
         return logpxq_ref[l][None, :] + const - 0.5 * mahala
 
-    w0 = logw(0)
-    run_max = w0
-    run_sum = jnp.ones_like(w0)
-
     def body(l, carry):
         run_max, run_sum = carry
         w = logw(l)
@@ -62,13 +70,18 @@ def _iws_kernel(z_ref, logpxq_ref, mean_ref, s2_ref, const_ref, out_ref,
         run_sum = run_sum * jnp.exp(run_max - new_max) + jnp.exp(w - new_max)
         return new_max, run_sum
 
-    run_max, run_sum = jax.lax.fori_loop(1, L, body, (run_max, run_sum))
-    mean_exp = run_sum / L
-    if ref_mode:
-        # published estimator: mean(exp(delta)) + max (cvae.py:870)
-        out_ref[:] = mean_exp + run_max
-    else:
-        out_ref[:] = jnp.log(mean_exp) + run_max
+    run_max, run_sum = jax.lax.fori_loop(0, Lc, body, (m_sc[:], s_sc[:]))
+    m_sc[:] = run_max
+    s_sc[:] = run_sum
+
+    @pl.when(l_blk == n_lc - 1)
+    def _finish():
+        mean_exp = s_sc[:] / L
+        if ref_mode:
+            # published estimator: mean(exp(delta)) + max (cvae.py:870)
+            out_ref[:] = mean_exp + m_sc[:]
+        else:
+            out_ref[:] = jnp.log(mean_exp) + m_sc[:]
 
 
 def _pad_to(x, axis, mult, value=0.0):
@@ -99,26 +112,33 @@ def iws_fused(z: jax.Array, log_pxq: jax.Array, mean: jax.Array,
 
     bc = min(block_c, max(8, C))
     bn = min(block_n, max(128, N))
-    z_p = _pad_to(z.astype(jnp.float32), 1, bn)
-    lp_p = _pad_to(log_pxq.astype(jnp.float32), 1, bn)
+    Lc = min(8, L) if L % 8 == 0 or L > 8 else L
+    z_p = _pad_to(_pad_to(z.astype(jnp.float32), 1, bn), 0, Lc)
+    # padded l rows: logpxq = -1e30 -> zero weight in the online sum
+    lp_p = _pad_to(_pad_to(log_pxq.astype(jnp.float32), 1, bn),
+                   0, Lc, value=-1e30)
     mean_p = _pad_to(mean.astype(jnp.float32), 0, bc)
     s2_p = _pad_to(s2c, 0, bc)
     const_p = _pad_to(const, 0, bc, value=-1e30)  # padded classes -> -inf-ish
-    Np, Cp = z_p.shape[1], mean_p.shape[0]
+    Np, Cp, Lp = z_p.shape[1], mean_p.shape[0], z_p.shape[0]
+    n_lc = Lp // Lc
 
-    grid = (Cp // bc, Np // bn)
+    grid = (Cp // bc, Np // bn, n_lc)
     out = pl.pallas_call(
-        functools.partial(_iws_kernel, L=L, ref_mode=ref_mode),
+        functools.partial(_iws_kernel, L=L, Lc=Lc, n_lc=n_lc,
+                          ref_mode=ref_mode),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((L, bn, K), lambda i, j: (0, j, 0)),
-            pl.BlockSpec((L, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((bc, K), lambda i, j: (i, 0)),
-            pl.BlockSpec((bc, 1), lambda i, j: (i, 0)),
-            pl.BlockSpec((bc, 1), lambda i, j: (i, 0)),
+            pl.BlockSpec((Lc, bn, K), lambda i, j, l: (l, j, 0)),
+            pl.BlockSpec((Lc, bn), lambda i, j, l: (l, j)),
+            pl.BlockSpec((bc, K), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((bc, 1), lambda i, j, l: (i, 0)),
+            pl.BlockSpec((bc, 1), lambda i, j, l: (i, 0)),
         ],
-        out_specs=pl.BlockSpec((bc, bn), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((bc, bn), lambda i, j, l: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Cp, Np), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bc, bn), jnp.float32),
+                        pltpu.VMEM((bc, bn), jnp.float32)],
         interpret=interpret,
     )(z_p, lp_p, mean_p, s2_p, const_p)
     return out[:C, :N]
