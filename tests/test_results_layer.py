@@ -238,3 +238,36 @@ def test_dict_history_derived_keys():
     D = 16
     assert abs(d['nll'] - (100.0 / np.log(2) / D + np.log2(2) / D)) < 1e-9
     assert d['kl'] == 1.0 and d['lr_at_epoch'] == 1e-3
+
+
+def test_comparison_table_two_sections(tmp_path):
+    """Two model groups -> one table; per-row best bolding picks the right
+    winner per metric (min fpr, max auc/acc)."""
+    import configparser
+    from joint_vae_tpu.cli.results import comparison_table
+
+    cp = configparser.ConfigParser()
+    cp.read_dict({
+        'DEFAULT': {'dataset': 'd', 'ood': 'o1 o2', 'tpr': '95',
+                    'average': 'average o1 o2'},
+        'ga': {'prior': 'gaussian'},
+        'ti': {'prior': 'tilted'},
+    })
+
+    def model(job, prior, acc, fpr1, auc1, fpr2, auc2):
+        return {'job': job, 'set': 'd', 'prior': prior, 'accuracy': acc,
+                'ood_o1_fpr95': fpr1, 'ood_o1_auc': auc1,
+                'ood_o2_fpr95': fpr2, 'ood_o2_auc': auc2}
+
+    models = [model(1, 'gaussian', 0.9, 0.30, 0.80, 0.50, 0.70),
+              model(2, 'gaussian', 0.8, 0.40, 0.90, 0.40, 0.80),
+              model(3, 'tilted', 0.7, 0.10, 0.95, 0.60, 0.60)]
+    tex_path = comparison_table(cp, models, str(tmp_path), 'cmp')
+    tex = open(tex_path).read()
+    # tilted wins o1 fpr (10.0 bold), gaussian wins acc (85.0 mean bold)
+    assert r'\bfseries 10.0' in tex
+    assert r'\bfseries 85.0' in tex
+    # average row present, both sections as columns
+    assert 'average' in tex and 'ga' in tex and 'ti' in tex
+    tab = open(tex_path.replace('.tex', '.tab')).read()
+    assert 'ga-rate' in tab and 'ti-auc' in tab
