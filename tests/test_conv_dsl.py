@@ -119,3 +119,23 @@ def test_batch_norm_stack():
     y, updates = stack.apply(variables, x, train=True, mutable=['batch_stats'])
     assert y.shape == (2, 4, 4, 4)
     assert 'batch_stats' in updates
+
+
+def test_packing_factor_decision():
+    """The static packing decision (models/conv.py): decoder-only, pure
+    (de)conv stacks with even intermediate dims; BN / pooling / input
+    stacks / mismatched deconv strides refuse."""
+    from joint_vae_tpu.models.conv import conv_stack_plan, ConvStack
+
+    def stack(arch, where, shape=(3, 32, 32)):
+        _, plans, _ = conv_stack_plan(shape, arch, where=where)
+        return ConvStack(input_shape=shape, plans=plans, where=where)
+
+    # deconv32 from (64,1,1): packs at the default f=2
+    s = stack('deconv32', 'output', (64, 1, 1))
+    assert s._packing_factor() == 2
+    # input stacks never pack (measured loss, see BENCH.md)
+    assert stack('conv32', 'input')._packing_factor() == 0
+    # pooling layers are phase-coupled -> no packing
+    assert stack('[x3+1]8-m:2-8', 'output',
+                 (3, 8, 8))._packing_factor() == 0
