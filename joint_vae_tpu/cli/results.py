@@ -50,7 +50,24 @@ TABLE_OPTIONS = {'tpr', 'agg', 'index', 'out', 'best',
 def _section_models(models, opts) -> List[Dict]:
     filter_keys = {k: v for k, v in opts.items() if k not in TABLE_OPTIONS}
     flt = filters_from_dict(filter_keys)
-    return [m for m in models if flt(m) and not m.get('derailed')]
+    group = [m for m in models if flt(m) and not m.get('derailed')]
+    epoch = opts.get('epoch')
+    if epoch and epoch != 'last':
+        # per-section epoch selection ('min-loss' = the cached
+        # early-stopping epoch, or an int; ref results/__main__.py:113-119)
+        from ..save_load.dictify import make_dict_from_model
+        from ..save_load.jobs import load_job
+        wanted = epoch if epoch == 'min-loss' else int(epoch)
+        rebuilt = []
+        for m in group:
+            try:
+                job = load_job(m['dir'], load_state=False, ghost=True)
+                rebuilt.append(make_dict_from_model(job, m['dir'],
+                                                    wanted_epoch=wanted))
+            except Exception:
+                rebuilt.append(m)
+        group = rebuilt
+    return group
 
 
 def _cell(m: Dict, set_name: str, metric: str, method: str, tt: int,
