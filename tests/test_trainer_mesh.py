@@ -49,3 +49,41 @@ def test_train_model_on_mesh():
     sh = job.state.params['prior']['mean'].sharding
     from jax.sharding import PartitionSpec as P
     assert getattr(sh, 'spec', None) == P('model')
+
+
+def test_checkpoint_reshard_roundtrip(tmp_path):
+    """Checkpoint written under a ('data' x 'model'=2) mesh restores and
+    continues training under a pure-DP mesh (reshard-on-restore)."""
+    import jax
+    import numpy as np
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    from joint_vae_tpu.parallel.mesh import make_mesh
+    from joint_vae_tpu.save_load.jobs import save_job, load_job
+    from joint_vae_tpu.train.trainer import train_model
+    from joint_vae_tpu.utils.print_log import EpochOutput
+
+    cfg = CVNetConfig(input_shape=INPUT_SHAPE, num_labels=C, type='cvae',
+                      encoder=(16,), decoder=(16,), classifier=(8,),
+                      latent_dim=8, latent_sampling=1, gamma=10.0, beta=1e-2,
+                      sigma=SigmaConfig(value=0.3),
+                      prior=PriorConfig(dim=8, num_priors=C, init_mean=1.0,
+                                        learned_means=True))
+    job = new_job(cfg, OptimizerConfig(lr=3e-3), key=jax.random.PRNGKey(0))
+    job.training_parameters.update({'set': 'blobs', 'epochs': 2,
+                                    'batch_size': 16})
+    ds = _dataset(32)
+    m2 = make_mesh(8, model_axis=2)
+    train_model(job, ds, None, [], epochs=1, batch_size=16, mesh=m2,
+                final_test=False, final_ood=False,
+                outputs=EpochOutput(stdout=False))
+    d = str(tmp_path / 'job')
+    save_job(job, d)
+
+    job2 = load_job(d)
+    m1 = make_mesh(8, model_axis=1)
+    train_model(job2, ds, None, [], epochs=2, batch_size=16, mesh=m1,
+                final_test=False, final_ood=False,
+                outputs=EpochOutput(stdout=False))
+    assert job2.trained == 2
+    tr = job2.train_history[2]['train_loss']['total']
+    assert np.isfinite(tr)
