@@ -75,7 +75,11 @@ DEFAULT_REGISTRY: Dict[str, dict] = {
     'random300k': {'shape': (3, 32, 32), 'classes': None, 'by_shape': True},
     'imagenet12': {'shape': (3, 224, 224), 'classes': None},
     # ImageNet subsets restricted by wnid class files (ref data/imagenet*.txt
-    # + ImageFolderWithClassesInFile, utils/torch_load.py:250-294).
+    # + ImageFolderWithClassesInFile, utils/torch_load.py:250-294;
+    # sets.ini [imagenet1k/20/2]).
+    'imagenet1k': {'shape': (3, 224, 224),
+                   'classes': ['c{:03d}'.format(i) for i in range(1000)],
+                   'classes_from_file': 'data/imagenet1k.txt'},
     'imagenet20': {'shape': (3, 224, 224),
                    'classes': ['c{:02d}'.format(i) for i in range(20)],
                    'classes_from_file': 'data/imagenet20.txt'},

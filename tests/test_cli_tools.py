@@ -58,3 +58,26 @@ def test_step_timer():
 def test_trace_context_noop():
     with trace(enabled=False):
         pass
+
+
+def test_every_named_config_builds():
+    """Every section of configs/default.ini must resolve to a valid model
+    config (ref config.ini named sections, ported)."""
+    import configparser
+    import os
+    from joint_vae_tpu.utils.parameters import (get_args,
+                                                model_config_from_args)
+    ini = os.path.join(os.path.dirname(__file__), '..', 'configs',
+                       'default.ini')
+    cp = configparser.ConfigParser()
+    cp.read(ini)
+    seen = 0
+    for sec in cp.sections():
+        if sec.startswith('wim'):
+            continue
+        args = get_args(['--config', sec], 'train')
+        cfg = model_config_from_args(args)
+        assert cfg.type in ('cvae', 'vae', 'jvae', 'xvae', 'vib')
+        assert cfg.latent_dim > 0
+        seen += 1
+    assert seen >= 13
