@@ -289,11 +289,19 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
             d['has_validation'] = True
             d['validation_loss'] = (h['validation_loss'] or {}).get('total')
         measures = h.get('test_measures') or h.get('train_measures') or {}
-        for k in ('rmse', 'dB', 'sigma', 'mse'):
+        for k in ('rmse', 'dB', 'mse'):
             if k in measures:
                 d[k] = measures[k]
-        if 'test_zdist' in d:
-            d['test_zdist'] = float(np.sqrt(max(d['test_zdist'], 0.0)))
+        if 'sigma' in measures:
+            # keep 'sigma' as the config descriptor (filter key); the
+            # trained value at the epoch gets its own key (ref dictify.py
+            # 'sigma at epoch' history keys)
+            d['sigma_at_epoch'] = measures['sigma']
+        for zk in ('test_zdist', 'train_zdist'):
+            if zk in d:
+                # reported as a distance, not the squared sum
+                # (ref dictify.py:844-845)
+                d[zk] = float(np.sqrt(max(d[zk], 0.0)))
         # bits-per-dim from the iws evidence estimate (ref dictify.py:672-678)
         iws = (h.get('test_loss') or {}).get('iws')
         if iws is not None:
