@@ -11,7 +11,6 @@ Per-device RNG: the step key is folded with the device's axis index so each
 shard draws independent latent noise (global-batch semantics).
 """
 
-from functools import partial
 from typing import Tuple
 
 import jax

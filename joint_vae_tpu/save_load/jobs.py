@@ -23,7 +23,6 @@ import os
 from typing import Any, Dict, Optional
 
 import jax
-import numpy as np
 
 from ..models.cvnet import CVNet, CVNetConfig
 from ..train.optimizers import OptimizerConfig

@@ -15,7 +15,6 @@ TPU-native re-design of ref ``module/optimizers.py`` (Optimizer, :14-134):
 import dataclasses
 from typing import Any, Dict, Optional
 
-import jax
 import jax.numpy as jnp
 import optax
 

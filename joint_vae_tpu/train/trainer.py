@@ -13,7 +13,6 @@ Re-design of ref ``train_model`` (cvae.py:2081-2547):
 """
 
 import logging
-import os
 import time
 from typing import Dict, Optional, Sequence
 
