@@ -139,3 +139,31 @@ def test_packing_factor_decision():
     # pooling layers are phase-coupled -> no packing
     assert stack('[x3+1]8-m:2-8', 'output',
                  (3, 8, 8))._packing_factor() == 0
+
+
+def test_packed_unpacked_same_params_same_outputs(monkeypatch):
+    """Checkpoint lowering-agnosticism: the same parameter tree produces
+    (numerically) the same decoder outputs whether executed through the
+    packed (JVT_PACK=2) or plain (JVT_PACK=0) lowering."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from joint_vae_tpu.models.conv import conv_stack_plan, ConvStack
+
+    shape = (64, 1, 1)
+    _, plans, out = conv_stack_plan(shape, 'deconv32', where='output')
+    x = jnp.asarray(np.random.default_rng(0)
+                    .standard_normal((2, *shape)).astype(np.float32))
+
+    monkeypatch.setenv('JVT_PACK', '0')
+    plain = ConvStack(input_shape=shape, plans=plans, where='output')
+    vs = plain.init(jax.random.PRNGKey(0), x)
+    y_plain = plain.apply(vs, x)
+
+    monkeypatch.setenv('JVT_PACK', '2')
+    packed = ConvStack(input_shape=shape, plans=plans, where='output')
+    y_packed = packed.apply(vs, x)          # same variables, new lowering
+
+    assert y_packed.shape == y_plain.shape == (2,) + out
+    np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_plain),
+                               rtol=2e-4, atol=2e-4)
