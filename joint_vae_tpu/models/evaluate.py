@@ -171,10 +171,14 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
             s_log = variables['params']['sigma_param'].astype(jnp.float32)
             sigma_div = jnp.exp(s_log)                       # (sdim,)
             log_sigma_sum = jnp.sum(s_log)
+            if scfg.per_dim:                 # (D,) -> image-broadcast shape
+                sigma_div = sigma_div.reshape(cfg.input_shape)
         else:
             s_dat = sigma_state.data.astype(jnp.float32)
             sigma_div = s_dat
             log_sigma_sum = jnp.sum(jnp.log(jnp.maximum(s_dat, 1e-30)))
+            if scfg.per_dim:
+                sigma_div = sigma_div.reshape(cfg.input_shape)
 
         use_unit_sigma = scfg.is_rmse or cfg.output_distribution == 'categorical'
 

@@ -107,6 +107,7 @@ def add_training_args(parser: argparse.ArgumentParser):
     l = parser.add_argument_group('loss')
     l.add_argument('--beta', type=float, default=1.0)
     l.add_argument('--gamma', type=float, default=0.0)
+    l.add_argument('--sigma-per-dim', action='store_true')
     l.add_argument('--sigma', default='1.0',
                    help='float | "learned" | "rmse" | "coded"')
     l.add_argument('--sigma-reach', type=float, default=1.0)
@@ -211,16 +212,20 @@ def model_config_from_args(args) -> 'CVNetConfig':
     prior = build_prior_config(args.latent_dim, args.prior, **prior_kw)
 
     s = str(args.sigma)
-    if s == 'learned':
-        sigma = SigmaConfig(value=1.0, learned=True)
+    D = int(shape[0] * shape[1] * shape[2])
+    sdim = D if getattr(args, 'sigma_per_dim', False) else 1
+    if s.startswith('learned'):
+        # 'learned' or 'learned--<init>' (ref train.py:141-148)
+        init = float(s.split('--')[-1]) if '--' in s else 1.0
+        sigma = SigmaConfig(value=init, learned=True, sdim=sdim)
     elif s == 'rmse':
         sigma = SigmaConfig(is_rmse=True)
     elif s == 'coded':
         sigma = SigmaConfig(input_dim=tuple(shape),
                             sdim=(int(1) if not args.coded_sigma_per_dim
-                                  else int(shape[0] * shape[1] * shape[2])))
+                                  else D))
     else:
-        sigma = SigmaConfig(value=float(s),
+        sigma = SigmaConfig(value=float(s), sdim=sdim,
                             decay=args.sigma_decay, reach=args.sigma_reach,
                             max_step=args.sigma_max_step or None)
 

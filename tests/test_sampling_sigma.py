@@ -77,3 +77,35 @@ def test_sigma_coded_dims():
     assert cfg2.output_dim == (3, 8, 8)
     st = update_sigma_coded(cfg, init_sigma_state(cfg), jnp.full((5, 1, 1, 1), 2.0))
     np.testing.assert_allclose(np.asarray(st.data), 2.0)
+
+
+def test_per_dim_sigma_cli_and_evaluate():
+    """--sigma-per-dim and the learned--<init> form (ref train.py:139-154):
+    per-dim sigma trains/evaluates with the gaussian NLL broadcast over the
+    image shape."""
+    import jax
+    import numpy as np
+    import jax.numpy as jnp
+    from joint_vae_tpu.utils.parameters import (get_args,
+                                                model_config_from_args)
+    from joint_vae_tpu.save_load.jobs import new_job
+    from joint_vae_tpu.train.optimizers import OptimizerConfig
+    from joint_vae_tpu.models.evaluate import evaluate
+
+    args = get_args(['--dataset', 'mnist', '--type', 'vae', '--sigma',
+                     'learned--0.5', '--sigma-per-dim', '-K', '8',
+                     '--encoder', '16', '--decoder', '16'], 'train')
+    cfg = model_config_from_args(args)
+    assert cfg.sigma_cfg.sdim == 784 and cfg.sigma_cfg.learned
+    job = new_job(cfg, OptimizerConfig(lr=1e-3), key=jax.random.PRNGKey(0))
+    assert job.state.params['sigma_param'].shape == (784,)
+    # init value respected (log-space param)
+    np.testing.assert_allclose(
+        np.exp(np.asarray(job.state.params['sigma_param'][0])), 0.5,
+        rtol=1e-6)
+    x = jnp.asarray(np.random.default_rng(0)
+                    .random((2, *cfg.input_shape)).astype(np.float32))
+    out = evaluate(job.model, job.state.variables, x, None,
+                   rng=jax.random.PRNGKey(1),
+                   sigma_state=job.state.sigma_state, train=False, L=2)
+    assert np.isfinite(float(jnp.mean(out.losses['total'])))
