@@ -75,13 +75,24 @@ def main(argv=None):
             'validation': args.validation})
         if args.freeze:
             job.training_parameters['frozen_modules'] = list(args.freeze)
+        if args.pretrained_features or args.pretrained_upsampler:
+            # donor checkpoints copied in and frozen (ref conv.py:237-243)
+            from ..save_load.transfer import transfer_pretrained
+            transfer_pretrained(job, features_from=args.pretrained_features,
+                                upsampler_from=args.pretrained_upsampler)
         dataset = args.dataset
         save_dir = save_dir_for(job, args.job_dir, args.latent_sampling,
                                 args.data_augmentation)
 
-    if args.show:
+    if args.show or args.dry_run:
         import json
         print(json.dumps(job.model_cfg.architecture, indent=1))
+        if not args.dry_run:
+            return 0
+
+    if args.dry_run:
+        print('dry run: job {} would train {} epochs on {} -> {}'.format(
+            job.job_number, args.epochs, args.dataset, save_dir))
         return 0
 
     trainset, testset = get_dataset(dataset, transformer=args.transformer,

@@ -135,6 +135,13 @@ def add_training_args(parser: argparse.ArgumentParser):
     t.add_argument('--grad-clipping', type=float, default=0.0)
     t.add_argument('--seed', type=int, default=0)
     t.add_argument('--fine-tuning', action='store_true')
+    t.add_argument('--pretrained-features', metavar='JOB_DIR', default=None,
+                   help='copy (and freeze) the features stack from another '
+                        "job's checkpoint (ref --pretrained-features)")
+    t.add_argument('--pretrained-upsampler', metavar='JOB_DIR', default=None)
+    t.add_argument('--dry-run', action='store_true',
+                   help='build the model and datasets, print the setup, '
+                        'exit before training (ref --dry-run)')
     t.add_argument('--freeze', nargs='*', default=[],
                    help='module names whose params never train (ref '
                         'pretrained feature/upsampler freezing, '
