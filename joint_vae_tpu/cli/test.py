@@ -43,6 +43,12 @@ def main(argv=None):
     p.add_argument('--best', action='store_true',
                    help='bold the best value per metric column in the .tex '
                         '(max accuracy/auc, min fpr)')
+    p.add_argument('--last', type=int, default=0,
+                   help='keep only the N highest job numbers (ref test.py)')
+    p.add_argument('--sort', nargs='*', default=[],
+                   help='sort rows by these flat-dict keys; a trailing "-" '
+                        'sorts descending, e.g. --sort accuracy- job '
+                        '(ref test.py --sort)')
     p.add_argument('--export-losses', action='store_true',
                    help='write per-job recorded losses as losses-<set>.tab '
                         '(ref utils/tables.py:26-83)')
@@ -57,6 +63,15 @@ def main(argv=None):
     flt = filters_from_dict(fdict) if fdict else None
 
     models = fetch_models(args.job_dir, filter=flt)
+    if args.last:
+        models = sorted(models, key=lambda m: m.get('job') or 0)[-args.last:]
+    if args.sort:
+        for key in reversed(args.sort):
+            rev = key.endswith('-')
+            k = key.rstrip('-')
+            models = sorted(models,
+                            key=lambda m: (m.get(k) is None, m.get(k)),
+                            reverse=rev)
     logging.info('%d models', len(models))
 
     where = ('json', 'recorders', 'compute') if args.compute \
@@ -119,7 +134,7 @@ def main(argv=None):
                 logging.info('losses-%s.tab written for job %s', name,
                              m.get('job'))
 
-    df = results_dataframe(refreshed)
+    df = results_dataframe(refreshed, sort_index=not args.sort)
     if df.empty:
         print('no models')
         return 0

@@ -25,11 +25,13 @@ TRAIN_COLUMNS = ['beta', 'gamma', 'sigma', 'latent_sampling', 'optim', 'lr',
 
 
 def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
-                      ood: bool = True, tpr: int = 95) -> pd.DataFrame:
+                      ood: bool = True, tpr: int = 95,
+                      sort_index: bool = True) -> pd.DataFrame:
     """Rows = jobs; columns = (group, key) MultiIndex.
 
     ``tpr`` selects which kept-TPR level's FPR column appears (the
-    reference's per-table tpr option, results/__main__.py)."""
+    reference's per-table tpr option, results/__main__.py);
+    ``sort_index=False`` keeps the caller's model order (--sort/--last)."""
     if not models:
         return pd.DataFrame()
     index = list(index or DEFAULT_INDEX)
@@ -58,7 +60,7 @@ def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
     idx_cols = [('index', k) for k in index if ('index', k) in df.columns]
     df = df.set_index(idx_cols)
     df.index.names = [k for _, k in idx_cols]
-    return df.sort_index()
+    return df.sort_index() if sort_index else df
 
 
 def auto_remove_index(df: pd.DataFrame, keep: Sequence[str] = ('job',)
