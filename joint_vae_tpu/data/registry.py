@@ -15,6 +15,7 @@ Name grammar (ref utils/torch_load.py:584-682):
 """
 
 import configparser
+import os
 import string
 from typing import Dict, List, Optional, Tuple
 
@@ -106,6 +107,11 @@ def dataset_properties(conf_file: Optional[str] = None,
     if conf_file:
         reg.update(load_registry_ini(conf_file))
     for name, p in reg.items():
+        cf = p.pop('classes_from_file', None)
+        if cf:
+            classes = _read_class_file(cf)
+            if classes:
+                p['classes'] = classes
         p.setdefault('classes', None)
         p.setdefault('by_shape', False)
         p.setdefault('pre_transform', '')
@@ -113,6 +119,27 @@ def dataset_properties(conf_file: Optional[str] = None,
         p['labels'] = len(p['classes']) if p['classes'] else 0
     _registry_cache = reg
     return reg
+
+
+def _read_class_file(path: str) -> Optional[list]:
+    """Class names from a wnid list file ('<wnid> <name with_underscores>'
+    per line, ref utils/torch_load.py:72); resolved against $JVT_DATA_DIR's
+    parent, the repo root, and the cwd.  None when absent (callers keep
+    their inline fallback classes)."""
+    roots = []
+    dd = os.environ.get('JVT_DATA_DIR')
+    if dd:
+        roots.append(os.path.dirname(os.path.abspath(dd)))
+    roots.append(os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))))
+    roots.append('.')
+    for root in roots:
+        p = os.path.join(root, path)
+        if os.path.exists(p):
+            with open(p) as f:
+                return [' '.join(l.split()[1:]).replace('_', ' ')
+                        for l in f if l.strip() and not l.startswith('#')]
+    return None
 
 
 def load_registry_ini(conf_file: str) -> Dict[str, dict]:
