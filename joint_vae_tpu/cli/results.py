@@ -82,9 +82,10 @@ def _cell(m: Dict, set_name: str, metric: str, method: str, tt: int,
         return m.get('accuracy')
     suffix = 'auc' if metric == 'auc' else 'fpr{}'.format(tt)
     if method:
-        v = m.get('ood_{}_{}_{}'.format(set_name, method, suffix))
-        if v is not None:
-            return v
+        # an explicitly requested method never falls back to the
+        # best-method columns — a missing value renders as '--' rather
+        # than silently showing another method's numbers
+        return m.get('ood_{}_{}_{}'.format(set_name, method, suffix))
     return m.get('ood_{}_{}'.format(set_name, suffix))
 
 

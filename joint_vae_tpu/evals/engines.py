@@ -179,13 +179,44 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
     return {m: np.asarray(v) for m, v in out.items()}
 
 
-def _scores_from_recorder(job: Job, recorder: LossRecorder,
-                          methods: Sequence[str]):
+def _recorder_tensors(recorder: LossRecorder):
+    """(losses, logits, y_true) from a recorder, undoing the stored
+    logits transpose — the one place that knows the layout."""
     losses = {k: jnp.asarray(recorder.get(k)) for k in recorder.keys()
               if k not in ('logits', 'y_true')}
-    logits = jnp.asarray(recorder.get('logits')).T
+    logits = (jnp.asarray(recorder.get('logits')).T
+              if 'logits' in recorder else None)
+    y_true = (np.asarray(recorder.get('y_true'))
+              if 'y_true' in recorder else None)
+    return losses, logits, y_true
+
+
+def _scores_from_recorder(job: Job, recorder: LossRecorder,
+                          methods: Sequence[str]):
+    losses, logits, _ = _recorder_tensors(recorder)
     ms = batch_dist_measures(job.model_cfg, logits, losses, methods)
     return {m: np.asarray(v) for m, v in ms.items()}
+
+
+def _save_recorder(rec: LossRecorder, path: str):
+    """Never degrade a stored recorder (ref recorders accumulate per
+    epoch dir): keep the old file when it holds more samples; fold
+    old-only keys in when the sample counts match."""
+    if os.path.exists(path):
+        try:
+            old = LossRecorder.load(path)
+        except Exception:
+            old = None
+        if old is not None:
+            if old.recorded_samples > rec.recorded_samples:
+                logging.info('keeping %s (%d > %d recorded samples)', path,
+                             old.recorded_samples, rec.recorded_samples)
+                return
+            if old.recorded_samples == rec.recorded_samples:
+                for k in old.keys():
+                    if k not in rec:
+                        rec._tensors[k] = old.get(k)
+    rec.save(path)
 
 
 def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
@@ -294,7 +325,7 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                                      num_batch, mesh=mesh)
             measures.setdefault(s.name, {}).update(scored)
             if rec is not None:
-                rec.save(rec_path)
+                _save_recorder(rec, rec_path)
 
     # --- assemble: ROC for fresh methods, stored entries for json-tier -----
     ind = measures.get(testset.name, {})
@@ -313,7 +344,9 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                           two_sided=two_sided_from_method(m))
             entry = {
                 'epochs': epoch,
-                'n': int(ind[m].shape[0]),
+                # n counts the OOD samples (ref cvae.py:1886); the tier-1
+                # reuse check compares it against n_wanted(oodset)
+                'n': int(ood_scores[m].shape[0]),
                 'mean': float(np.mean(ood_scores[m])),
                 'std': float(np.std(ood_scores[m])),
                 'auc': float(r['auc']),
@@ -334,7 +367,8 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
     if outputs is not None:
         # one grouped live row per OOD set (ref EpochOutput fpr columns)
         for s_name, rs in results.items():
-            fpr95 = {m: _fpr_at_95(r) for m, r in rs.items()
+            from ..save_load.dictify import _fpr_at
+            fpr95 = {m: _fpr_at(r, 0.95) for m, r in rs.items()
                      if isinstance(r, dict)}
             aucs = {m: r.get('auc') for m, r in rs.items()
                     if isinstance(r, dict)}
@@ -345,13 +379,6 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                             fpr={m: v for m, v in list(fpr95.items())[:4]
                                  if v is not None})
     return results
-
-
-def _fpr_at_95(r: dict):
-    for t, f in zip(r.get('tpr') or [], r.get('fpr') or []):
-        if abs(t - 0.95) < 1e-6:
-            return f
-    return None
 
 
 def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
@@ -404,11 +431,7 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
             and os.path.exists(rec_path)):
         loaded = LossRecorder.load(rec_path)
         if loaded.recorded_samples >= n_want and 'y_true' in loaded:
-            losses = {k: jnp.asarray(loaded.get(k)) for k in loaded.keys()
-                      if k not in ('logits', 'y_true')}
-            logits = (jnp.asarray(loaded.get('logits')).T
-                      if 'logits' in loaded else None)
-            y_true = np.asarray(loaded.get('y_true'))
+            losses, logits, y_true = _recorder_tensors(loaded)
             replayed = {}
             for m in remaining:
                 if m == 'already' or not all(
@@ -486,15 +509,17 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
             r['logits'] = np.asarray(logits).T
             r['y_true'] = y
             rec.append_batch(**r)
-        rec.save(os.path.join(sdir, 'record-{}.npz'.format(testset.name)))
+        _save_recorder(rec, os.path.join(sdir,
+                                         'record-{}.npz'.format(testset.name)))
 
-    computed = {m: n_correct[m] / max(n_total, 1) for m in predict_methods}
+    computed = {m: n_correct[m] / max(n_total, 1) for m in predict_methods
+                if m != 'already' or estimated is not None}
     if outputs is not None and computed:
         outputs.results(0, 1, epoch, epoch, preambule='test',
                         accuracy=computed)
     if update_self_testing:
         job.testing.setdefault(epoch, {})
-        for m in predict_methods:
+        for m in computed:
             prev = job.testing[epoch].get(m, {})
             if n_total >= prev.get('n', 0):
                 job.testing[epoch][m] = {
@@ -551,15 +576,13 @@ def misclassification_detection_rates(job: Job,
         _collect_scores(job, testset, list(mms), batch_size, rec,
                         eval_batch, eval_scan, odin, key, num_batch)
         if rec_path:
-            rec.save(rec_path)
+            _save_recorder(rec, rec_path)
 
-    losses = {k: jnp.asarray(rec.get(k)) for k in rec.keys()
-              if k not in ('logits', 'y_true')}
-    logits = jnp.asarray(rec.get('logits')).T
-    y = np.asarray(rec.get('y_true'))
+    losses, logits, y = _recorder_tensors(rec)
 
     mms_avail = [m for m in mms
                  if not m.startswith('odin') or m in rec]
+    ms = batch_dist_measures(cfg, logits, losses, mms_avail)
     results = {}
     for pm in pms:
         try:
@@ -571,7 +594,6 @@ def misclassification_detection_rates(job: Job,
         if correct.sum() == 0 or missed.sum() == 0:
             continue
         acc = correct.mean()
-        ms = batch_dist_measures(cfg, logits, losses, mms_avail)
         results[pm] = {'accuracy': float(acc)}
         for m in mms_avail:
             v = np.asarray(ms[m])
@@ -605,6 +627,10 @@ def misclassification_detection_rates(job: Job,
         if update_self_results:
             job.testing.setdefault(epoch, {})
             prev = job.testing[epoch].get(pm, {})
+            if len(y) < prev.get('n', 0):
+                # never let a smaller-sample misclass run degrade a stored
+                # higher-confidence accuracy (mirrors accuracy()'s guard)
+                continue
             base = {'n': int(len(y)), 'epochs': epoch,
                     'sampling': cfg.test_latent_sampling,
                     'accuracy': float(acc)}

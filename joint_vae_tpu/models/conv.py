@@ -98,13 +98,22 @@ def parse_conv_layer_name(s: str, ltype: str = 'conv', out_channels: int = 32,
         v = m.group(2)
         if v.isdigit():
             fields[_FIELD_OF[m.group(1)]] = int(v)
+        elif m.group(1) == '!':
+            # a bare '!' still switches the token to a plain conv (the
+            # reference's ValueError path keeps the running default
+            # channels but flips the type, conv.py:66-77) — this is how
+            # the ivgg defaults block '[!x3+1-...]' registers conv
+            # defaults inside a deconv stack
+            fields['conv_in_deconv'] = None
 
     if where != 'output':
         fields.pop('output_padding', None)
         fields.pop('conv_in_deconv', None)
     if 'conv_in_deconv' in fields:          # '!C': plain conv inside a deconv stack
         ltype = 'conv'
-        out_channels = fields.pop('conv_in_deconv')
+        oc = fields.pop('conv_in_deconv')
+        if oc is not None:
+            out_channels = oc
         fields.pop('out_channels', None)
         fields.pop('output_padding', None)
 

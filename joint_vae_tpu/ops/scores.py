@@ -73,6 +73,18 @@ def batch_dist_measures(cfg: CVNetConfig, logits, losses: Dict[str, jax.Array],
     for m_full in methods:
         m = strip_roc_suffix(m_full)
 
+        if m and m[-1] in '~@':
+            # WIM variants (k~ / k@ / k~@) score from the recorded loss
+            # twins + estimated labels (ft/wim.py grammar); reachable here
+            # when replaying a WIM job's recorders through the engines
+            from ..ft.wim import wim_measures
+            y_est = losses.get('y_est_already')
+            if y_est is not None:
+                y_est = jnp.asarray(y_est).astype(jnp.int32)
+            out[m_full] = wim_measures(cfg, losses, [m],
+                                       y_est=y_est)[m].astype(jnp.float32)
+            continue
+
         if m == 'elbo':
             v = logp_max if per_class else logp
         elif m == 'iws':

@@ -77,16 +77,20 @@ def process_directory(folder: str, tpr: float = 0.95,
             if (~correct).any():
                 row['im_incorrect'] = float(im[~correct].mean())
         row['ood'] = {}
+        # loop-invariant: fraction of in-distribution samples kept
+        tp_rate = (float((im >= row['threshold']).mean())
+                   if 'threshold' in row else None)
         for s, rec in recorders.items():
             if s == dataset or key not in rec:
                 continue
             imo = _per_sample(rec, key)
             entry = {'im': float(imo.mean())}
-            if 'threshold' in row:
-                fp = int((imo >= row['threshold']).sum())
-                tp = int((im >= row['threshold']).sum())
-                entry['fpr'] = fp / max(len(imo), 1)
-                entry['precision'] = tp / max(tp + fp, 1)
+            if tp_rate is not None:
+                fp_rate = float((imo >= row['threshold']).mean())
+                entry['fpr'] = fp_rate
+                # balanced-prior precision from rates, not pooled counts —
+                # invariant to the (arbitrary) ind/OOD set-size ratio
+                entry['precision'] = tp_rate / max(tp_rate + fp_rate, 1e-12)
             row['ood'][s] = entry
         out[T] = row
     return out

@@ -18,20 +18,29 @@ from ..ops.scores import develop_starred_methods, strip_roc_suffix
 from .jobs import Job
 from .recorders import LossRecorder
 
+# bumped whenever make_dict_from_model's key schema changes — the registry
+# cache (fetch.py) rebuilds entries written under an older schema
+DICT_SCHEMA_VERSION = 3
+
 
 def needed_components(method: str) -> List[str]:
     """Which recorded loss keys a method needs (ref dictify.py:434-471)."""
     m = strip_roc_suffix(method)
-    if m.endswith('~@') or m.endswith('@') or m.endswith('~'):
+    if m and m[-1] in '~@':
+        # WIM variants (ref dictify.py:453-461): '~' scores at the
+        # estimated label (needs y_est_already), '@' needs the
+        # alternate-prior twin, '~@' needs both
         base = m.rstrip('~@')
         base = base[4:] if base.startswith('soft') else base
-        keys = ['kl']
-        if base == 'elbo':
-            keys += ['total', 'total@']
-        else:
-            keys += [base, base + '@'] if m.endswith('@') or m.endswith('~@') \
-                else [base]
-        return keys
+        key = 'total' if base == 'elbo' else base
+        if m.endswith('~@'):
+            return [key, key + '@', 'y_est_already']
+        if m.endswith('@'):
+            # scoring aggregates the in-prior loss before subtracting the
+            # twin (ft/wim.py::wim_measures), so both are needed (the
+            # reference's table lists only the twin, dictify.py:457)
+            return [key, key + '@']
+        return [key, 'y_est_already']
     if m.startswith('odin'):
         return [m, 'logits']
     if m in ('baseline', 'logits', 'hyz') or m.startswith('baseline'):
@@ -346,9 +355,13 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
                 for k in ('auc', 'n', 'mean', 'std'):
                     if r.get(k) is not None:
                         d['{}_{}'.format(base, k)] = r[k]
-                f = _fpr_at(r, tpr)
-                if f is not None:
-                    d['{}_fpr{}'.format(base, int(round(100 * tpr)))] = f
+                # the full kept-TPR grid per method — tables select their
+                # own tpr level (results INI `tpr` option) and must not
+                # fall back to a different method's numbers
+                for t, f in zip(r.get('tpr') or [], r.get('fpr') or []):
+                    tt = int(round(100 * t))
+                    if abs(100 * t - tt) < 1e-6:
+                        d['{}_fpr{}'.format(base, tt)] = f
             if aucs:
                 best = max(aucs, key=aucs.get)
                 per_set_best[s] = (aucs[best], best, per_method[best])

@@ -13,7 +13,7 @@ import time
 from typing import Callable, Dict, List, Optional
 
 from .checkpoint import save_json, load_json
-from .dictify import make_dict_from_model
+from .dictify import DICT_SCHEMA_VERSION, make_dict_from_model
 from .jobs import Job, load_job, is_derailed
 
 
@@ -87,7 +87,8 @@ def fetch_models(job_dir: str, flash: bool = True,
                     for f in os.listdir(d)
                     if f.endswith('.json') and not f.startswith('models-'))
         entry = cache.get(d)
-        if entry is None or entry.get('_mtime', 0) < mtime:
+        if (entry is None or entry.get('_mtime', 0) < mtime
+                or entry.get('_schema') != DICT_SCHEMA_VERSION):
             try:
                 job = load_job(d, ghost=True)
             except Exception as e:
@@ -95,6 +96,7 @@ def fetch_models(job_dir: str, flash: bool = True,
                 continue
             entry = make_dict_from_model(job, directory=d)
             entry['_mtime'] = mtime
+            entry['_schema'] = DICT_SCHEMA_VERSION
             cache[d] = entry
             dirty = True
         dicts.append(entry)

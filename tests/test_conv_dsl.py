@@ -167,3 +167,17 @@ def test_packed_unpacked_same_params_same_outputs(monkeypatch):
     assert y_packed.shape == y_plain.shape == (2,) + out
     np.testing.assert_allclose(np.asarray(y_packed), np.asarray(y_plain),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_ivgg_embedded_conv_defaults():
+    """The '[!x3+1-U:2]' defaults block applies to '!C' tokens: ivgg convs
+    are 3x3/pad-1 (ref conv.py:66-77 ValueError path registers the bare-'!'
+    spec under the conv type)."""
+    from joint_vae_tpu.models.conv import conv_stack_plan
+    _, plans, _ = conv_stack_plan((64, 2, 2), 'ivgg', where='output')
+    convs = [p for p in plans if p.ltype == 'conv']
+    ups = [p for p in plans if p.ltype == 'upsampler']
+    assert convs and all(p.kernel_size == 3 and p.padding == 1
+                         and p.stride == 1 for p in convs)
+    assert ups and all(p.stride == 2 for p in ups)
+    assert [p.out_channels for p in convs] == [128, 64, 32, 3]
