@@ -237,7 +237,13 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
             new_sigma_state = update_sigma_rmse(
                 scfg, new_sigma_state, jnp.sqrt(jnp.maximum(measures['mse'], 0.0)))
 
-    measures['sigma'] = sigma_value(scfg, new_sigma_state)
+    if cfg.x_is_generated and scfg.learned and not scfg.coded:
+        # learned sigma lives in params (sigma_state.data stays at the
+        # init); report the live rms value (ref Sigma.value, layers.py:118)
+        measures['sigma'] = jnp.sqrt(jnp.mean(
+            jnp.square(sigma_div.astype(jnp.float32))))
+    else:
+        measures['sigma'] = sigma_value(scfg, new_sigma_state)
 
     # ---- KL to the prior (ref cvae.py:711-729) ----
     y_for_prior = None

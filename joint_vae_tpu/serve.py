@@ -53,8 +53,19 @@ class Scorer:
                            sigma_state=sigma_state, train=False, L=self.L,
                            decode_mean=False)
             scores = batch_dist_measures(cfg, out.logits, out.losses, methods)
-            label = predict_after_evaluate(cfg, out.logits, out.losses, pm)
-            conf = jnp.max(jax.nn.softmax(out.logits, axis=-1), axis=-1)
+            logits = out.logits
+            if logits.ndim == 3 and pm == 'esty':
+                # y-coded types carry a leading class-hypothesis axis
+                # (C, N, labels); esty predicts from the hypothesis-averaged
+                # logits so label/confidence stay per-item
+                logits = jnp.mean(logits, axis=0)
+            label = predict_after_evaluate(cfg, logits, out.losses, pm)
+            if logits.ndim == 3:
+                # per-item logits = the row at each sample's predicted
+                # class hypothesis
+                logits = jnp.take_along_axis(
+                    logits, label[None, :, None], axis=0)[0]
+            conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
             in_dist = jnp.ones(x.shape[0], bool)
             for m in methods:
                 in_dist &= scores[m] >= thr[m]

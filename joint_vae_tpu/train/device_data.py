@@ -151,7 +151,10 @@ def train_epochs_on_device(job, dataset: ArrayDataset, epochs: int,
     pkey = jax.random.PRNGKey(seed)
     metrics = {}
     last = {}
-    for epoch in range(int(state.epoch), int(state.epoch) + epochs):
+    # resume from the epochs already completed (job.trained, as the trainer
+    # does) — state.epoch is the LAST trained index and would re-run it
+    first_epoch = job.trained
+    for epoch in range(first_epoch, first_epoch + epochs):
         state = state.replace(
             epoch=jnp.asarray(epoch, jnp.int32),
             opt_state=set_learning_rate(state.opt_state,

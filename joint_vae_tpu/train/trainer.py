@@ -105,8 +105,11 @@ def train_model(job: Job,
         y_sh = batch_sharding(mesh, 1)
 
         def put_batch(x, y):
-            return (jax.device_put(jnp.asarray(x), x_sh),
-                    jax.device_put(jnp.asarray(y), y_sh))
+            # device_put on the host array ships each shard once (an
+            # intermediate jnp.asarray would commit the whole batch to the
+            # default device first, then reshard)
+            return (jax.device_put(np.asarray(x), x_sh),
+                    jax.device_put(np.asarray(y), y_sh))
     else:
         def put_batch(x, y):
             return jnp.asarray(x), jnp.asarray(y)
@@ -132,7 +135,9 @@ def train_model(job: Job,
             break
 
         job.state = state
-        if save_dir:
+        if save_dir and epoch == first_epoch:
+            # end-of-epoch saves cover later iterations; this initial save
+            # persists the fresh/resumed job before any training
             save_job(job, save_dir)
 
         if ood_now and testset is not None:
@@ -152,11 +157,11 @@ def train_model(job: Job,
         t0 = time.time()
         running: Dict[str, float] = {}
         metrics = {}
-        n_train_correct = 0
-        n_train = 0
+        batches_run = 0
         for i, (x, y) in enumerate(loader):
             xb, yb = put_batch(x, y)
             state, metrics = step(state, xb, yb)
+            batches_run += 1
             # one host pull for the whole metrics dict (device scalars pulled
             # individually cost a round-trip each on tunneled devices)
             metrics = jax.device_get(metrics)
@@ -186,9 +191,11 @@ def train_model(job: Job,
                 break
 
         checkpoint = {
-            'train_loss': {k: running.get(k, np.nan) / max(per_epoch, 1)
+            # divide by the batches actually run (a signal may break the
+            # loop mid-epoch; per_epoch would understate the means)
+            'train_loss': {k: running.get(k, np.nan) / max(batches_run, 1)
                            for k in cfg.loss_components if k in running},
-            **({'train_accuracy': running['train_acc'] / max(per_epoch, 1)}
+            **({'train_accuracy': running['train_acc'] / max(batches_run, 1)}
                if 'train_acc' in running else {}),
             'train_measures': {k: float(metrics[k]) for k in cfg.metrics
                                if k in metrics},
@@ -230,17 +237,28 @@ def train_model(job: Job,
     return job
 
 
+_MEAN_LOSS_CACHE: Dict[int, object] = {}
+
+
 def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
                  batch_size: int, epoch: int):
     """-> (mean per-component losses, mean measures incl. rmse/dB) with
-    labels (validation/test history tracking)."""
+    labels (validation/test history tracking).
 
-    @jax.jit
-    def eval_batch(variables, x, y, k):
-        out = evaluate(model, variables, x, y, rng=k,
-                       sigma_state=state.sigma_state, train=False)
-        return ({k_: jnp.mean(v) for k_, v in out.losses.items()},
-                {k_: jnp.mean(v) for k_, v in out.measures.items()})
+    The jitted program is cached per model (sigma_state passed as an
+    argument) — defining a fresh closure per call would recompile the
+    whole eval every epoch."""
+    eval_batch = _MEAN_LOSS_CACHE.get(id(model))
+    if eval_batch is None:
+        @jax.jit
+        def eval_batch(variables, sigma_state, x, y, k):
+            out = evaluate(model, variables, x, y, rng=k,
+                           sigma_state=sigma_state, train=False)
+            return ({k_: jnp.mean(v) for k_, v in out.losses.items()},
+                    {k_: jnp.mean(v) for k_, v in out.measures.items()})
+        _MEAN_LOSS_CACHE[id(model)] = eval_batch
+        if len(_MEAN_LOSS_CACHE) > 16:
+            _MEAN_LOSS_CACHE.pop(next(iter(_MEAN_LOSS_CACHE)))
 
     sums: Dict[str, float] = {}
     msums: Dict[str, float] = {}
@@ -248,7 +266,8 @@ def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
     loader = DataLoader(dataset, batch_size, shuffle=False)
     for i, (x, y) in enumerate(loader):
         k = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
-        m, meas = eval_batch(state.variables, jnp.asarray(x), jnp.asarray(y), k)
+        m, meas = eval_batch(state.variables, state.sigma_state,
+                             jnp.asarray(x), jnp.asarray(y), k)
         for k_, v in m.items():
             sums[k_] = sums.get(k_, 0.0) + float(v)
         for k_, v in meas.items():

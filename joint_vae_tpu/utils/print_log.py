@@ -1,10 +1,6 @@
 """Live epoch output: grouped-column progress rows to stdout and per-job
-.out files (ref EpochOutput, utils/print_log.py:50-344).
-
-Simplified re-design: one refresh line per call with column groups
-(losses | metrics | accuracy | fpr), carriage-return refresh within an
-epoch, newline at epoch end.  Also rotating-file logging setup
-(ref utils/parameters.py:72-148)."""
+.out files (ref EpochOutput, utils/print_log.py:50-344), plus the
+rotating-file logging setup (ref utils/parameters.py:72-148)."""
 
 import logging
 import logging.handlers
@@ -118,8 +114,7 @@ class EpochOutput:
         if signature != self._signature:
             self._signature = signature
             header = self._header_lines(len(lead), groups, time_per_i > 0)
-        file_header = (header if header is not None else
-                       self._header_lines(len(lead), groups, time_per_i > 0))
+
 
         cells = [lead]
         for g, d in groups:
@@ -146,6 +141,9 @@ class EpochOutput:
                 # files only receive end-of-epoch rows; give each its own
                 # header whenever the signature it last saw differs
                 if getattr(f, '_jvt_sig', None) != signature:
+                    file_header = (header if header is not None else
+                                   self._header_lines(len(lead), groups,
+                                                      time_per_i > 0))
                     f.write('\n'.join(file_header) + '\n')
                     try:
                         f._jvt_sig = signature
@@ -179,10 +177,3 @@ def set_log(verbose: int = 0, debug: bool = False, log_dir: Optional[str] = None
         root.addHandler(fh)
     return root
 
-
-def texify_str(s, num=False):
-    """Minimal LaTeX-escaping helper (ref utils/print_log.texify_str)."""
-    s = str(s)
-    for a, b in (('_', r'\_'), ('%', r'\%'), ('#', r'\#')):
-        s = s.replace(a, b)
-    return s

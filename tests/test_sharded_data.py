@@ -82,3 +82,37 @@ def test_device_dataset_uint8_auto_storage():
     f = rng.uniform(0, 1, (8, 1, 4, 4)).astype(np.float32)
     df = DeviceDataset(ArrayDataset(f, np.zeros(8, np.int32), 'f'))
     assert df.x.dtype == jnp.float32
+
+
+def test_device_training_resumes_from_trained_epoch():
+    """A second train_epochs_on_device call continues at job.trained
+    instead of re-running the last epoch (state.epoch is the last trained
+    index, not the next one)."""
+    import jax
+    import numpy as np
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    from joint_vae_tpu.models.cvnet import CVNetConfig
+    from joint_vae_tpu.ops.priors import PriorConfig
+    from joint_vae_tpu.ops.sigma import SigmaConfig
+    from joint_vae_tpu.save_load.jobs import new_job
+    from joint_vae_tpu.train.device_data import train_epochs_on_device
+    from joint_vae_tpu.train.optimizers import OptimizerConfig
+
+    cfg = CVNetConfig(input_shape=(1, 4, 4), num_labels=2, type='cvae',
+                      encoder=(8,), decoder=(8,), latent_dim=4,
+                      latent_sampling=1, gamma=10.0, beta=1e-2,
+                      sigma=SigmaConfig(value=0.5),
+                      prior=PriorConfig(dim=4, num_priors=2))
+    job = new_job(cfg, OptimizerConfig(lr=1e-3), key=jax.random.PRNGKey(0))
+    job.training_parameters.update({'set': 'd', 'epochs': 4})
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(rng.uniform(0, 1, (32, 1, 4, 4)).astype(np.float32),
+                      rng.integers(0, 2, 32).astype(np.int32), 'd')
+    train_epochs_on_device(job, ds, epochs=2, batch_size=16)
+    h2 = dict(job.train_history[2]['train_loss'])
+    assert job.trained == 2
+    train_epochs_on_device(job, ds, epochs=2, batch_size=16)
+    assert job.trained == 4
+    assert set(job.train_history) >= {1, 2, 3, 4, 'epochs'}
+    # epoch 2's history untouched by the resumed run
+    assert job.train_history[2]['train_loss'] == h2
