@@ -95,8 +95,8 @@ def main(argv=None):
             job.job_number, args.epochs, args.dataset, save_dir))
         return 0
 
+    # augmentation is applied per batch by the DataLoader / native batcher
     trainset, testset = get_dataset(dataset, transformer=args.transformer,
-                                    data_augmentation=args.data_augmentation,
                                     size=args.dataset_size)
     oodsets = []
     for n in get_same_size_by_name(dataset):

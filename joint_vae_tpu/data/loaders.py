@@ -19,6 +19,7 @@ import logging
 import os
 import pickle
 import struct
+import zlib
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -87,10 +88,19 @@ def _load_mnist_like(root: str, split: str):
     return None
 
 
-def _load_cifar(root: str, split: str, coarse100: bool = False):
-    # CIFAR-10 python batches
+def _stable_seed(*parts) -> int:
+    """Process-independent seed for deterministic synthetic data —
+    Python's hash() is salted per interpreter, which would regenerate a
+    different 'deterministic' set in every process."""
+    return zlib.crc32('\x1f'.join(str(p) for p in parts).encode())
+
+
+def _load_cifar(root: str, split: str, want: str = 'cifar10'):
+    """Read the CIFAR python-pickle layout matching the REQUESTED set
+    (with both layouts on disk, checking cifar-10 first used to hand
+    cifar-100 callers 10-class data silently)."""
     b10 = os.path.join(root, 'cifar-10-batches-py')
-    if os.path.isdir(b10):
+    if want != 'cifar100' and os.path.isdir(b10):
         files = (['data_batch_{}'.format(i) for i in range(1, 6)]
                  if split == 'train' else ['test_batch'])
         xs, ys = [], []
@@ -102,7 +112,7 @@ def _load_cifar(root: str, split: str, coarse100: bool = False):
         x = np.concatenate(xs).reshape(-1, 3, 32, 32).astype(np.float32) / 255.0
         return x, np.asarray(ys, np.int32)
     b100 = os.path.join(root, 'cifar-100-python')
-    if os.path.isdir(b100):
+    if want != 'cifar10' and os.path.isdir(b100):
         fn = 'train' if split == 'train' else 'test'
         with open(os.path.join(b100, fn), 'rb') as f:
             d = pickle.load(f, encoding='bytes')
@@ -348,7 +358,7 @@ def _procedural_shapes(name: str, shape, num_labels: int, split: str,
     variation.  Vectorized; deterministic per (name, split)."""
     n = size or {'train': 20000, 'test': 4000}[split]
     c, h, w = shape
-    rng = np.random.default_rng((hash((name, split)) & 0x7fffffff))
+    rng = np.random.default_rng(_stable_seed(name, split))
     y = rng.integers(0, num_labels, n).astype(np.int32)
     cy = rng.uniform(0.3, 0.7, n)[:, None, None] * h
     cx = rng.uniform(0.3, 0.7, n)[:, None, None] * w
@@ -386,7 +396,7 @@ def _synthetic_fallback(name: str, shape, num_labels: int, split: str,
                         size: Optional[int] = None):
     """Deterministic class-structured blobs; clearly flagged synthetic."""
     n = size or _DEFAULT_SIZES[split]
-    seed = (hash((name, split)) & 0x7fffffff)
+    seed = _stable_seed(name, split)
     rng = np.random.default_rng(seed)
     C = max(num_labels, 1)
     y = rng.integers(0, C, size=n).astype(np.int32)
@@ -451,7 +461,6 @@ _cache: Dict[Tuple, ArrayDataset] = {}
 
 
 def get_dataset(name: str, transformer: str = 'default',
-                data_augmentation: Sequence[str] = (),
                 splits: Sequence[str] = ('train', 'test'),
                 size: Optional[int] = None,
                 require_real: Optional[bool] = None):
@@ -502,7 +511,7 @@ def _build_split(name: str, transformer: str, split: str,
     synthetic = False
     if props.get('by_shape'):
         n = size or _DEFAULT_SIZES[split]
-        seed = hash((parent, split)) & 0x7fffffff
+        seed = _stable_seed(parent, split)
         rng = np.random.default_rng(seed)
         if parent.startswith('const'):
             # constant-color images (ref ConstantDataset, torch_load.py:150)
@@ -518,7 +527,7 @@ def _build_split(name: str, transformer: str, split: str,
                 loaded = loaded or _load_npy_dir(root, split, size)
             loaded = loaded or _load_npz(DATA_DIR, parent, split)
             if loaded is not None:
-                x = loaded[0]
+                x = loaded[0][:size] if size else loaded[0]
             else:
                 x = rng.uniform(0, 1, size=(n, *shape)).astype(np.float32)
                 synthetic = True
@@ -534,7 +543,8 @@ def _build_split(name: str, transformer: str, split: str,
         if src in ('mnist', 'fashion', 'letters'):
             loaded = _load_mnist_like(root, split)
         if loaded is None and src.startswith('cifar'):
-            loaded = _load_cifar(root, split) or _load_cifar(DATA_DIR, split)
+            loaded = (_load_cifar(root, split, want=src)
+                      or _load_cifar(DATA_DIR, split, want=src))
         if loaded is None and src == 'svhn':
             loaded = _load_svhn_mat(root, split) or _load_svhn_mat(DATA_DIR,
                                                                    split)

@@ -42,20 +42,13 @@ def load_wim_job(job_dir: str, key=None, **alternate_prior) -> WIMJob:
 def _both_prior_losses(wim: WIMJob, dataset: ArrayDataset, batch_size: int,
                        key, L: Optional[int] = None) -> Dict[str, np.ndarray]:
     """Full-set losses incl. '@' twins and sample-mean logits."""
-    model = wim.model
     state = wim.job.state
-    alt = (wim.alternate_prior_cfg, wim.alternate_prior_params)
 
     @jax.jit
     def eval_batch(variables, x, k):
-        out = evaluate(model, variables, x, None, rng=k,
-                       sigma_state=state.sigma_state, train=False, L=L)
-        alt_out = evaluate(model, variables, x, None, rng=k,
-                           sigma_state=state.sigma_state, train=False, L=L,
-                           prior_override=alt)
-        losses = dict(out.losses)
-        losses.update({kk + '@': vv for kk, vv in alt_out.losses.items()})
-        return losses, out.logits
+        _, logits, losses, _ = wim.evaluate_on_both_priors(
+            variables, x, rng=k, sigma_state=state.sigma_state, L=L)
+        return losses, logits
 
     acc: Dict[str, list] = {}
     logits_l = []
@@ -165,6 +158,10 @@ def finetune(wim: WIMJob,
             state, metrics = finetune_step(state, jnp.asarray(x),
                                            jnp.asarray(y), jnp.asarray(xm), k)
             step_i += 1
+        if step_i == 0:
+            raise ValueError(
+                'no fine-tuning batches: train set ({} samples) smaller '
+                'than the batch size ({})'.format(len(trainset), batch_size))
         logging.info('wim epoch %d: total=%.4f (in=%.4f mix=%.4f)', epoch,
                      float(metrics['total']), float(metrics['in_total']),
                      float(metrics['mix_total']))
@@ -182,9 +179,9 @@ def finetune(wim: WIMJob,
     epoch_key = job.trained
     job.ood_results.setdefault(epoch_key, {})
     ood_loss_sets = {}
-    for ood in oodsets:
+    for i, ood in enumerate(oodsets):
         ood_losses = _both_prior_losses(wim, ood, test_batch_size,
-                                        jax.random.fold_in(key_eval, 1))
+                                        jax.random.fold_in(key_eval, i + 1))
         ood_loss_sets[ood.name] = ood_losses
         ood_scores = wim_scores_for_set(wim, ood_losses, methods)
         job.ood_results[epoch_key].setdefault(ood.name, {})

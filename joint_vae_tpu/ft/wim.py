@@ -99,13 +99,17 @@ class WIMJob:
             if state.batch_stats is not None:
                 variables['batch_stats'] = state.batch_stats
             r1, r2 = jax.random.split(rng)
+            # BatchNorm stays in inference mode during WIM tuning
+            # (ref FTJob._recurse_train freezes BN, ft/job.py:98-111) —
+            # also what makes train=True safe with immutable batch_stats
             o_in = evaluate(model, variables, x_in, y_in, rng=r1,
                             sigma_state=state.sigma_state, train=True,
-                            with_beta=True, L=train_L)
+                            bn_eval=True, with_beta=True, L=train_L)
             y_mix = jnp.zeros((x_mix.shape[0],), jnp.int32)
             o_mix = evaluate(model, variables, x_mix, y_mix, rng=r2,
                              sigma_state=state.sigma_state, train=True,
-                             with_beta=True, L=train_L, prior_override=alt)
+                             bn_eval=True, with_beta=True, L=train_L,
+                             prior_override=alt)
             L = (jnp.mean(o_in.losses['total'])
                  + alpha * jnp.mean(o_mix.losses['total']))
             return L, (o_in, o_mix)

@@ -51,19 +51,24 @@ class EvalOutput:
 
 def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
              expand_x_classes: bool, mutable, decode_mean: bool = True,
-             constrain_z=None):
+             constrain_z=None, bn_eval: bool = False):
     """Run features -> encode -> sample -> decode -> classify through a
-    single bound module so BN/dropout state works; returns raw tensors."""
+    single bound module so BN/dropout state works; returns raw tensors.
+
+    ``bn_eval`` keeps the conv stacks in inference mode (BatchNorm running
+    averages) while the rest of the step behaves as training — the WIM
+    fine-tuning semantics (ref FTJob._recurse_train, ft/job.py:98-111)."""
     cfg = model.cfg
+    mtrain = train and not bn_eval
 
     def run(mdl):
-        t = mdl.features(x, train)
+        t = mdl.features(x, mtrain)
         if expand_x_classes:
             t = jnp.broadcast_to(t[None], (cfg.num_labels,) + t.shape)
         y_onehot = None
         if cfg.y_is_coded:
             y_onehot = onehot_encoding(y, cfg.num_labels, cfg.dtype)
-        mu, log_var, sigma_coded = mdl.encode(t, y_onehot, train)
+        mu, log_var, sigma_coded = mdl.encode(t, y_onehot, mtrain)
         key = mdl.make_rng('sampling')
         dist = 'uniform' if cfg.prior.distribution == 'uniform' else 'gaussian'
         z, eps = reparameterize(key, mu, log_var, L, dist, sampled)
@@ -79,7 +84,7 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
             # callers (OOD engines) pass decode_mean=False for the same
             # saving at eval (1/17 of the decode at the default test L=16).
             x_reco = mdl.decode(z if (decode_mean and not train) else z[1:],
-                                train)
+                                mtrain)
         else:
             x_reco = x
         logits = mdl.classify(z)
@@ -110,7 +115,8 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
              prior_override: Optional[Tuple[PriorConfig, Dict[str, jax.Array]]] = None,
              return_bn_updates: bool = False,
              decode_mean: bool = True,
-             constrain_z=None):
+             constrain_z=None,
+             bn_eval: bool = False):
     """Evaluate a batch; returns EvalOutput (and BN updates if requested).
 
     x: (N, *input_shape); y: (N,) int labels or None (per-class evaluation).
@@ -143,7 +149,7 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
     (x_reco, logits, mu, log_var, z, eps_norm, sigma_coded), bn_updates = _forward(
         model, variables, x, y_fwd, rng=rng, train=train, L=L, sampled=sampled,
         expand_x_classes=x_rep, mutable=return_bn_updates,
-        decode_mean=decode_mean, constrain_z=constrain_z)
+        decode_mean=decode_mean, constrain_z=constrain_z, bn_eval=bn_eval)
 
     losses: Dict[str, jax.Array] = {}
     measures: Dict[str, jax.Array] = {}

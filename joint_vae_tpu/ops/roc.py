@@ -127,11 +127,17 @@ def roc_curve(ins: jax.Array, outs: jax.Array,
         if validation < 1:
             validation = int(validation * n_total)
         validation = int(validation)
-        if key is None:
-            key = jax.random.key(0)
-        perm = jax.random.permutation(key, n_total)
-        val_scores = ins[perm[:validation]]
-        ins = ins[perm[validation:]]
+        if validation <= 0 or validation >= n_total:
+            # a fraction that floors to zero (or swallows everything)
+            # degenerates to validating on all ins (ref roc_curves.py:59-64)
+            validation = 0
+            val_scores = ins
+        else:
+            if key is None:
+                key = jax.random.key(0)
+            perm = jax.random.permutation(key, n_total)
+            val_scores = ins[perm[:validation]]
+            ins = ins[perm[validation:]]
     else:
         validation = 0
         val_scores = ins

@@ -131,8 +131,14 @@ class LossRecorder:
                     recorded_batches=self._recorded_batches,
                     last_batch_size=self.last_batch_size,
                     seed=self._seed if self._seed is not None else -1)
+        # store only the recorded region — the doubling _grow leaves
+        # untouched capacity that would otherwise ~double file sizes
+        nb = self._recorded_batches
+        trimmed = {k: t[..., :nb * self.batch_size]
+                   if t.shape[-1] >= nb * self.batch_size else t
+                   for k, t in self._tensors.items()}
         np.savez(path, __meta__=np.array(list(meta.items()), dtype=object),
-                 **self._tensors)
+                 **trimmed)
         if not path.endswith('.npz') and os.path.exists(path + '.npz'):
             os.replace(path + '.npz', path)
 

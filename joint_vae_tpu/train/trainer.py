@@ -74,7 +74,7 @@ def train_model(job: Job,
 
     if trainset is None:
         name = job.training_parameters.get('set') or 'cifar10'
-        trainset, ts = get_dataset(name, data_augmentation=data_augmentation)
+        trainset, ts = get_dataset(name)
         testset = testset if testset is not None else ts
 
     # persisted warmup + validation seed (ref cvae.py:2196-2202, 2155-2167)
