@@ -11,6 +11,12 @@ batch.  TPU-native restructuring:
 
 Scores: max softmax(mean-sample logits / T) on x + eps * sign(d score / dx)
 (gradient ascent on the max-softmax, ref :1651-1662).
+
+Deliberate deviation: the reference never zeroes x.grad between
+temperatures, so its perturbation direction at T_k is the sign of the
+ACCUMULATED gradients of T_1..T_k (a latent torch bug); here every
+temperature uses its own clean gradient.  Scores therefore match the
+reference exactly only for the first temperature of a grid.
 """
 
 from typing import Dict, Sequence

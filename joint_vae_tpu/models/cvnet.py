@@ -179,9 +179,12 @@ class CVNetConfig:
 
     @property
     def has_batch_norm(self) -> bool:
-        """Any BN in the module tree (conv-stack BN or resnet features)."""
+        """Any BN in the module tree — must agree with what setup()
+        builds ('encoder'/'both' conv-stack BN, or resnet features), or the
+        train step would index a batch_stats collection that does not
+        exist."""
         return bool(self.features) and (
-            bool(self.batch_norm)
+            self.batch_norm in ('encoder', 'both')
             or str(self.features).startswith(('resnet', 'densenet')))
 
     @property
@@ -248,6 +251,9 @@ class CVNetConfig:
              'upsampler': self.upsampler,
              'classifier': list(self.classifier),
              'output_activation': self.output_activation,
+             'y_is_coded': self.y_is_coded,
+             'iws_mode': self.iws_mode,
+             'compute_dtype': self.compute_dtype,
              'version': self.version}
         if self.features:
             d['features'] = self.features
@@ -285,6 +291,10 @@ class CVNetConfig:
                                                  dataclasses.fields(SigmaConfig)}})
         elif sigma is not None:
             d['sigma'] = SigmaConfig(value=sigma)
+        if 'y_is_coded' not in d:
+            # reference params.json carries only the type; y-coding is
+            # derived in its ctor (ref cvae.py:188-230)
+            d['y_is_coded'] = d.get('type') in ('jvae', 'xvae')
         d.update(overrides)
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in d.items() if k in known})
@@ -450,7 +460,8 @@ class CVNet(nn.Module):
         key = self.make_rng('sampling')
         dist = 'uniform' if cfg.prior.distribution == 'uniform' else 'gaussian'
         z, _ = reparameterize(key, mu, log_var, L, dist,
-                              is_sampled=sampling and (L > 1 or cfg.beta > 0))
+                              is_sampled=sampling and (cfg.latent_sampling > 1
+                                                       or cfg.beta > 0))
         x_reco = self.decode(z, train) if cfg.x_is_generated else x
         logits = self.classify(z)
         return x_reco, logits, mu, log_var, z

@@ -133,7 +133,10 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
         compute_iws = not train
     if L is None:
         L = cfg.latent_sampling if train else cfg.test_latent_sampling
-    sampled = L > 1 or cfg.beta > 0
+    # construction-time sampling flag (ref cvae.py:276): the TRAIN-time L
+    # and beta decide whether the latent is stochastic; the eval-time L only
+    # sets how many samples are drawn
+    sampled = cfg.latent_sampling > 1 or cfg.beta > 0
 
     if prior_override is not None:
         prior_cfg, prior_params = prior_override

@@ -102,6 +102,12 @@ def unflatten_into(template, arrays: Dict[str, np.ndarray]):
     for key, leaf in paths:
         if key in arrays and leaf is not None:
             arr = arrays[key]
+            if (hasattr(leaf, 'shape') and tuple(arr.shape) != tuple(leaf.shape)
+                    and getattr(leaf, 'ndim', 0) > 0):
+                raise ValueError(
+                    'checkpoint leaf {} has shape {}, template expects {} — '
+                    'the saved arrays do not match the rebuilt architecture'
+                    .format(key, tuple(arr.shape), tuple(leaf.shape)))
             leaves.append(jax.numpy.asarray(arr).astype(
                 leaf.dtype if hasattr(leaf, 'dtype') else arr.dtype))
             used.add(key)
