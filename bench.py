@@ -34,10 +34,13 @@ H100_REFERENCE_IMG_PER_SEC = 10000.0
 # bf16 peak of the bench chip (v5e = 197 TFLOP/s); override for other chips.
 PEAK_BF16_FLOPS = float(os.environ.get('JVT_PEAK_FLOPS', 197e12))
 
-BATCH = int(os.environ.get('JVT_BENCH_BATCH', 512))
+MODE = os.environ.get('JVT_BENCH_MODE', 'train')
+# per-mode sweet spots (docs/BENCH.md): train 1024 (157k vs 152k at 512,
+# 154k at 2048); eval/pipeline 512 (1024 loses to memory pressure there)
+BATCH = int(os.environ.get('JVT_BENCH_BATCH',
+                           1024 if MODE in ('train', 'mfu') else 512))
 STEPS = int(os.environ.get('JVT_BENCH_STEPS', 200))
 WARMUP = int(os.environ.get('JVT_BENCH_WARMUP', 10))
-MODE = os.environ.get('JVT_BENCH_MODE', 'train')
 
 
 def main():
