@@ -104,12 +104,13 @@ class WIMJob:
             # also what makes train=True safe with immutable batch_stats
             o_in = evaluate(model, variables, x_in, y_in, rng=r1,
                             sigma_state=state.sigma_state, train=True,
-                            bn_eval=True, with_beta=True, L=train_L)
+                            bn_eval=True, with_beta=True, L=train_L,
+                            native_scores=True)
             y_mix = jnp.zeros((x_mix.shape[0],), jnp.int32)
             o_mix = evaluate(model, variables, x_mix, y_mix, rng=r2,
                              sigma_state=state.sigma_state, train=True,
                              bn_eval=True, with_beta=True, L=train_L,
-                             prior_override=alt)
+                             prior_override=alt, native_scores=True)
             L = (jnp.mean(o_in.losses['total'])
                  + alpha * jnp.mean(o_mix.losses['total']))
             return L, (o_in, o_mix)

@@ -394,6 +394,44 @@ class ConvStack(nn.Module):
     where: str = 'input'
     dtype: jnp.dtype = jnp.float32
 
+    def native_f(self) -> int:
+        """Packing factor of the stack's *native* (pre-unpack, NHWC) output.
+
+        0 = no native output available (categorical output stacks need the
+        256-way channel reshape); 1 = NHWC, unpacked; f>1 = f-phase-packed
+        NHWC with channel order (phase_h, phase_w, channel) and every packed
+        pixel mapping to a true pixel (exact divisibility).
+
+        Scoring callers use this to compute permutation-invariant losses
+        (MSE/NLL sums over image dims) directly on the native layout —
+        skipping the depth-to-space + NHWC->NCHW formatting of every decoded
+        sample; only the small true input batch gets transformed instead.
+        Mirrors the f-evolution of ``__call__`` (asserted there)."""
+        if self.where == 'output' and self.output_distribution == 'categorical':
+            return 0
+        pack = self._packing_factor()
+        f = 1
+        h, w = self.input_shape[1], self.input_shape[2]
+        n_layers = len(self.plans)
+        for i, pl in enumerate(self.plans):
+            _, oh, ow = pl.out_shape
+            last = i == n_layers - 1
+            if pl.ltype in ('conv', 'deconv'):
+                is_dc = pl.ltype == 'deconv'
+                if is_dc and h == 1 and w == 1 and f == 1:
+                    f = 1                       # matmul latent expansion
+                elif is_dc and pl.stride > 1:
+                    f = pl.stride if (pl.stride == pack and not last) else 1
+                else:
+                    f = f if f > 1 else (
+                        pack if pack and self.where == 'input' else 1)
+            else:
+                f = 1                           # pooling/upsampler unpack
+            h, w = oh, ow
+        if f > 1 and (h % f or w % f):
+            return 1                            # final unpack slices padding
+        return max(f, 1)
+
     def _packing_factor(self) -> int:
         """Static decision: phase-pack this stack (0 = unpacked).
 
@@ -424,7 +462,8 @@ class ConvStack(nn.Module):
         return pack
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False,
+                 native_out: bool = False) -> jax.Array:
         lead = x.shape[:-3]
         c0, h0, w0 = self.input_shape
         x = x.reshape((-1, c0, h0, w0)).transpose(0, 2, 3, 1)  # NCHW->NHWC
@@ -505,6 +544,14 @@ class ConvStack(nn.Module):
                 x = ACTIVATIONS[pl.activation](x)
             h, w, c = oh, ow, oc
 
+        if native_out:
+            nf = self.native_f()
+            if nf:
+                if f > 1 and nf == 1:
+                    x = _unpack_to(x, f, h, w)
+                else:
+                    assert f == nf or (f == 1 and nf == 1), (f, nf)
+                return x.reshape(lead + x.shape[1:])
         if f > 1:
             x = _unpack_to(x, f, h, w)
         x = x.transpose(0, 3, 1, 2)  # NHWC->NCHW

@@ -300,6 +300,31 @@ class CVNetConfig:
         return cls(**{k: v for k, v in d.items() if k in known})
 
 
+def decode_native_f(cfg: 'CVNetConfig') -> int:
+    """Native-layout packing factor of the decode output (0 = unavailable).
+
+    Mirrors the imager construction in ``CVNet.setup`` so scoring callers
+    can decide statically whether ``decode(..., native=True)`` will return
+    the packed-NHWC layout (and transform the target image to match) —
+    the basis of the transpose-free loss path (see ConvStack.native_f)."""
+    if not (cfg.x_is_generated and cfg.upsampler):
+        return 0
+    hw = find_input_shape(cfg.upsampler, cfg.input_shape[1:])
+    imager_input_dim = cfg.decoder[-1] if cfg.decoder else cfg.latent_dim
+    f = hw[0] * hw[1]
+    if imager_input_dim % f:
+        return 0
+    imager_in = (imager_input_dim // f, *hw)
+    _, plans, _ = conv_stack_plan(
+        imager_in, cfg.upsampler, where='output',
+        batch_norm=cfg.batch_norm == 'both' and bool(cfg.features),
+        activation=cfg.activation,
+        output_activation=cfg.output_activation,
+        output_distribution=cfg.output_distribution)
+    return ConvStack(input_shape=imager_in, plans=plans, where='output',
+                     output_distribution=cfg.output_distribution).native_f()
+
+
 class CVNet(nn.Module):
     """Flax module; see module docstring.  Methods are designed to be called
     individually via ``apply(..., method=...)`` so the evaluation engine can
@@ -419,13 +444,18 @@ class CVNet(nn.Module):
         flat = t.reshape(t.shape[:t.ndim - len(self.encoder_input_shape)] + (-1,))
         return self.encoder(flat, y_onehot, train)
 
-    def decode(self, z: jax.Array, train: bool = False) -> jax.Array:
-        """z: (..., K) -> reconstruction (..., [256,] *input_shape)."""
+    def decode(self, z: jax.Array, train: bool = False,
+               native: bool = False) -> jax.Array:
+        """z: (..., K) -> reconstruction (..., [256,] *input_shape).
+
+        ``native=True`` (only honored by a ConvStack imager whose
+        ``native_f() > 0``) returns the stack's native NHWC/packed layout —
+        see ``decode_native_f`` and ConvStack.native_f."""
         u = self.decoder(z, train)
         lead = u.shape[:-1]
         out = self.imager(u.reshape((-1,) + tuple(self.imager_input_shape)),
-                          train) if isinstance(self.imager, ConvStack) \
-            else self.imager(u)
+                          train, native_out=native) \
+            if isinstance(self.imager, ConvStack) else self.imager(u)
         return out.reshape(lead + out.shape[1:]) \
             if isinstance(self.imager, ConvStack) else out
 

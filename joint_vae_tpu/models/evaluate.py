@@ -31,7 +31,8 @@ from ..ops.priors import PriorConfig, prior_kl, prior_log_density
 from ..ops.sampling import reparameterize
 from ..ops.sigma import (SigmaState, update_sigma_rmse, update_sigma_coded,
                          sigma_value)
-from .cvnet import CVNet
+from .conv import space_to_depth
+from .cvnet import CVNet, decode_native_f
 from .layers import onehot_encoding, capacity, dict_min_distance
 
 _LOG_2PI = float(np.log(2 * np.pi))
@@ -51,7 +52,8 @@ class EvalOutput:
 
 def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
              expand_x_classes: bool, mutable, decode_mean: bool = True,
-             constrain_z=None, bn_eval: bool = False):
+             constrain_z=None, bn_eval: bool = False,
+             native_decode: bool = False):
     """Run features -> encode -> sample -> decode -> classify through a
     single bound module so BN/dropout state works; returns raw tensors.
 
@@ -84,7 +86,7 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
             # callers (OOD engines) pass decode_mean=False for the same
             # saving at eval (1/17 of the decode at the default test L=16).
             x_reco = mdl.decode(z if (decode_mean and not train) else z[1:],
-                                mtrain)
+                                mtrain, native=native_decode)
         else:
             x_reco = x
         logits = mdl.classify(z)
@@ -116,10 +118,24 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
              return_bn_updates: bool = False,
              decode_mean: bool = True,
              constrain_z=None,
-             bn_eval: bool = False):
+             bn_eval: bool = False,
+             native_scores: bool = False):
     """Evaluate a batch; returns EvalOutput (and BN updates if requested).
 
     x: (N, *input_shape); y: (N,) int labels or None (per-class evaluation).
+
+    ``native_scores=True`` (loss-only callers) lets the decoder keep its
+    native packed-NHWC layout and computes the (permutation-invariant)
+    reconstruction losses there, transforming the small true batch ``x``
+    once instead of depth-to-space + NHWC->NCHW formatting every decoded
+    sample.  When it engages (gaussian output, non-per-dim/non-coded sigma,
+    packing-capable imager) ``EvalOutput.x_reco`` is in that native layout —
+    callers that render reconstructions must leave it off.  Losses are
+    identical up to float reduction order.  Measured on the v5e it wins in
+    TRAIN steps (+1.3%: the backward re-pack transposes disappear) and
+    LOSES ~2% in forward-only eval (the f32 loss epilogue fused into the
+    conv slows the packed conv fusions more than the saved formatting) —
+    so only the train-mode steps enable it (docs/BENCH.md).
     """
     cfg = model.cfg
     C = cfg.num_labels
@@ -149,10 +165,18 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
     if x_rep:
         y_fwd = jnp.broadcast_to(jnp.arange(C, dtype=jnp.int32)[:, None], (C, N))
 
+    # native-layout scoring (see docstring): static decision
+    nf = 0
+    if (native_scores and cfg.x_is_generated
+            and cfg.output_distribution == 'gaussian'
+            and not cfg.sigma_cfg.per_dim and not cfg.sigma_cfg.coded):
+        nf = decode_native_f(cfg)
+
     (x_reco, logits, mu, log_var, z, eps_norm, sigma_coded), bn_updates = _forward(
         model, variables, x, y_fwd, rng=rng, train=train, L=L, sampled=sampled,
         expand_x_classes=x_rep, mutable=return_bn_updates,
-        decode_mean=decode_mean, constrain_z=constrain_z, bn_eval=bn_eval)
+        decode_mean=decode_mean, constrain_z=constrain_z, bn_eval=bn_eval,
+        native_decode=nf > 0)
 
     losses: Dict[str, jax.Array] = {}
     measures: Dict[str, jax.Array] = {}
@@ -192,6 +216,12 @@ def evaluate(model: CVNet, variables: Dict[str, Any], x: jax.Array,
         use_unit_sigma = scfg.is_rmse or cfg.output_distribution == 'categorical'
 
         x_flat = x
+        if nf:
+            # match the decoder's native layout: NHWC (+ space-to-depth
+            # packing for nf > 1); sums/means over the 3 trailing image
+            # dims are invariant to this pixel permutation
+            x_nhwc = jnp.moveaxis(x, -3, -1)
+            x_flat = space_to_depth(x_nhwc, nf) if nf > 1 else x_nhwc
         if cfg.output_distribution == 'gaussian':
             if use_unit_sigma:
                 wmse_l = mse_loss(x_reco_s, x_flat, ndim=len(cfg.input_shape),

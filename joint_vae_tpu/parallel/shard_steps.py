@@ -53,7 +53,7 @@ def make_shard_map_train_step(model: CVNet, tx: optax.GradientTransformation,
             out = evaluate(model, {'params': params}, x, y, rng=sub,
                            sigma_state=state.sigma_state, train=True,
                            with_beta=True, kl_var_weighting=kl_w,
-                           gamma_weighting=g_w)
+                           gamma_weighting=g_w, native_scores=True)
             return jnp.mean(out.losses['total']), out
 
         (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(

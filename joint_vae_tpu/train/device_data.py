@@ -109,7 +109,8 @@ def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
             res = evaluate(model, variables, x, y, rng=sub,
                            sigma_state=state.sigma_state, train=True,
                            with_beta=True, kl_var_weighting=kl_w,
-                           gamma_weighting=g_w, return_bn_updates=has_bn)
+                           gamma_weighting=g_w, return_bn_updates=has_bn,
+                           native_scores=True)
             out, bn = res if has_bn else (res, None)
             return jnp.mean(out.losses['total']), (out, bn)
 

@@ -48,7 +48,7 @@ def make_train_step(model: CVNet, tx: optax.GradientTransformation,
                            rng=sub, sigma_state=state.sigma_state,
                            train=True, with_beta=True,
                            kl_var_weighting=kl_w, gamma_weighting=g_w,
-                           return_bn_updates=has_bn)
+                           return_bn_updates=has_bn, native_scores=True)
             out, bn_updates = res if has_bn else (res, None)
             return jnp.mean(out.losses['total']), (out, bn_updates)
 
