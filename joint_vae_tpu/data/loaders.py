@@ -685,14 +685,12 @@ class DataLoader:
         n = len(self.dataset)
         bs = self.batch_size
         n_batches = n // bs if self.drop_last else -(-n // bs)
-        # double-buffered outputs so the previous batch stays valid while the
-        # device copies it
-        c, h, w = nb.shape
-        bufs = [(np.empty((bs, c, h, w), np.float32),
-                 np.empty((bs,), np.int32)) for _ in range(2)]
+        # Fresh output buffers every batch: consumers (eval engines, recorders)
+        # retain yielded arrays across the whole epoch, so rotating buffers
+        # would silently overwrite retained batches.  Matches the numpy path,
+        # which yields fresh fancy-indexed copies.
         for i in range(n_batches):
-            out_x, out_y = bufs[i % 2]
-            x, y = nb.get_batch(i, bs, out_x, out_y)
+            x, y = nb.get_batch(i, bs)
             yield x, y
 
     def _augment(self, x: np.ndarray, rng) -> np.ndarray:

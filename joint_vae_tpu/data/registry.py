@@ -107,8 +107,14 @@ def dataset_properties(conf_file: Optional[str] = None,
     if conf_file:
         reg.update(load_registry_ini(conf_file))
     for name, p in reg.items():
-        cf = p.pop('classes_from_file', None)
+        cf = p.get('classes_from_file')
         if cf:
+            # Resolve to an absolute path so downstream consumers (the
+            # ImageFolder loader's wnid restriction, loaders.py:564) can
+            # open it from any cwd; keep the key in the props.
+            resolved = _resolve_data_path(cf)
+            if resolved:
+                p['classes_from_file'] = resolved
             classes = _read_class_file(cf)
             if classes:
                 p['classes'] = classes
@@ -121,11 +127,11 @@ def dataset_properties(conf_file: Optional[str] = None,
     return reg
 
 
-def _read_class_file(path: str) -> Optional[list]:
-    """Class names from a wnid list file ('<wnid> <name with_underscores>'
-    per line, ref utils/torch_load.py:72); resolved against $JVT_DATA_DIR's
-    parent, the repo root, and the cwd.  None when absent (callers keep
-    their inline fallback classes)."""
+def _resolve_data_path(path: str) -> Optional[str]:
+    """Absolute path for a registry-relative file, searched against
+    $JVT_DATA_DIR's parent, the repo root, and the cwd.  None if absent."""
+    if os.path.isabs(path):
+        return path if os.path.exists(path) else None
     roots = []
     dd = os.environ.get('JVT_DATA_DIR')
     if dd:
@@ -136,10 +142,20 @@ def _read_class_file(path: str) -> Optional[list]:
     for root in roots:
         p = os.path.join(root, path)
         if os.path.exists(p):
-            with open(p) as f:
-                return [' '.join(l.split()[1:]).replace('_', ' ')
-                        for l in f if l.strip() and not l.startswith('#')]
+            return os.path.abspath(p)
     return None
+
+
+def _read_class_file(path: str) -> Optional[list]:
+    """Class names from a wnid list file ('<wnid> <name with_underscores>'
+    per line, ref utils/torch_load.py:72).  None when absent (callers keep
+    their inline fallback classes)."""
+    p = _resolve_data_path(path)
+    if p is None:
+        return None
+    with open(p) as f:
+        return [' '.join(l.split()[1:]).replace('_', ' ')
+                for l in f if l.strip() and not l.startswith('#')]
 
 
 def load_registry_ini(conf_file: str) -> Dict[str, dict]:
@@ -152,6 +168,7 @@ def load_registry_ini(conf_file: str) -> Dict[str, dict]:
         p = {'shape': tuple(int(_) for _ in p_['shape'].split())}
         classes = p_.get('classes', '')
         if p_.get('classes_from_file'):
+            p['classes_from_file'] = p_['classes_from_file']
             with open(p_['classes_from_file']) as f:
                 p['classes'] = [' '.join(l.split()[1:]).replace('_', ' ')
                                 for l in f if not l.startswith('#')]

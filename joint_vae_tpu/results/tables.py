@@ -45,8 +45,14 @@ def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
         for k in TRAIN_COLUMNS:
             row[('train', k)] = m.get(k)
         for k, v in m.items():
-            if k.startswith('accuracy'):
-                row[('accuracy', k.replace('accuracy_', '') or 'best')] = v
+            if k == 'accuracy':
+                row[('accuracy', 'best')] = v
+            elif k == 'accuracy_epoch':
+                # an epoch number, not an accuracy — keep it out of the
+                # metric group so agg_results never averages epochs
+                row[('train', 'acc_epoch')] = v
+            elif k.startswith('accuracy_'):
+                row[('accuracy', k[len('accuracy_'):])] = v
         if ood:
             fpr_suffix = '_fpr{}'.format(tpr)
             for k, v in m.items():

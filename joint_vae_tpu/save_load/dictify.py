@@ -132,15 +132,30 @@ def available_results(job: Job,
                         else job.ood_results.get(epoch, {}).get(s, {}))
             rec = None
             if s in recorders:
-                rec = LossRecorder.load(recorders[s])
+                # metadata-only probe — planning must not read array data
+                # (fleet queries would otherwise pull whole score tensors
+                # from disk per epoch x set)
+                try:
+                    rec = LossRecorder.peek(recorders[s])
+                except Exception:
+                    rec = None
             for m in methods:
-                r = json_src.get(m)
-                avail['json'][m] = (r.get('n', 0) if isinstance(r, dict)
-                                    else 0) if 'json' in where else 0
+                if m in mm and s == testset:
+                    # misclass results are stored nested under the predict
+                    # method (engines.misclassification_detection_rates):
+                    # testing[epoch][pm][m] -> take the best-covered pm
+                    n_json = max((p.get(m, {}).get('n', 0)
+                                  for p in json_src.values()
+                                  if isinstance(p, dict)), default=0)
+                else:
+                    r = json_src.get(m)
+                    n_json = r.get('n', 0) if isinstance(r, dict) else 0
+                avail['json'][m] = n_json if 'json' in where else 0
                 n_rec = 0
                 if rec is not None and 'recorders' in where:
-                    if all(c in rec for c in needed_components(m)):
-                        n_rec = rec.recorded_samples
+                    if all(c in rec['components']
+                           for c in needed_components(m)):
+                        n_rec = rec['recorded_samples']
                 avail['recorders'][m] = n_rec
                 avail['compute'][m] = (10 ** 9 if 'compute' in where
                                        and epoch == job.trained else 0)

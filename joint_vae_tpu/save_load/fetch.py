@@ -43,6 +43,11 @@ class _Lock:
                         os.unlink(self.path)
                     except FileNotFoundError:
                         pass
+                    # restart the staleness clock: the next lock file we see
+                    # may be a fresh one another process just acquired —
+                    # without the reset every retry would keep deleting
+                    # live locks and let multiple writers race the registry
+                    t0 = time.time()
                 time.sleep(0.05)
 
     def __exit__(self, *a):

@@ -18,7 +18,7 @@ import numpy as np
 
 
 class LossRecorder:
-    FILE_PATTERN = re.compile(r'record-(?P<set>.+)\.npz')
+    FILE_PATTERN = re.compile(r'record-(?P<set>.+)\.npz\Z')
 
     def __init__(self, batch_size: int, num_batch: int = 0,
                  device=None, **tensors: np.ndarray):
@@ -137,10 +137,12 @@ class LossRecorder:
         trimmed = {k: t[..., :nb * self.batch_size]
                    if t.shape[-1] >= nb * self.batch_size else t
                    for k, t in self._tensors.items()}
-        np.savez(path, __meta__=np.array(list(meta.items()), dtype=object),
+        # atomic: a crash mid-savez must not leave a truncated npz that
+        # poisons the 'recorders' reuse tier (same pattern as checkpoint.py)
+        tmp = path + '.tmp.npz'
+        np.savez(tmp, __meta__=np.array(list(meta.items()), dtype=object),
                  **trimmed)
-        if not path.endswith('.npz') and os.path.exists(path + '.npz'):
-            os.replace(path + '.npz', path)
+        os.replace(tmp, path)
 
     @classmethod
     def load(cls, path: str, **kw) -> 'LossRecorder':
@@ -156,6 +158,24 @@ class LossRecorder:
         seed = int(meta['seed'])
         r._seed = None if seed < 0 else seed
         return r
+
+    @classmethod
+    def peek(cls, path: str) -> Dict[str, object]:
+        """Cheap availability probe: component names + sample count without
+        materializing the tensors (npz members are read lazily; only the
+        tiny ``__meta__`` entry is decompressed).  Used by the
+        available-results planner, which only needs 'which components exist
+        and how many samples'."""
+        with np.load(path, allow_pickle=True) as z:
+            meta = dict(z['__meta__'].tolist())
+            components = [k for k in z.files if k != '__meta__']
+        nb = int(meta['recorded_batches'])
+        bs = int(meta['batch_size'])
+        last = int(meta['last_batch_size'])
+        n = max(0, nb - 1) * bs + (last if nb else 0)
+        seed = int(meta['seed'])
+        return {'components': components, 'recorded_samples': n,
+                'batch_size': bs, 'seed': None if seed < 0 else seed}
 
     def save_mat(self, path: str):
         """Matlab export of the recorded tensors (ref recorders.py .mat

@@ -23,6 +23,11 @@ def compute_max_batch_size(step_fn: Callable[[int], None], start: int = 128,
     executes without exhausting device memory."""
     if key in _max_batch_cache:
         return _max_batch_cache[key]
+
+    def _is_oom(e: Exception) -> bool:
+        return ('RESOURCE_EXHAUSTED' in str(e) or 'Out of memory' in str(e)
+                or 'oom' in str(e).lower())
+
     n = start
     best = 0
     while n <= ceiling:
@@ -31,11 +36,21 @@ def compute_max_batch_size(step_fn: Callable[[int], None], start: int = 128,
             best = n
             n *= 2
         except Exception as e:  # XlaRuntimeError RESOURCE_EXHAUSTED etc.
-            if 'RESOURCE_EXHAUSTED' in str(e) or 'Out of memory' in str(e) \
-                    or 'oom' in str(e).lower():
+            if _is_oom(e):
                 logging.info('batch %d exhausts device memory', n)
                 break
             raise
+    # the starting size may itself exhaust memory — halve downward like the
+    # reference (cvae.py:1087-1143) instead of reporting 0
+    n = start // 2
+    while best == 0 and n >= 1:
+        try:
+            step_fn(n)
+            best = n
+        except Exception as e:
+            if not _is_oom(e):
+                raise
+            n //= 2
     if key:
         _max_batch_cache[key] = best
     return best

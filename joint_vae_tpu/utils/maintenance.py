@@ -13,7 +13,7 @@ import subprocess
 from typing import List
 
 from ..save_load.fetch import collect_models
-from ..save_load.jobs import mark, is_derailed
+from ..save_load.jobs import mark
 
 
 def delete_job(job_dir: str, purge: bool = False):
@@ -26,7 +26,11 @@ def delete_job(job_dir: str, purge: bool = False):
 
 
 def list_deleted(jobs_root: str) -> List[str]:
-    return [d for d in collect_models(jobs_root) if is_derailed(d)]
+    """Jobs soft-deleted via the 'deleted' sentinel only — derailed
+    (crashed) jobs keep their checkpoints for forensics and are never
+    purged here (ref delete-jobs.sh marks, test.py:132-143 derails)."""
+    return [d for d in collect_models(jobs_root)
+            if os.path.exists(os.path.join(d, 'deleted'))]
 
 
 def purge_deleted(jobs_root: str) -> List[str]:
