@@ -30,8 +30,10 @@ class SubSampledDataset(ArrayDataset):
         self._task = task
         self.maxlength = len(dataset)
         self._bar = False
-        length = min(length or self.maxlength, self.maxlength)
-        self._length = length
+        # length=0 is a real request for an empty subset (ref shrink(),
+        # ft/datasets.py:151-153) — only None means "everything"
+        length = self.maxlength if length is None else length
+        self._length = min(length, self.maxlength)
         idx = self._indices()
         super().__init__(dataset.data[idx], dataset.targets[idx],
                          'sub-{}'.format(dataset.name), dataset.classes,
@@ -47,7 +49,9 @@ class SubSampledDataset(ArrayDataset):
             bundles = np.array_split(perm, L)
             sel = np.array([b[0] for b in bundles if len(b)])
         else:
-            sel = perm[t * L:(t + 1) * L]
+            # modulo wraparound so every task index yields L samples
+            # (ref ft/datasets.py:182: _idx[(idx + shift) % len(_idx)])
+            sel = perm[(t * L + np.arange(L)) % self.maxlength]
         if self._bar:
             mask = np.ones(self.maxlength, bool)
             mask[sel] = False

@@ -191,7 +191,9 @@ def finetune(wim: WIMJob,
                           kept_tpr=DEFAULT_KEPT_TPR,
                           two_sided=two_sided_from_method(m))
             job.ood_results[epoch_key][ood.name][m] = {
-                'epochs': epoch_key, 'n': int(ind_scores[m].shape[0]),
+                # 'n' counts the OOD samples (ref cvae.py:1886) — the json
+                # reuse tier compares it against n_wanted(oodset)
+                'epochs': epoch_key, 'n': int(ood_scores[m].shape[0]),
                 'mean': float(np.mean(ood_scores[m])),
                 'std': float(np.std(ood_scores[m])),
                 'auc': float(r['auc']),
@@ -231,9 +233,16 @@ def finetune(wim: WIMJob,
         for set_name, losses_ in [(testset.name, ind_losses),
                                   *ood_loss_sets.items()]:
             rec = LossRecorder(max(1, int(losses_['y_true'].shape[0])))
+            extra = {}
+            if cfg.losses_per_class and losses_['kl'].ndim > 1:
+                # kl-argmin pseudo-labels so '~' methods can be replayed
+                # from the recorders tier (ref ft/job.py:88 stores
+                # y_est_already per batch; needed_components('k~'))
+                extra['y_est_already'] = np.argmin(
+                    losses_['kl'], axis=0).astype(np.int32)
             rec.append_batch(**{k: v for k, v in losses_.items()
                                 if k not in ('logits',)},
-                             logits=losses_['logits'].T)
+                             logits=losses_['logits'].T, **extra)
             rec.save(os.path.join(sdir, 'record-{}.npz'.format(set_name)))
         save_job(job, save_dir)
     return wim

@@ -120,6 +120,10 @@ class WIMJob:
         # priors are frozen in WIM (ref ft/wim.py:31-32,104-105)
         grads = _zero_prior_grads(grads)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # zero the *updates* too: weight decay inside tx would otherwise
+        # still shrink the frozen original prior every step (same
+        # double-masking as train/steps.py)
+        updates = _zero_prior_grads(updates)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(params=params, opt_state=opt_state,
                                   sigma_state=o_in.sigma_state,

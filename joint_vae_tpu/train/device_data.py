@@ -119,6 +119,10 @@ def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
         m = grad_mask(model, state.params, frozen_modules)
         grads = apply_grad_mask(model, grads, m, state.epoch)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        # frozen params must receive NO update at all (torch requires_grad
+        # semantics): weight decay inside tx would otherwise still move them
+        # — same double-masking as steps.py / shard_steps.py.
+        updates = apply_grad_mask(model, updates, m, state.epoch)
         params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             params=params, opt_state=opt_state,

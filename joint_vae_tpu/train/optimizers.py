@@ -90,12 +90,17 @@ def set_learning_rate(opt_state, lr):
 
 
 def _map_inject(state, lr):
-    if isinstance(state, tuple) and not hasattr(state, 'hyperparams'):
-        return type(state)(_map_inject(s, lr) for s in state)
     if hasattr(state, 'hyperparams') and 'learning_rate' in state.hyperparams:
         hp = dict(state.hyperparams)
         hp['learning_rate'] = jnp.asarray(lr, jnp.asarray(hp['learning_rate']).dtype)
         return state._replace(hyperparams=hp)
+    if isinstance(state, tuple):
+        children = tuple(_map_inject(s, lr) for s in state)
+        # namedtuple optimizer states (EmptyState, ScaleByAdamState, ...)
+        # need positional-splat reconstruction, not a single generator arg
+        if hasattr(state, '_fields'):
+            return type(state)(*children)
+        return children
     return state
 
 
