@@ -23,6 +23,7 @@ from ..models.evaluate import evaluate
 from ..ops.roc import auroc_one_sided_exact
 from ..save_load.fetch import find_by_job_number
 from ..utils.print_log import set_log
+from . import add_platform_arg, apply_platform
 
 
 def _scores(job, dataset, batch_size, key, score='total'):
@@ -66,7 +67,9 @@ def main(argv=None):
     p.add_argument('-T', '--temps', nargs='*', type=float,
                    default=[1.0, 2.0, 5.0])
     p.add_argument('-v', '--verbose', action='count', default=0)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
     set_log(args.verbose)
 
     jobs = []

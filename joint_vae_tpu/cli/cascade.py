@@ -21,6 +21,7 @@ from ..evals.cascad import CascadModels, iterate_with_prior
 from ..save_load.checkpoint import save_json
 from ..save_load.fetch import find_by_job_number
 from ..utils.print_log import set_log
+from . import add_platform_arg, apply_platform
 
 
 def main(argv=None):
@@ -40,7 +41,9 @@ def main(argv=None):
     p.add_argument('-T', '--temps', nargs='*', type=float,
                    default=[1.0, 2.0, 5.0])
     p.add_argument('-v', '--verbose', action='count', default=0)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
     set_log(args.verbose)
 
     jobs = []

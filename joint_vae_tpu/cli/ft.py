@@ -24,6 +24,7 @@ from ..ft.scheduler import Scheduler
 from ..save_load.fetch import find_by_job_number
 from ..utils.parameters import load_config_section
 from ..utils.print_log import set_log
+from . import add_platform_arg, apply_platform
 
 
 def _run_poscod(args, job, dflt):
@@ -97,7 +98,9 @@ def main(argv=None):
                    help='train a frozen-net 1-logit OOD head instead of WIM '
                         '(ref ft/poscod.py)')
     p.add_argument('-v', '--verbose', action='count', default=0)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
     set_log(args.verbose)
 
     try:

@@ -41,6 +41,7 @@ from ..results.texify import TexTab, texify_test_results_df
 from ..save_load.fetch import fetch_models
 from ..utils.filters import filters_from_dict
 from ..utils.print_log import set_log
+from . import add_platform_arg, apply_platform
 
 TABLE_OPTIONS = {'tpr', 'agg', 'index', 'out', 'best',
                  'dataset', 'ood', 'ood_method', 'acc_method', 'average',
@@ -239,7 +240,9 @@ def main(argv=None):
     p.add_argument('--job-dir', default='jobs')
     p.add_argument('--out-dir', default=None)
     p.add_argument('-v', '--verbose', action='count', default=0)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
     set_log(args.verbose)
 
     cp = configparser.ConfigParser()

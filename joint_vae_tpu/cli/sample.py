@@ -20,6 +20,7 @@ from ..evals.sample import (reconstruction_grid, generation_grid,
 from ..save_load.fetch import find_by_job_number
 from ..utils.inspection import export_latent_histograms
 from ..utils.print_log import set_log
+from . import add_platform_arg, apply_platform
 
 
 def main(argv=None):
@@ -36,7 +37,9 @@ def main(argv=None):
     p.add_argument('--out', default=None)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('-v', '--verbose', action='count', default=0)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
     set_log(args.verbose)
 
     job = find_by_job_number(args.job_dir, args.job)

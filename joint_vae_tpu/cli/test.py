@@ -23,6 +23,7 @@ from ..results.texify import texify_test_results_df
 from ..utils.filters import filters_from_dict
 from ..utils.print_log import set_log
 from ..utils.testing import cache_early_stopping
+from . import add_platform_arg, apply_platform
 
 
 def main(argv=None):
@@ -53,7 +54,9 @@ def main(argv=None):
                    help='write per-job recorded losses as losses-<set>.tab '
                         '(ref utils/tables.py:26-83)')
     p.add_argument('-v', '--verbose', action='count', default=0)
+    add_platform_arg(p)
     args = p.parse_args(argv)
+    apply_platform(args)
     set_log(args.verbose)
 
     fdict = {}
