@@ -109,7 +109,7 @@ def main(argv=None):
             sys.exit('--record needs exactly two jobs')
         import os
         from ..evals.aggregation import latent_mutual_info_tensors
-        from ..save_load.recorders import LossRecorder
+        from ..save_load.recorders import LossRecorder, record_filename
         out_dir = os.path.join(
             args.job_dir, name,
             '|'.join(str(n) for n in sorted(args.jobs)))
@@ -133,7 +133,7 @@ def main(argv=None):
                 rec.append_batch(
                     **{'Im-{:g}'.format(T): v for T, v in Im.items()},
                     y_=y_hat, y_true=np.asarray(yb))
-            path = os.path.join(out_dir, 'record-{}.npz'.format(s.name))
+            path = os.path.join(out_dir, record_filename(s.name))
             rec.save(path)
             print('recorded Im tensors for {} -> {}'.format(s.name, path))
 

@@ -94,7 +94,7 @@ def main(argv=None):
 
     if args.record and len(jobs) >= 2:
         from ..evals.aggregation import latent_mutual_info_tensors
-        from ..save_load.recorders import LossRecorder
+        from ..save_load.recorders import LossRecorder, record_filename
         rec_dir = os.path.join(args.job_dir, name,
                                '-'.join(str(n) for n in args.jobs))
         os.makedirs(rec_dir, exist_ok=True)
@@ -112,7 +112,7 @@ def main(argv=None):
         rec.append_batch(
             **{'Im-{:g}'.format(T): np.stack(v) for T, v in pair_im.items()},
             y_=y_hat, y_true=np.asarray(y))
-        path = os.path.join(rec_dir, 'record-{}.npz'.format(name))
+        path = os.path.join(rec_dir, record_filename(name))
         rec.save(path)
         print('recorded stage-pair Im tensors -> {}'.format(path))
 

@@ -33,7 +33,8 @@ from ..ops.scores import (batch_dist_measures, develop_starred_methods,
                           predict_after_evaluate)
 from ..save_load.dictify import needed_components
 from ..save_load.jobs import Job
-from ..save_load.recorders import LossRecorder
+from ..save_load.recorders import (LossRecorder, find_record,
+                                    record_filename)
 from .odin import make_odin_scores
 
 KEPT_TPR = DEFAULT_KEPT_TPR
@@ -202,20 +203,23 @@ def _save_recorder(rec: LossRecorder, path: str):
     """Never degrade a stored recorder (ref recorders accumulate per
     epoch dir): keep the old file when it holds more samples; fold
     old-only keys in when the sample counts match."""
-    if os.path.exists(path):
+    base = path[:-4]  # same set stored in either format counts
+    for ext in ('.jvr', '.npz'):
+        p = base + ext
+        if not os.path.exists(p):
+            continue
         try:
-            old = LossRecorder.load(path)
+            old = LossRecorder.load(p)
         except Exception:
-            old = None
-        if old is not None:
-            if old.recorded_samples > rec.recorded_samples:
-                logging.info('keeping %s (%d > %d recorded samples)', path,
-                             old.recorded_samples, rec.recorded_samples)
-                return
-            if old.recorded_samples == rec.recorded_samples:
-                for k in old.keys():
-                    if k not in rec:
-                        rec._tensors[k] = old.get(k)
+            continue
+        if old.recorded_samples > rec.recorded_samples:
+            logging.info('keeping %s (%d > %d recorded samples)', p,
+                         old.recorded_samples, rec.recorded_samples)
+            return
+        if old.recorded_samples == rec.recorded_samples:
+            for k in old.keys():
+                if k not in rec:
+                    rec._tensors[k] = old.get(k)
     rec.save(path)
 
 
@@ -288,10 +292,9 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
     to_compute: List = []            # (dataset, [methods])
     for s in sets_to_score:
         wanted = need[s.name]
-        rec_path = (os.path.join(sdir, 'record-{}.npz'.format(s.name))
-                    if sdir else None)
+        rec_path = find_record(sdir, s.name) if sdir else None
         loaded = None
-        if rec_path and 'recorders' in from_where and os.path.exists(rec_path):
+        if rec_path and 'recorders' in from_where:
             loaded = LossRecorder.load(rec_path)
         from_rec, residue = [], []
         for m in wanted:
@@ -315,7 +318,7 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
             job.model, job.state.sigma_state, has_odin, union, mesh=mesh)
         for s, ms in to_compute:
             rec = None
-            rec_path = (os.path.join(sdir, 'record-{}.npz'.format(s.name))
+            rec_path = (os.path.join(sdir, record_filename(s.name))
                         if sdir else None)
             if recording and rec_path:
                 rec = LossRecorder(batch_size)
@@ -425,10 +428,8 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
 
     # tier 2: recorder replay (ref cvae.py:1268-1330)
     sdir = _sample_dir(job, epoch)
-    rec_path = (os.path.join(sdir, 'record-{}.npz'.format(testset.name))
-                if sdir else None)
-    if (remaining and 'recorders' in from_where and rec_path
-            and os.path.exists(rec_path)):
+    rec_path = find_record(sdir, testset.name) if sdir else None
+    if remaining and 'recorders' in from_where and rec_path:
         loaded = LossRecorder.load(rec_path)
         if loaded.recorded_samples >= n_want and 'y_true' in loaded:
             losses, logits, y_true = _recorder_tensors(loaded)
@@ -509,8 +510,7 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
             r['logits'] = np.asarray(logits).T
             r['y_true'] = y
             rec.append_batch(**r)
-        _save_recorder(rec, os.path.join(sdir,
-                                         'record-{}.npz'.format(testset.name)))
+        _save_recorder(rec, os.path.join(sdir, record_filename(testset.name)))
 
     computed = {m: n_correct[m] / max(n_total, 1) for m in predict_methods
                 if m != 'already' or estimated is not None}
@@ -559,9 +559,8 @@ def misclassification_detection_rates(job: Job,
     sdir = _sample_dir(job, epoch)
     name = (testset.name if testset is not None
             else job.training_parameters.get('set') or 'cifar10')
-    rec_path = os.path.join(sdir, 'record-{}.npz'.format(name)) if sdir else None
-    if (rec_path and os.path.exists(rec_path)
-            and 'recorders' in from_where):
+    rec_path = find_record(sdir, name) if sdir else None
+    if rec_path and 'recorders' in from_where:
         rec = LossRecorder.load(rec_path)
     elif 'compute' not in from_where:
         return {}

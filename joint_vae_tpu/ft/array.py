@@ -15,7 +15,8 @@ import numpy as np
 
 from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
 from ..save_load.checkpoint import save_json
-from ..save_load.recorders import LossRecorder
+from ..save_load.recorders import (LossRecorder, find_record,
+                                    record_filename)
 from .wim import WIMJob, WIM_OOD_METHODS_PER_TYPE
 from .job import wim_scores_for_set
 
@@ -63,15 +64,15 @@ class WIMArray:
                 continue
             if init:
                 sd = os.path.join(sd, 'init')
-            p = os.path.join(sd, 'record-{}.npz'.format(set_name))
-            if os.path.exists(p):
+            p = find_record(sd, set_name)
+            if p is not None:
                 recs.append(LossRecorder.load(p))
         if not recs:
             return None
         merged = recs[0] if len(recs) == 1 else recs[0].merge(*recs[1:])
         out = os.path.join(self.dir, 'samples', 'array',
-                           '{}record-{}.npz'.format('pre-' if init else '',
-                                                    set_name))
+                           ('pre-' if init else '')
+                           + record_filename(set_name))
         merged.save(out)
         return merged
 

@@ -23,7 +23,7 @@ from ..models.evaluate import evaluate
 from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
 from ..ops.scores import batch_dist_measures
 from ..save_load.jobs import save_job, load_job
-from ..save_load.recorders import LossRecorder
+from ..save_load.recorders import LossRecorder, record_filename
 from ..train.optimizers import build_optimizer
 from .wim import WIMJob, wim_measures, is_wim_method, WIM_OOD_METHODS_PER_TYPE
 
@@ -243,6 +243,6 @@ def finetune(wim: WIMJob,
             rec.append_batch(**{k: v for k, v in losses_.items()
                                 if k not in ('logits',)},
                              logits=losses_['logits'].T, **extra)
-            rec.save(os.path.join(sdir, 'record-{}.npz'.format(set_name)))
+            rec.save(os.path.join(sdir, record_filename(set_name)))
         save_job(job, save_dir)
     return wim

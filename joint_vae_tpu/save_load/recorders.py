@@ -6,8 +6,17 @@ appended batch by batch, saved as ``record-<set>.npz`` under
 ``samples/<epoch>/`` so evaluations can be re-analyzed without recompute
 (the 'recorders' tier of the available-results planner).
 
-Differences from the reference: numpy/npz instead of torch .pth; the seeded
-dataloader replay stores the (seed, epoch) pair instead of torch RNG state.
+Differences from the reference: the native .jvr format (or npz) instead of
+torch .pth; the seeded dataloader replay stores the (seed, epoch) pair
+instead of torch RNG state.
+
+Two on-disk formats, dispatched on extension:
+
+- ``.jvr`` (default): the framework's native store — written at disk
+  bandwidth by ``native/recstore.cpp`` (crc32-checked, atomic), opened as
+  a zero-copy memory map.  See ``save_load/native_store.py``.
+- ``.npz``: portable numpy interchange (and the round-1 format; old job
+  dirs keep loading).  ``JVT_RECORDER_FORMAT=npz`` switches writes back.
 """
 
 import os
@@ -16,9 +25,29 @@ from typing import Dict, List, Optional
 
 import numpy as np
 
+from . import native_store
+
+
+def record_filename(set_name: str, fmt: Optional[str] = None) -> str:
+    """Canonical record file name for a dataset (ref recorders.py:176
+    ``record-{set}.pth`` pattern; here .jvr/.npz)."""
+    fmt = fmt or os.environ.get('JVT_RECORDER_FORMAT', 'jvr')
+    assert fmt in ('jvr', 'npz'), fmt
+    return 'record-{}.{}'.format(set_name, fmt)
+
+
+def find_record(dir_path: str, set_name: str) -> Optional[str]:
+    """Existing record file for a set in either format (newest wins)."""
+    cands = [os.path.join(dir_path, 'record-{}.{}'.format(set_name, e))
+             for e in ('jvr', 'npz')]
+    cands = [p for p in cands if os.path.exists(p)]
+    if not cands:
+        return None
+    return max(cands, key=os.path.getmtime)
+
 
 class LossRecorder:
-    FILE_PATTERN = re.compile(r'record-(?P<set>.+)\.npz\Z')
+    FILE_PATTERN = re.compile(r'record-(?P<set>.+)\.(?:npz|jvr)\Z')
 
     def __init__(self, batch_size: int, num_batch: int = 0,
                  device=None, **tensors: np.ndarray):
@@ -127,16 +156,21 @@ class LossRecorder:
 
     def save(self, path: str):
         os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
-        meta = dict(batch_size=self.batch_size,
-                    recorded_batches=self._recorded_batches,
-                    last_batch_size=self.last_batch_size,
-                    seed=self._seed if self._seed is not None else -1)
         # store only the recorded region — the doubling _grow leaves
         # untouched capacity that would otherwise ~double file sizes
         nb = self._recorded_batches
         trimmed = {k: t[..., :nb * self.batch_size]
                    if t.shape[-1] >= nb * self.batch_size else t
                    for k, t in self._tensors.items()}
+        if path.endswith('.jvr'):
+            native_store.write_jvr(path, trimmed, self.batch_size,
+                                   self._recorded_batches,
+                                   self.last_batch_size, self._seed)
+            return
+        meta = dict(batch_size=self.batch_size,
+                    recorded_batches=self._recorded_batches,
+                    last_batch_size=self.last_batch_size,
+                    seed=self._seed if self._seed is not None else -1)
         # atomic: a crash mid-savez must not leave a truncated npz that
         # poisons the 'recorders' reuse tier (same pattern as checkpoint.py)
         tmp = path + '.tmp.npz'
@@ -146,9 +180,16 @@ class LossRecorder:
 
     @classmethod
     def load(cls, path: str, **kw) -> 'LossRecorder':
-        with np.load(path, allow_pickle=True) as z:
-            meta = dict(z['__meta__'].tolist())
-            tensors = {k: z[k] for k in z.files if k != '__meta__'}
+        if path.endswith('.jvr'):
+            meta, tensors = native_store.read_jvr(path)
+            seed = -1 if meta['seed'] is None else meta['seed']
+            meta = dict(batch_size=meta['batch_size'],
+                        recorded_batches=meta['recorded_batches'],
+                        last_batch_size=meta['last_batch_size'], seed=seed)
+        else:
+            with np.load(path, allow_pickle=True) as z:
+                meta = dict(z['__meta__'].tolist())
+                tensors = {k: z[k] for k in z.files if k != '__meta__'}
         r = cls(int(meta['batch_size']))
         r._tensors = tensors
         r._num_batch = (next(iter(tensors.values())).shape[-1]
@@ -162,20 +203,26 @@ class LossRecorder:
     @classmethod
     def peek(cls, path: str) -> Dict[str, object]:
         """Cheap availability probe: component names + sample count without
-        materializing the tensors (npz members are read lazily; only the
-        tiny ``__meta__`` entry is decompressed).  Used by the
-        available-results planner, which only needs 'which components exist
-        and how many samples'."""
-        with np.load(path, allow_pickle=True) as z:
-            meta = dict(z['__meta__'].tolist())
-            components = [k for k in z.files if k != '__meta__']
-        nb = int(meta['recorded_batches'])
-        bs = int(meta['batch_size'])
-        last = int(meta['last_batch_size'])
+        materializing the tensors (a header read for .jvr; lazy npz member
+        listing otherwise).  Used by the available-results planner, which
+        only needs 'which components exist and how many samples'."""
+        if path.endswith('.jvr'):
+            meta = native_store.peek_jvr(path)
+            components = meta['components']
+            nb, bs = meta['recorded_batches'], meta['batch_size']
+            last, seed_v = meta['last_batch_size'], meta['seed']
+        else:
+            with np.load(path, allow_pickle=True) as z:
+                meta = dict(z['__meta__'].tolist())
+                components = [k for k in z.files if k != '__meta__']
+            nb = int(meta['recorded_batches'])
+            bs = int(meta['batch_size'])
+            last = int(meta['last_batch_size'])
+            seed = int(meta['seed'])
+            seed_v = None if seed < 0 else seed
         n = max(0, nb - 1) * bs + (last if nb else 0)
-        seed = int(meta['seed'])
         return {'components': components, 'recorded_samples': n,
-                'batch_size': bs, 'seed': None if seed < 0 else seed}
+                'batch_size': bs, 'seed': seed_v}
 
     def save_mat(self, path: str):
         """Matlab export of the recorded tensors (ref recorders.py .mat
@@ -192,6 +239,7 @@ class LossRecorder:
         out = {}
         if not os.path.isdir(dir_path):
             return out
+        paths: Dict[str, str] = {}
         for fn in os.listdir(dir_path):
             m = cls.FILE_PATTERN.match(fn)
             if not m:
@@ -200,6 +248,12 @@ class LossRecorder:
             if sets and name not in sets:
                 continue
             p = os.path.join(dir_path, fn)
+            # a set recorded in both formats resolves to the newest file
+            if name in paths and os.path.getmtime(paths[name]) >= \
+                    os.path.getmtime(p):
+                continue
+            paths[name] = p
+        for name, p in paths.items():
             out[name] = p if output == 'paths' else cls.load(p)
         return out
 

@@ -56,7 +56,8 @@ RSYNC_PROFILES = {
     'results': ['--include=*/', '--include=*.json', '--include=*.out',
                 '--exclude=*'],
     'records': ['--include=*/', '--include=*.json', '--include=record-*.npz',
-                '--exclude=*.npz', '--exclude=*'],
+                '--include=record-*.jvr', '--exclude=*.npz',
+                '--exclude=*.jvr', '--exclude=*'],
     'full': [],
 }
 

@@ -52,8 +52,9 @@ def test_cascade_record_im(job_dir, capsys):
     from joint_vae_tpu.cli.cascade import main
     assert main(['1', '2', '--job-dir', job_dir, '-N', '64',
                  '--record', '-T', '1', '2']) == 0
-    rec = os.path.join(job_dir, 'mnist', '1-2', 'record-mnist.npz')
-    assert os.path.exists(rec)
+    from joint_vae_tpu.save_load.recorders import find_record
+    rec = find_record(os.path.join(job_dir, 'mnist', '1-2'), 'mnist')
+    assert rec is not None
     import numpy as np
     from joint_vae_tpu.save_load.recorders import LossRecorder
     r = LossRecorder.load(rec)

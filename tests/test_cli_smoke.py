@@ -149,7 +149,8 @@ def test_aggregate_record_and_mutual_info(job_dir, capsys):
                      '--batch-size', '48', '--dataset-size', '96',
                      '--record', '-T', '1', '2']) == 0
     rec_dir = os.path.join(job_dir, 'mnist', '1|1')
-    assert os.path.exists(os.path.join(rec_dir, 'record-mnist.npz'))
+    from joint_vae_tpu.save_load.recorders import find_record
+    assert find_record(rec_dir, 'mnist') is not None
 
     from joint_vae_tpu.results.mutual_info import main as mi_main
     assert mi_main([rec_dir]) == 0

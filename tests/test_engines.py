@@ -87,8 +87,9 @@ def test_accuracy_engine():
         assert 1 in job.testing
         assert job.testing[1]['iws']['n'] == len(ts)
         # recorder written
-        assert os.path.exists(os.path.join(d, 'samples', '0001',
-                                           'record-testblob.npz'))
+        from joint_vae_tpu.save_load.recorders import find_record
+        assert find_record(os.path.join(d, 'samples', '0001'),
+                           'testblob') is not None
 
 
 def test_ood_engine_schema_and_recorder_reuse():

@@ -161,8 +161,9 @@ def test_finetune_ood_n_and_recorded_pseudo_labels():
             assert r['n'] == 48, (m, r['n'])   # OOD count, not ind count
         # the OOD recorder must carry kl-argmin pseudo-labels so the '~'
         # methods can be replayed from the recorders tier
-        rec = LossRecorder.load(os.path.join(d, 'samples', '0001',
-                                             'record-noise.npz'))
+        from joint_vae_tpu.save_load.recorders import find_record
+        rec = LossRecorder.load(
+            find_record(os.path.join(d, 'samples', '0001'), 'noise'))
         assert 'y_est_already' in rec.keys()
         y_est = rec.get('y_est_already')
         assert y_est.shape[-1] == 48

@@ -136,5 +136,6 @@ def test_wim_finetune_end_to_end():
         # wim params persisted
         assert wim.job.training_parameters['wim']['init_mean'] == 8.0
         # record file for array aggregation
-        assert os.path.exists(os.path.join(d, 'samples', '0001',
-                                           'record-blobs.npz'))
+        from joint_vae_tpu.save_load.recorders import find_record
+        assert find_record(os.path.join(d, 'samples', '0001'),
+                           'blobs') is not None
