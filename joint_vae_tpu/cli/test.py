@@ -38,6 +38,27 @@ def main(argv=None):
     p.add_argument('--epoch-tolerance', type=int, default=5)
     p.add_argument('--early-stopping', action='store_true')
     p.add_argument('--batch-size', type=int, default=512)
+    p.add_argument('--test-sample-size', '-t', type=int, default=0,
+                   help='cap recomputation to this many samples '
+                        '(0 = whole set; ref test.py -t)')
+    p.add_argument('--sets', nargs='*', default=None,
+                   help='OOD set names to evaluate against (default: the '
+                        'registry same-size list; ref test.py --sets)')
+    p.add_argument('--ood-methods', nargs='*', default=None,
+                   help='restrict OOD scoring methods (ref test.py)')
+    p.add_argument('--predict-methods', nargs='*', default=None,
+                   help='restrict accuracy predict methods (ref test.py)')
+    p.add_argument('--misclass-methods', nargs='*', default=None,
+                   help='restrict misclassification methods (ref test.py)')
+    p.add_argument('--only-finished', '-F', action='store_true',
+                   help='keep only jobs trained to their target epochs '
+                        '(ref test.py -F)')
+    p.add_argument('--tpr', type=int, default=95,
+                   help='kept-TPR level whose FPR column is shown '
+                        '(ref test.py --tpr)')
+    p.add_argument('--tnr', action='store_true',
+                   help='show TNR (1-FPR) instead of FPR (ref test.py --tnr)')
+    p.add_argument('--list-jobs-and-quit', action='store_true')
     p.add_argument('--agg', action='store_true', help='mean/std aggregation')
     p.add_argument('--tex', default=None)
     p.add_argument('--tab', default=None)
@@ -66,6 +87,12 @@ def main(argv=None):
     flt = filters_from_dict(fdict) if fdict else None
 
     models = fetch_models(args.job_dir, filter=flt)
+    if args.only_finished:
+        models = [m for m in models if m.get('finished')]
+    if args.list_jobs_and_quit:
+        for m in sorted(models, key=lambda m: m.get('job') or 0):
+            print(m.get('job'), m.get('dir'))
+        return 0
     if args.last:
         models = sorted(models, key=lambda m: m.get('job') or 0)[-args.last:]
     if args.sort:
@@ -100,19 +127,29 @@ def main(argv=None):
         # (ref available_results, dictify.py:215-382 + test.py:178-318)
         _, testset = get_dataset(name, splits=['test'])
         oodsets = []
-        for n in testset.same_size:
+        ood_names = (args.sets if args.sets is not None
+                     else testset.same_size)
+        for n in ood_names:
             try:
                 _, s = get_dataset(n, splits=['test'])
                 oodsets.append(s)
             except Exception:
                 pass
+        num_batch = (-(-args.test_sample_size // args.batch_size)
+                     if args.test_sample_size else None)
         accuracy(job, testset, batch_size=args.batch_size,
+                 num_batch=num_batch,
+                 method=args.predict_methods or 'all',
                  from_where=where)
         ood_detection_rates(job, testset, oodsets,
-                            batch_size=args.batch_size, from_where=where)
-        misclassification_detection_rates(job, testset,
-                                          batch_size=args.batch_size,
-                                          from_where=where)
+                            batch_size=args.batch_size, num_batch=num_batch,
+                            method=args.ood_methods or 'all',
+                            from_where=where)
+        misclassification_detection_rates(
+            job, testset, batch_size=args.batch_size, num_batch=num_batch,
+            predict_methods=args.predict_methods or 'all',
+            misclass_methods=args.misclass_methods or 'all',
+            from_where=where)
         from ..save_load.jobs import save_job
         save_job(job, m['dir'], save_state=False)
         if args.early_stopping:
@@ -137,7 +174,8 @@ def main(argv=None):
                 logging.info('losses-%s.tab written for job %s', name,
                              m.get('job'))
 
-    df = results_dataframe(refreshed, sort_index=not args.sort)
+    df = results_dataframe(refreshed, tpr=args.tpr, tnr=args.tnr,
+                           sort_index=not args.sort)
     if df.empty:
         print('no models')
         return 0

@@ -99,7 +99,9 @@ def main(argv=None):
     trainset, testset = get_dataset(dataset, transformer=args.transformer,
                                     size=args.dataset_size)
     oodsets = []
-    for n in get_same_size_by_name(dataset):
+    ood_names = (args.oodsets if args.oodsets is not None
+                 else get_same_size_by_name(dataset))
+    for n in ood_names:
         try:
             _, s = get_dataset(n, transformer=args.transformer,
                                splits=['test'], size=args.dataset_size)
@@ -133,6 +135,7 @@ def main(argv=None):
                 warmup=warmup, warmup_gamma=warmup_gamma,
                 full_test_every=args.full_test_every,
                 ood_detection_every=args.ood_detection_every,
+                test_sample_size=args.test_sample_size,
                 save_dir=save_dir, signal_handler=handler, outputs=outputs,
                 seed=args.seed, fine_tuning=args.fine_tuning,
                 final_test=not args.no_final_test,

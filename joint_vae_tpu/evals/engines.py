@@ -247,8 +247,9 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
     """
     cfg = job.model_cfg
     epoch = _epoch_of(job, epoch)
-    methods = (develop_starred_methods(cfg.ood_methods) if method == 'all'
-               else ([method] if isinstance(method, str) else list(method)))
+    methods = develop_starred_methods(
+        cfg.ood_methods if method == 'all'
+        else ([method] if isinstance(method, str) else list(method)))
     if testset is None:
         name = job.training_parameters.get('set') or 'cifar10'
         _, testset = get_dataset(name, splits=['test'])
@@ -550,8 +551,9 @@ def misclassification_detection_rates(job: Job,
     epoch = _epoch_of(job, epoch)
     pms = (cfg.predict_methods if predict_methods == 'all'
            else list(predict_methods))
-    mms = (develop_starred_methods(cfg.misclass_methods)
-           if misclass_methods == 'all' else list(misclass_methods))
+    mms = develop_starred_methods(
+        cfg.misclass_methods if misclass_methods == 'all'
+        else list(misclass_methods))
     if not pms or not mms:
         return {}
 

@@ -25,12 +25,13 @@ TRAIN_COLUMNS = ['beta', 'gamma', 'sigma', 'latent_sampling', 'optim', 'lr',
 
 
 def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
-                      ood: bool = True, tpr: int = 95,
+                      ood: bool = True, tpr: int = 95, tnr: bool = False,
                       sort_index: bool = True) -> pd.DataFrame:
     """Rows = jobs; columns = (group, key) MultiIndex.
 
     ``tpr`` selects which kept-TPR level's FPR column appears (the
-    reference's per-table tpr option, results/__main__.py);
+    reference's per-table tpr option, results/__main__.py); ``tnr`` shows
+    1-FPR under a 'tnr' group instead (ref test.py --tnr);
     ``sort_index=False`` keeps the caller's model order (--sort/--last)."""
     if not models:
         return pd.DataFrame()
@@ -59,7 +60,12 @@ def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
                 if k.startswith('ood_') and k.endswith('_auc'):
                     row[('auc', k[4:-4])] = v
                 elif k.startswith('ood_') and k.endswith(fpr_suffix):
-                    row[('fpr{}'.format(tpr), k[4:-len(fpr_suffix)])] = v
+                    s = k[4:-len(fpr_suffix)]
+                    if tnr:
+                        row[('tnr{}'.format(tpr), s)] = (
+                            1.0 - v if v is not None else None)
+                    else:
+                        row[('fpr{}'.format(tpr), s)] = v
         rows.append(row)
     df = pd.DataFrame(rows)
     df.columns = pd.MultiIndex.from_tuples(df.columns)

@@ -52,6 +52,7 @@ def train_model(job: Job,
                 warmup=(0, 0), warmup_gamma=(0, 0),
                 full_test_every: int = 10,
                 ood_detection_every: int = 10,
+                test_sample_size: int = 0,
                 save_dir: Optional[str] = None,
                 signal_handler: Optional[SIGHandler] = None,
                 outputs: Optional[EpochOutput] = None,
@@ -71,6 +72,10 @@ def train_model(job: Job,
     model = job.model
     outputs = outputs or EpochOutput()
     signal_handler = signal_handler or _NullSignal()
+    # cap for the in-training monitoring evals; the final pass stays full
+    # (ref validation_sample_size, cvae.py:2098,2171)
+    eval_num_batch = (-(-test_sample_size // test_batch_size)
+                      if test_sample_size else None)
 
     if trainset is None:
         name = job.training_parameters.get('set') or 'cifar10'
@@ -143,10 +148,10 @@ def train_model(job: Job,
         if ood_now and testset is not None:
             ood_detection_rates(job, testset, oodsets,
                                 batch_size=test_batch_size, epoch=epoch,
-                                outputs=outputs)
+                                num_batch=eval_num_batch, outputs=outputs)
         if full_test and testset is not None and cfg.predict_methods:
             accuracy(job, testset, batch_size=test_batch_size, epoch=epoch,
-                     outputs=outputs)
+                     num_batch=eval_num_batch, outputs=outputs)
 
         # per-epoch LR decay (ref optimizer.update_lr, optimizers.py:123-127)
         state = state.replace(

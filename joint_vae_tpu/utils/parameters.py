@@ -72,6 +72,9 @@ def add_training_args(parser: argparse.ArgumentParser):
     g.add_argument('--type', choices=['jvae', 'cvae', 'vib', 'vae', 'xvae'],
                    default='cvae')
     g.add_argument('--features', default=None)
+    g.add_argument('--no-features', action='store_true',
+                   help='force a featureless model even if a config file '
+                        'sets --features (ref parameters.py:302,386)')
     g.add_argument('--upsampler', default=None)
     g.add_argument('--encoder', nargs='*', type=int, default=[36])
     g.add_argument('--decoder', nargs='*', type=int, default=[36])
@@ -99,6 +102,10 @@ def add_training_args(parser: argparse.ArgumentParser):
                    choices=['gaussian', 'tilted', 'uniform'])
     p.add_argument('--prior-means', type=float, default=0.0)
     p.add_argument('--learned-prior-means', action='store_true')
+    p.add_argument('--static-prior-means', action='store_false',
+                   dest='learned_prior_means',
+                   help='frozen prior means (inverse of --learned-prior-'
+                        'means, ref parameters.py:284)')
     p.add_argument('--prior-variance', default='scalar',
                    choices=['scalar', 'diag', 'full'])
     p.add_argument('--tilted-tau', type=float, default=25.0)
@@ -123,6 +130,14 @@ def add_training_args(parser: argparse.ArgumentParser):
     t.add_argument('--batch-size', type=int, default=64)
     t.add_argument('--test-batch-size', type=int, default=512)
     t.add_argument('--validation', type=int, default=0)
+    t.add_argument('--test-sample-size', '-t', type=int, default=0,
+                   help='cap the per-epoch test/OOD evaluation to this many '
+                        'samples (0 = whole set; ref parameters.py:236, '
+                        'train.py:348)')
+    t.add_argument('--oodsets', nargs='*', default=None,
+                   help='OOD companion sets for in-training detection rates '
+                        '(default: the registry same-size list; ref '
+                        'parameters.py:325)')
     t.add_argument('--warmup', nargs='*', type=int, default=[0])
     t.add_argument('--warmup-gamma', nargs='*', type=int, default=[0])
     t.add_argument('--full-test-every', type=int, default=10)
@@ -242,7 +257,10 @@ def model_config_from_args(args) -> 'CVNetConfig':
     return CVNetConfig(
         input_shape=tuple(shape), num_labels=num_labels, type=args.type,
         output_distribution=args.output_distribution,
-        features=args.features or None, upsampler=args.upsampler or None,
+        features=(None if getattr(args, 'no_features', False)
+                  or (args.features or '').lower() == 'none'
+                  else args.features or None),
+        upsampler=args.upsampler or None,
         batch_norm=args.batch_norm or False, dropout=args.dropout,
         encoder=tuple(args.encoder), decoder=tuple(args.decoder),
         classifier=classifier, latent_dim=args.latent_dim,
