@@ -11,6 +11,7 @@ aggregation pass.
 
 import argparse
 import logging
+import os
 import sys
 
 import jax
@@ -89,6 +90,14 @@ def main(argv=None):
     p.add_argument('--oodsets', nargs='*', default=None)
     p.add_argument('--batch-size', type=int, default=64)
     p.add_argument('--test-batch-size', type=int, default=256)
+    p.add_argument('--inspection', action='store_true',
+                   help='record encoder-mean SampleRecorders per set before '
+                        'and after the fine-tune for PCA/latent-shift '
+                        'analysis (ref ft/__main__.py:209-221)')
+    p.add_argument('--lr', type=float, default=None,
+                   help='fine-tune with a fresh adam at this lr instead of '
+                        "the source job's optimizer (ref ft/__main__.py:194)")
+    p.add_argument('--weight-decay', type=float, default=None)
     p.add_argument('--seed', type=int, default=0)
     p.add_argument('--task', type=int, default=0, help='array task index')
     p.add_argument('--array', default=None, help='array dir (aggregation)')
@@ -115,25 +124,65 @@ def main(argv=None):
         return defaults.get(name.replace('-', '_'), fallback)
 
     if args.array:
-        arr = WIMArray(args.array)
-        if args.register:
-            arr.register_jobs(*args.register)
-        jobs = arr.registered_jobs()
-        if not jobs:
-            sys.exit('array has no registered jobs')
-        wim = load_wim_job(jobs[0])
-        testset_name = wim.job.training_parameters.get('set')
-        oods = args.oodsets or get_same_size_by_name(testset_name)
-        arr.recompute_rates(wim, testset_name, oods)
-        print('array rates written to {}/ood.json'.format(args.array))
-        return 0
+        return _array_main(args)
+    return _job_main(args, dflt)
 
+
+def _report_latent_shift(save_dir: str, epoch: int, set_name: str) -> None:
+    """PCA + shift metrics between the init and post latent dumps; writes
+    inspection.json next to the recorders (ref ft/inspection.py:24-118)."""
+    import json as _json
+    import numpy as np
+    from ..save_load.recorders import SampleRecorder
+    from ..utils.inspection import latent_pca, latent_shift
+    edir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch))
+    pre = os.path.join(edir, 'init', 'sample-{}.npz'.format(set_name))
+    post = os.path.join(edir, 'sample-{}.npz'.format(set_name))
+    if not (os.path.exists(pre) and os.path.exists(post)):
+        return
+    mu0 = SampleRecorder.load(pre).get('mu')
+    mu1 = SampleRecorder.load(post).get('mu')
+    n = min(len(mu0), len(mu1))
+    shift = latent_shift(mu0[:n], mu1[:n])
+    _, _, var_ratio = latent_pca(mu1[:n])
+    out = dict(shift, set=set_name, epoch=epoch,
+               pca_explained=[float(v) for v in np.asarray(var_ratio)[:2]])
+    with open(os.path.join(edir, 'inspection.json'), 'w') as f:
+        _json.dump(out, f, indent=1)
+    logging.info('latent shift (%s): %s', set_name, shift)
+
+
+def _array_main(args):
+    arr = WIMArray(args.array)
+    if args.register:
+        arr.register_jobs(*args.register)
+    jobs = arr.registered_jobs()
+    if not jobs:
+        sys.exit('array has no registered jobs')
+    wim = load_wim_job(jobs[0])
+    testset_name = wim.job.training_parameters.get('set')
+    oods = args.oodsets or get_same_size_by_name(testset_name)
+    arr.recompute_rates(wim, testset_name, oods)
+    print('array rates written to {}/ood.json'.format(args.array))
+    return 0
+
+
+def _job_main(args, dflt):
     if args.job is None:
         sys.exit('job number required (or --array)')
     job = find_by_job_number(args.job_dir, args.job, strict=False)
     if job is None:
         sys.exit('job {} not found'.format(args.job))
     job.ood_results = {}
+    if args.lr is not None or args.weight_decay is not None:
+        # a fresh adam for the fine-tune (ref ft/__main__.py:194-196);
+        # finetune() re-inits the optimizer state from job.opt_cfg
+        import dataclasses
+        job.opt_cfg = dataclasses.replace(
+            job.opt_cfg, optim_type='adam',
+            lr=args.lr if args.lr is not None else job.opt_cfg.lr,
+            weight_decay=(args.weight_decay if args.weight_decay is not None
+                          else job.opt_cfg.weight_decay))
 
     if args.poscod:
         return _run_poscod(args, job, dflt)
@@ -159,6 +208,14 @@ def main(argv=None):
         padding_sets=args.padding_sets, padding=args.padding,
         mix_padding=args.mix_padding, seed=args.seed, task=args.task)
 
+    inspect_sets = [testset] + list(oodsets)
+    if args.inspection and job.saved_dir:
+        from ..ft.job import record_latents
+        record_latents(wim, inspect_sets, args.test_batch_size,
+                       jax.random.PRNGKey(args.seed),
+                       os.path.join(job.saved_dir, 'samples',
+                                    '{:04d}'.format(job.trained), 'init'))
+
     with Scheduler(seed=args.seed, task=args.task):
         finetune(wim, trainset, moving, testset, oodsets,
                  epochs=int(dflt('epochs', 1)),
@@ -168,6 +225,15 @@ def main(argv=None):
                  test_batch_size=args.test_batch_size,
                  save_dir=job.saved_dir, seed=args.seed)
     logging.info('wim results: %s', job.ood_results.get(job.trained, {}))
+
+    if args.inspection and job.saved_dir:
+        from ..ft.job import record_latents
+        record_latents(wim, inspect_sets, args.test_batch_size,
+                       jax.random.PRNGKey(args.seed),
+                       os.path.join(job.saved_dir, 'samples',
+                                    '{:04d}'.format(job.trained)))
+        _report_latent_shift(job.saved_dir, job.trained,
+                             testset.name)
     return 0
 
 

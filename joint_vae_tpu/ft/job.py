@@ -89,6 +89,42 @@ def wim_scores_for_set(wim: WIMJob, losses: Dict[str, np.ndarray],
     return out
 
 
+def record_latents(wim: WIMJob, datasets: Sequence[ArrayDataset],
+                   batch_size: int, key, out_dir: str,
+                   max_batches: int = 8) -> None:
+    """SampleRecorder dumps of encoder means per set, with both priors'
+    centroids as auxiliaries — the input of the post-hoc PCA / latent-shift
+    inspection (ref ft/__main__.py:209-221 feeding ft/inspection.py)."""
+    from ..save_load.recorders import SampleRecorder
+    job = wim.job
+    state = job.state
+    model = job.model
+
+    @jax.jit
+    def mu_of(variables, x, k):
+        out = evaluate(model, variables, x, rng=k,
+                       sigma_state=state.sigma_state, L=1)
+        return out.mu
+
+    centroids = np.asarray(state.params['prior']['mean'], np.float32)
+    alternate = (np.asarray(wim.alternate_prior_params['mean'], np.float32)
+                 if wim.alternate_prior_params is not None else None)
+    for ds in datasets:
+        rec = SampleRecorder()
+        loader = DataLoader(ds, batch_size, shuffle=False)
+        for i, (x, y) in enumerate(loader):
+            if i >= max_batches:
+                break
+            mu = mu_of(state.variables, jnp.asarray(x),
+                       jax.random.fold_in(key, i))
+            rec.append_batch(mu=np.asarray(mu, np.float32),
+                             y=np.asarray(y))
+        rec.append_batch(centroids=centroids)
+        if alternate is not None:
+            rec.append_batch(alternate=alternate)
+        rec.save(os.path.join(out_dir, 'sample-{}.npz'.format(ds.name)))
+
+
 def finetune(wim: WIMJob,
              trainset: ArrayDataset,
              moving_set: ArrayDataset,

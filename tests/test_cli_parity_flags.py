@@ -80,6 +80,29 @@ def test_tnr_and_tpr_columns(job_dir, capsys):
     assert 'fpr90' in out
 
 
+def test_ft_inspection_and_lr(job_dir):
+    from joint_vae_tpu.cli.ft import main
+    from joint_vae_tpu.save_load.fetch import find_by_job_number
+    rc = main(['1', '--job-dir', job_dir, '--epochs', '1',
+               '--moving-size', '64', '--train-size', '64',
+               '--batch-size', '32', '--test-batch-size', '32',
+               '--oodsets', 'fashion', '--inspection', '--lr', '5e-5'])
+    assert rc == 0
+    job = find_by_job_number(job_dir, 1, load_state=False)
+    edir = os.path.join(job.saved_dir, 'samples',
+                        '{:04d}'.format(job.trained))
+    # init + post latent dumps and the shift report
+    for f in (os.path.join('init', 'sample-mnist.npz'),
+              'sample-mnist.npz', 'sample-fashion.npz', 'inspection.json'):
+        assert os.path.exists(os.path.join(edir, f)), f
+    insp = json.load(open(os.path.join(edir, 'inspection.json')))
+    assert insp['mean_shift'] >= 0 and len(insp['pca_explained']) == 2
+    # the recorded latents carry both priors' centroids as auxiliaries
+    import numpy as np
+    with np.load(os.path.join(edir, 'sample-mnist.npz')) as z:
+        assert 'mu' in z and 'centroids' in z and 'alternate' in z
+
+
 def test_no_features_flag():
     from joint_vae_tpu.utils.parameters import (get_args,
                                                 model_config_from_args)
