@@ -111,9 +111,11 @@ def parse_conv_layer_name(s: str, ltype: str = 'conv', out_channels: int = 32,
         fields.pop('conv_in_deconv', None)
     if 'conv_in_deconv' in fields:          # '!C': plain conv inside a deconv stack
         ltype = 'conv'
-        oc = fields.pop('conv_in_deconv')
-        if oc is not None:
-            out_channels = oc
+        # a bare '!' yields out_channels=None like the reference (its
+        # int('') except-path overwrites the default, conv.py:68-77) —
+        # that None only ever flows through defaults blocks ('[!x3+1-...]'),
+        # where the layer token's own '!C' digits replace it
+        out_channels = fields.pop('conv_in_deconv')
         fields.pop('out_channels', None)
         fields.pop('output_padding', None)
 
@@ -128,9 +130,21 @@ def parse_conv_layer_name(s: str, ltype: str = 'conv', out_channels: int = 32,
         params['output_padding'] = fields.get('output_padding', output_padding)
 
     if params['padding'] == '*':
-        params['padding'] = params['kernel_size'] // 2 if is_convolution else 0
+        # 'same' resolves to k//2 only for input-side convs; output stacks
+        # (deconv AND '!'-embedded convs) resolve '*' to 0 — the reference
+        # checks its pre-'!' local ltype (conv.py:79-80), so where='output'
+        # never takes the k//2 branch
+        params['padding'] = (params['kernel_size'] // 2
+                             if ltype == 'conv' and where != 'output' else 0)
     if params['stride'] is None:
-        params['stride'] = 1 if is_convolution else params['kernel_size']
+        if is_convolution:
+            params['stride'] = 1
+        elif ltype.endswith('pooling'):
+            # torch's MaxPool2d/AvgPool2d default (the reference resolves
+            # this at build time by passing stride=None to torch)
+            params['stride'] = params['kernel_size']
+        # upsampler: stays None like the reference — a bare 'U' is only
+        # valid under a defaults block ('[...-U:2]') that supplies it
     return params
 
 
