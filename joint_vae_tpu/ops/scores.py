@@ -121,14 +121,17 @@ def batch_dist_measures(cfg: CVNetConfig, logits, losses: Dict[str, jax.Array],
             T = float(m.split('-')[-1]) if '-' in m else 1.0
             v = jnp.max(jax.nn.softmax(logits / T, axis=-1), axis=-1)
         elif m == 'mag':
-            v = logp_max - jnp.median(logp, axis=0)
+            # torch.median semantics: the LOWER middle element for even C
+            # (ref cvae.py:1054), not numpy's two-element average
+            v = logp_max - jnp.sort(logp, axis=0)[(logp.shape[0] - 1) // 2]
         elif m == 'std':
-            v = jnp.std(logp, axis=0)
+            # torch.std default is Bessel-corrected (ddof=1), ref cvae.py:1056
+            v = jnp.std(logp, axis=0, ddof=1)
         elif m == 'mean':
             v = jnp.log(jnp.mean(jnp.exp(d_logp), axis=0)) + logp_max
         elif m == 'nstd':
             e = jnp.exp(d_logp)
-            v = jnp.square(jnp.exp(jnp.log(jnp.std(e, axis=0))
+            v = jnp.square(jnp.exp(jnp.log(jnp.std(e, axis=0, ddof=1))
                                    - jnp.log(jnp.mean(e, axis=0))))
         elif m == 'hyz':
             p = jax.nn.softmax(logits, axis=-1)
