@@ -210,12 +210,20 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
         'L': cfg.latent_sampling,
         'latent_sampling': cfg.latent_sampling,
         'test_latent_sampling': cfg.test_latent_sampling,
-        'sigma': cfg.sigma_cfg.describe(),
+        # a plain constant stays numeric so float filters match
+        # (filters.ini types sigma as float; ref dictify compares the
+        # Sigma tensor numerically); stateful modes keep the describe()
+        # string ('rmse', '1->rmse[-0.1*]', 'coded ...')
+        'sigma': (float(cfg.sigma_cfg.value)
+                  if not (cfg.sigma_cfg.is_rmse or cfg.sigma_cfg.learned
+                          or cfg.sigma_cfg.coded or cfg.sigma_cfg.decay)
+                  else cfg.sigma_cfg.describe()),
         'sigma_train': ('rmse' if cfg.sigma_cfg.is_rmse else
                         ('learned' if cfg.sigma_cfg.learned else 'constant')),
         'beta': cfg.beta,
         'gamma': cfg.gamma,
         'prior': cfg.prior.distribution,
+        'prior_variance': cfg.prior.var_dim,
         'prior_means': cfg.prior.init_mean,
         'learned_prior_means': cfg.prior.learned_means,
         'tilted_tau': cfg.prior.tau if cfg.prior.distribution != 'gaussian'

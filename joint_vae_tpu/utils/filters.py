@@ -153,34 +153,56 @@ class MetaFilter:
 
 # filter-key schema: key -> (type, aliases) — the spirit of utils/filters.ini
 FILTER_KEYS: Dict[str, dict] = {
-    'job': {'type': int},
+    'job': {'type': int, 'aliases': ['job_number']},
     'set': {'type': str, 'aliases': ['dataset']},
     'type': {'type': str},
     'arch': {'type': str},
+    'arch_code': {'type': str},
     'features': {'type': str},
+    'upsampler': {'type': str},
+    'classifier': {'type': str, 'aliases': ['classif_type']},
     'depth': {'type': int},
     'width': {'type': int},
     'sigma': {'type': float},
+    'sigma_train': {'type': str},
     'beta': {'type': float},
     'gamma': {'type': float},
     'latent_dim': {'type': int, 'aliases': ['K']},
     'latent_sampling': {'type': int, 'aliases': ['L']},
-    'prior': {'type': str},
-    'prior_means': {'type': str},
+    'test_latent_sampling': {'type': int, 'aliases': ['l']},
+    'prior': {'type': str, 'aliases': ['prior_distribution']},
+    'prior_means': {'type': float, 'aliases': ['latent_prior_init_means']},
+    'prior_variance': {'type': str, 'aliases': ['latent_prior_variance']},
     'tilted_tau': {'type': float},
     'learned_prior_means': {'type': bool},
-    'forced_var': {'type': float},
+    'forced_var': {'type': float, 'aliases': ['encoder_forced_variance']},
     'output_distribution': {'type': str},
+    'activation': {'type': str},
+    'output_activation': {'type': str},
     'batch_norm': {'type': str},
-    'optim': {'type': str},
+    'data_augmentation': {'type': str},
+    'rep': {'type': str, 'aliases': ['representation']},
+    'optim': {'type': str, 'aliases': ['optimizer']},
     'lr': {'type': float},
     'epochs': {'type': int},
     'done': {'type': int},
+    'warmup': {'type': int},
+    'warmup_gamma': {'type': int},
     'validation': {'type': int},
+    'has_validation': {'type': bool},
+    'batch_size': {'type': int, 'aliases': ['train_batch_size']},
+    'best_accuracy': {'type': float},
+    'version': {'type': str},
+    'heldout': {'type': str, 'aliases': ['h/o']},
     'wim': {'type': bool},
     'wim_prior': {'type': str},
     'wim_mean': {'type': float},
     'wim_alpha': {'type': float},
+    'wim_sets': {'type': str},
+    'wim_train_size': {'type': int},
+    'wim_moving_size': {'type': int},
+    'wim_mix': {'type': float},
+    'wim_padding': {'type': float},
     'finished': {'type': bool},
 }
 

@@ -129,7 +129,10 @@ def test_batch_dist_measures_cvae():
     p = np.exp(logits * 0.5) / np.exp(logits * 0.5).sum(-1, keepdims=True)
     np.testing.assert_allclose(np.asarray(ms['baseline-2']), p.max(-1), rtol=1e-4)
     np.testing.assert_allclose(np.asarray(ms['logits']), logits.max(-1), rtol=1e-5)
-    np.testing.assert_allclose(np.asarray(ms['std']), logp.std(0), rtol=1e-4)
+    # torch.std semantics (Bessel-corrected) — oracle-pinned in
+    # tests/test_scores_vs_reference.py
+    np.testing.assert_allclose(np.asarray(ms['std']), logp.std(0, ddof=1),
+                               rtol=1e-4)
 
 
 def test_predict_methods():
