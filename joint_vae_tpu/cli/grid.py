@@ -21,9 +21,16 @@ from typing import Dict, List
 
 
 def expand_grid(section: Dict[str, str]) -> List[List[str]]:
-    """-> list of train-CLI argv lists."""
+    """-> list of train-CLI argv lists.
+
+    Reference grid.ini compatibility: keys may use underscores
+    (latent_sampling) and a ``repeat = N`` key replicates every combo N
+    times (the reference's SLURM-array repetition)."""
+    section = dict(section)
+    repeat = int(section.pop('repeat', 1) or 1)
     fixed, swept = {}, {}
     for k, v in section.items():
+        k = k.replace('_', '-')
         vals = v.split()
         if len(vals) > 1:
             swept[k] = vals
@@ -41,7 +48,7 @@ def expand_grid(section: Dict[str, str]) -> List[List[str]]:
                 continue
             else:
                 argv += ['--{}'.format(k), str(v)]
-        argvs.append(argv)
+        argvs.extend([list(argv)] * repeat)
     return argvs
 
 

@@ -122,6 +122,19 @@ def test_grid_cli(tmp_path, capsys):
     assert out.count('cli.train') == 2
 
 
+def test_grid_cli_reference_format(tmp_path, capsys):
+    """Reference grid.ini compatibility: underscore keys and repeat
+    (ref grid.ini [kl] section)."""
+    g = tmp_path / 'grid.ini'
+    g.write_text('[kl]\nrepeat = 2\nbeta = 2e-4 5e-5\n'
+                 'latent_sampling = 256\nlatent_dim = 64 128\n')
+    from joint_vae_tpu.cli.grid import main
+    assert main([str(g)]) == 0
+    out = capsys.readouterr().out
+    assert out.count('cli.train') == 8          # 2 beta x 2 K x repeat 2
+    assert '--latent-sampling 256' in out and '--latent_sampling' not in out
+
+
 def test_results_cli_comparison(job_dir, tmp_path):
     """Comparison mode: one table per INI, sections as columns, rows acc +
     ood sets + average, best-in-row bolding (ref results/__main__.py)."""
