@@ -204,7 +204,8 @@ def finetune(wim: WIMJob,
     job.state = state
     job.training_parameters.setdefault('fine_tuning', []).append(
         {'type': 'wim', 'epochs': epochs, 'alpha': alpha,
-         'moving_size': len(moving_set), 'train_size': len(trainset)})
+         'moving_size': len(moving_set), 'train_size': len(trainset),
+         'from_epoch': epoch0})
     job.training_parameters['wim'] = dict(wim.ft_params)
 
     # ---- post-tuning evaluation with WIM scores (ref ft/job.py:433-477)

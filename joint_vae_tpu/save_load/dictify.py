@@ -262,11 +262,23 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
         'wim_sets': '-'.join(sorted((tp.get('wim') or {}).get('sets', [])))
                     or None,
         'wim_alpha': None,
+        'wim_train_size': None,
+        'wim_moving_size': None,
+        'wim_mix': (tp.get('wim') or {}).get('mix'),
+        'wim_padding': (tp.get('wim') or {}).get('padding'),
+        'wim_from': None,
+        'l': cfg.test_latent_sampling,
+        'classif_type': cfg.classifier_type or 'none',
+        'pretrained_features': tp.get('pretrained_features'),
+        'pretrained_upsampler': tp.get('pretrained_upsampler'),
         'version': cfg.version,
     }
     for ft in tp.get('fine_tuning') or []:
         if isinstance(ft, dict) and ft.get('type') == 'wim':
             d['wim_alpha'] = ft.get('alpha')
+            d['wim_train_size'] = ft.get('train_size')
+            d['wim_moving_size'] = ft.get('moving_size')
+            d['wim_from'] = ft.get('from_epoch')
 
     # name grammar: heldout classes + the parent set (ref dictify.py:810-813)
     try:
