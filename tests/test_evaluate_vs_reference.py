@@ -285,3 +285,68 @@ def test_vib(ref_cvnet):
         gamma=0.0)
     y = np.array([0, 1, 2, 3, 1], np.int64)
     _compare(ref, job, y=y)
+
+
+def test_iws_with_injected_epsilon(ref_cvnet, monkeypatch):
+    """The IWAE estimate with actual sampling: identical ε injected into
+    both sides (the reference via torch.randn, ours via reparameterize)
+    makes every loss incl. iws and the stabilized log-mean-exp
+    (cvae.py:679-870) bit-comparable."""
+    import torch as _torch
+    ref = ref_cvnet(IN_SHAPE, C, type='cvae', features=None,
+                    encoder=[16], latent_dim=K, decoder=[16],
+                    classifier=[8], latent_sampling=2,
+                    test_latent_sampling=3, beta=1e-3, gamma=100.0,
+                    sigma={'value': 0.5}, output_activation='sigmoid',
+                    prior={'distribution': 'gaussian', 'num_priors': C,
+                           'init_mean': 1.0, 'learned_means': True})
+    ref.eval()
+    cfg = CVNetConfig(
+        input_shape=IN_SHAPE, num_labels=C, type='cvae',
+        encoder=(16,), latent_dim=K, decoder=(16,), classifier=(8,),
+        latent_sampling=2, test_latent_sampling=3, beta=1e-3, gamma=100.0,
+        sigma=SigmaConfig(value=0.5), output_activation='sigmoid',
+        prior=build_prior_config(K, 'gaussian', num_priors=C,
+                                 init_mean=1.0, learned_means=True))
+    job = new_job(cfg, OptimizerConfig(), key=jax.random.PRNGKey(0))
+    params = dict(job.state.params)
+    params.update(_transfer(ref.state_dict(), cfg))
+    job.state = job.state.replace(params=params)
+
+    N = 5
+    eps = np.random.default_rng(7).normal(
+        0, 1, (4, N, K)).astype(np.float32)            # (l+1, N, K)
+    eps[0] = 0.0
+
+    real_randn = _torch.randn
+
+    def fake_randn(*size, **kw):
+        if size and isinstance(size[0], tuple):
+            size = size[0]
+        if tuple(size) == eps.shape:
+            return _torch.tensor(eps)
+        return real_randn(*size, **kw)
+    monkeypatch.setattr(_torch, 'randn', fake_randn)
+
+    import joint_vae_tpu.models.evaluate as ev
+
+    def fake_reparameterize(key, mu, log_var, L, dist, sampled):
+        e = jnp.asarray(eps)
+        z = mu[None] + jnp.exp(0.5 * log_var)[None] * e * float(sampled)
+        return z, e[1:]
+    monkeypatch.setattr(ev, 'reparameterize', fake_reparameterize)
+
+    x = np.random.default_rng(42).uniform(
+        0, 1, (N,) + IN_SHAPE).astype(np.float32)
+    with torch.no_grad():
+        _, logits, losses, _ = ref.evaluate(torch.tensor(x))
+    out = ev.evaluate(job.model, job.state.variables, jnp.asarray(x), None,
+                      rng=jax.random.PRNGKey(1),
+                      sigma_state=job.state.sigma_state, train=False)
+    for k, v in losses.items():
+        got = np.asarray(out.losses[k])
+        want = v.numpy()
+        assert got.shape == want.shape, k
+        np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4,
+                                   err_msg='loss {}'.format(k))
+    assert 'iws' in losses
