@@ -43,7 +43,31 @@ STEPS = int(os.environ.get('JVT_BENCH_STEPS', 200))
 WARMUP = int(os.environ.get('JVT_BENCH_WARMUP', 10))
 
 
+def _arm_watchdog():
+    """The tunneled TPU can wedge (jax.devices() blocks indefinitely after a
+    killed process).  Rather than hang the caller forever, exit with a
+    diagnostic after JVT_BENCH_WATCHDOG_S (default 30 min; 0 disables).
+    The watchdog is disarmed once the benchmark prints its JSON line."""
+    import threading
+    budget = float(os.environ.get('JVT_BENCH_WATCHDOG_S', 1800))
+    if budget <= 0:
+        return lambda: None
+    done = threading.Event()
+
+    def _fire():
+        if not done.wait(budget):
+            import sys
+            print('bench.py watchdog: no result after {:.0f}s — device '
+                  'backend likely wedged (tunnel); aborting'.format(budget),
+                  file=sys.stderr, flush=True)
+            os._exit(3)
+
+    threading.Thread(target=_fire, daemon=True).start()
+    return done.set
+
+
 def main():
+    disarm = _arm_watchdog()
     import jax
     import jax.numpy as jnp
 
@@ -103,6 +127,7 @@ def main():
             'unit': 'images/sec/chip',
             'vs_baseline': round(img_per_sec / H100_REFERENCE_IMG_PER_SEC, 3),
         }))
+        disarm()
         return
 
     if MODE == 'eval':
@@ -132,6 +157,7 @@ def main():
             'unit': 'images/sec/chip',
             'vs_baseline': round(img_per_sec / H100_REFERENCE_IMG_PER_SEC, 3),
         }))
+        disarm()
         return
 
     step = make_train_step(job.model, tx, donate=True)
@@ -174,6 +200,7 @@ def main():
         out['xla_flops_per_step'] = flops
         out['mfu_vs_bf16_peak'] = round(flops / step_s / PEAK_BF16_FLOPS, 4)
     print(json.dumps(out))
+    disarm()
 
 
 if __name__ == '__main__':
