@@ -27,7 +27,8 @@ from . import add_platform_arg, apply_platform
 
 
 def _scores(job, dataset, batch_size, key, score='total'):
-    """(C, N) per-class scores + true labels + posteriors."""
+    """(C, N) per-class scores + true labels + posteriors + neg-kl scores
+    (the 'mean~' combine input, ref results/aggregation.py:330-335)."""
     model = job.model
 
     @jax.jit
@@ -36,7 +37,7 @@ def _scores(job, dataset, batch_size, key, score='total'):
                        sigma_state=job.state.sigma_state, train=False)
         return out.losses, out.logits
 
-    per, ys, posts = [], [], []
+    per, ys, posts, nkls = [], [], [], []
     for i, (x, y) in enumerate(DataLoader(dataset, batch_size, shuffle=False)):
         losses, logits = f(job.state.variables, jnp.asarray(x),
                            jax.random.fold_in(key, i))
@@ -44,10 +45,13 @@ def _scores(job, dataset, batch_size, key, score='total'):
         if s is None or s.ndim < 2:
             s = -losses['total']
         per.append(np.asarray(s))
+        kl = losses.get('kl')
+        nkls.append(-np.asarray(kl if kl is not None and kl.ndim >= 2
+                                else losses['total']))
         ys.append(y)
         posts.append(np.asarray(jax.nn.softmax(logits, -1)).T)
     return (np.concatenate(per, -1), np.concatenate(ys),
-            np.concatenate(posts, -1))
+            np.concatenate(posts, -1), np.concatenate(nkls, -1))
 
 
 def main(argv=None):
@@ -56,6 +60,13 @@ def main(argv=None):
     p.add_argument('--job-dir', default='jobs')
     p.add_argument('--methods', nargs='*',
                    default=['elbo', 'joint', 'mean', 'vote'])
+    p.add_argument('--combos', nargs='*', type=int, default=None,
+                   help='evaluate every k-of-n sub-ensemble for each given '
+                        'k (ref results/aggregation.py:241-308); prints one '
+                        'accuracy row per (combo, method)')
+    p.add_argument('--sets-to-exclude', nargs='*', default=[],
+                   help='OOD companions to skip in --ood/--record '
+                        '(ref results/aggregation.py:33)')
     p.add_argument('--ood', action='store_true')
     p.add_argument('--batch-size', type=int, default=256)
     p.add_argument('--dataset-size', type=int, default=None)
@@ -82,20 +93,44 @@ def main(argv=None):
     _, testset = get_dataset(name, splits=['test'], size=args.dataset_size)
 
     key = jax.random.PRNGKey(0)
-    all_scores, all_posts = [], []
+    all_scores, all_posts, all_nkl = [], [], []
     y = None
     for j in jobs:
-        s, y, post = _scores(j, testset, args.batch_size, key)
+        s, y, post, nkl = _scores(j, testset, args.batch_size, key)
         all_scores.append(s)
         all_posts.append(post)
+        all_nkl.append(nkl)
         acc = (s.argmax(0) == y).mean()
         print('job {:>6}: accuracy {:.2%}'.format(j.job_number, acc))
 
+    def _inputs(m, idx):
+        """combine inputs for method m over the models at idx"""
+        if m == 'joint':
+            return [-all_scores[i] for i in idx]
+        if m == 'mean~':
+            return [all_nkl[i] for i in idx]
+        return [all_scores[i] for i in idx]
+
+    everyone = list(range(len(jobs)))
     for m in args.methods:
-        scores_in = ([-s for s in all_scores] if m == 'joint'
-                     else all_scores)
-        pred = ensemble_predict(scores_in, m)
+        pred = ensemble_predict(_inputs(m, everyone), m)
         print('ensemble {:>6}: accuracy {:.2%}'.format(m, (pred == y).mean()))
+
+    if args.combos:
+        # every k-of-n sub-ensemble (ref results/aggregation.py:241-308);
+        # combo named with the reference's agg-type letters (:18)
+        import itertools
+        letter = {'vote': '&', 'joint': ',', 'mean': '+', 'mean~': '~'}
+        for k in sorted(set(args.combos)):
+            if not 1 <= k <= len(jobs):
+                continue
+            for idx in itertools.combinations(everyone, k):
+                for m in (args.methods if k > 1 else ['mean']):
+                    pred = ensemble_predict(_inputs(m, list(idx)), m)
+                    cname = letter.get(m, '+').join(
+                        str(jobs[i].job_number) for i in idx)
+                    print('combo {:>14}: accuracy {:.2%}'.format(
+                        cname, (pred == y).mean()))
 
     print('\nlatent mutual information (nats):')
     for i in range(len(jobs)):
@@ -117,6 +152,8 @@ def main(argv=None):
         sets = [testset]
         if args.ood:
             for ood_name in testset.same_size:
+                if ood_name in args.sets_to_exclude:
+                    continue
                 try:
                     _, s = get_dataset(ood_name, splits=['test'],
                                        size=args.dataset_size)
@@ -138,18 +175,24 @@ def main(argv=None):
             print('recorded Im tensors for {} -> {}'.format(s.name, path))
 
     if args.ood:
-        for ood_name in testset.same_size[:3]:
+        names = [n for n in testset.same_size
+                 if n not in args.sets_to_exclude][:3]
+        for ood_name in names:
             try:
                 _, ood = get_dataset(ood_name, splits=['test'],
                                      size=args.dataset_size)
             except Exception:
                 continue
-            ood_scores = [
-                _scores(j, ood, args.batch_size, jax.random.fold_in(key, 9))[0]
-                for j in jobs]
+            per = [_scores(j, ood, args.batch_size, jax.random.fold_in(key, 9))
+                   for j in jobs]
+            ood_scores = [p[0] for p in per]
+            ood_nkl = [p[3] for p in per]
             for m in args.methods:
-                pi = ensemble_posterior(all_scores, m).max(0)
-                po = ensemble_posterior(ood_scores, m).max(0)
+                ins = (ood_nkl if m == 'mean~'
+                       else [-s for s in ood_scores] if m == 'joint'
+                       else ood_scores)
+                pi = ensemble_posterior(_inputs(m, everyone), m).max(0)
+                po = ensemble_posterior(ins, m).max(0)
                 auc = float(auroc_one_sided_exact(jnp.asarray(pi),
                                                   jnp.asarray(po)))
                 print('ood {} {}: auroc {:.2%}'.format(ood_name, m, auc))

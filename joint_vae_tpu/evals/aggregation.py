@@ -35,7 +35,10 @@ def ensemble_posterior(scores: Sequence[np.ndarray], method: str = 'elbo'
         m = s.max(axis=0)
         lme = np.log(np.mean(np.exp(s - m), axis=0)) + m
         return _softmax(lme, axis=0)
-    if method == 'mean':
+    if method in ('mean', 'mean~'):
+        # 'mean~' is the same combine on different inputs: the reference
+        # feeds softmax(-kl) per model where 'mean' feeds softmax(iws)
+        # (ref results/aggregation.py:18 agg_type_letter, :330-335)
         return np.mean([_softmax(x, axis=0) for x in s], axis=0)
     if method == 'vote':
         C, N = s.shape[1:]

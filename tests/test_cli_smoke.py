@@ -74,6 +74,25 @@ def test_aggregate_cli(job_dir, capsys):
     assert 'ensemble' in out and 'mutual information' in out
 
 
+def test_aggregate_cli_combos(job_dir, capsys):
+    """k-of-n sub-ensembles + the mean~ (softmax(-kl) mean) combine
+    (ref results/aggregation.py:18,241-308,330-335)."""
+    from joint_vae_tpu.cli.aggregate import main
+    assert main(['1', '1', '--job-dir', job_dir,
+                 '--methods', 'mean', 'mean~',
+                 '--combos', '1', '2',
+                 '--batch-size', '64', '--dataset-size', '64']) == 0
+    out = capsys.readouterr().out
+    assert 'combo' in out
+    assert '1+1' in out      # k=2 'mean' letter join
+    assert '1~1' in out      # k=2 'mean~' letter join
+    # identical models: the ensemble equals the single model
+    import re
+    accs = {m.group(1): m.group(2) for m in
+            re.finditer(r'combo\s+(\S+): accuracy (\S+)', out)}
+    assert accs['1+1'] == accs['1']
+
+
 def test_ft_cli(job_dir, capsys):
     from joint_vae_tpu.cli.ft import main
     rc = main(['1', '--job-dir', job_dir, '--epochs', '1',
