@@ -395,6 +395,43 @@ def packed_conv(x: jax.Array, kern: jax.Array, *, k: int, off: int, num: int,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
+def _grouped_target() -> int:
+    """Horizontal group width for the grouped first-conv lowering
+    (JVT_GROUPED_CONV: '' disables, 'auto' = 4, else the integer width)."""
+    import os
+    v = os.environ.get('JVT_GROUPED_CONV', '')
+    if v in ('', '0'):
+        return 0
+    return 4 if v == 'auto' else max(int(v), 0)
+
+
+def grouped_conv(x: jax.Array, kern: jax.Array, *, k: int, p: int,
+                 f: int) -> jax.Array:
+    """'same' stride-1 conv as one im2col matmul over ``f`` horizontally
+    adjacent output pixels.
+
+    A conv whose out_channels use a fraction of the MXU's 128 lanes (the
+    3->32 input conv measured ~11% effective bf16 FLOPs) is lifted to
+    ``f * out_channels`` lanes: patches (N, H, W/f, Cin*k*(k+f-1)) contract
+    against an embedded kernel whose ``f`` shifted copies share one stored
+    (k, k, Cin, Cout) parameter — like ``packed_conv``, checkpoints are
+    lowering-agnostic, and autodiff recovers dw through the embed.
+    Requires p == k//2, odd k, and W divisible by f."""
+    n, h, w, cin = x.shape
+    cout = kern.shape[-1]
+    kw = k + f - 1
+    # patch features are ordered (cin, ky, kx) (conv_general_dilated_patches)
+    wg = jnp.stack([jnp.pad(kern, ((0, 0), (j, f - 1 - j), (0, 0), (0, 0)))
+                    for j in range(f)], axis=3)      # (k, kw, cin, f, cout)
+    wg = wg.transpose(2, 0, 1, 3, 4).reshape(cin * k * kw, f * cout)
+    pat = lax.conv_general_dilated_patches(
+        x, (k, kw), (1, f), [(p, p), (p, p)],
+        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))  # (n, h, w/f, cin*k*kw)
+    y = jnp.dot(pat.reshape(-1, cin * k * kw), wg,
+                preferred_element_type=jnp.float32)
+    return y.reshape(n, h, w, cout).astype(x.dtype)
+
+
 class ConvStack(nn.Module):
     """A (de)conv stack executing a static plan.
 
@@ -520,12 +557,21 @@ class ConvStack(nn.Module):
                     f_in = f
                     f_out = f if f > 1 else (
                         pack if pack and self.where == 'input' else 1)
+                    gf = _grouped_target()
                     if f_in == 1 and f_out == 1:
-                        pad = (p, p) if not is_dc else (k - 1 - p, k - 1 - p + op)
-                        x = lax.conv_general_dilated(
-                            x, kern, window_strides=(s, s) if not is_dc else (1, 1),
-                            padding=[pad, pad],
-                            dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                        if (gf > 1 and not is_dc and s == 1 and k % 2 == 1
+                                and p == k // 2 and w % gf == 0
+                                and pl.out_channels * gf <= 128):
+                            # lane-starved small-c_out conv -> grouped matmul
+                            x = grouped_conv(x, kern, k=k, p=p, f=gf)
+                        else:
+                            pad = ((p, p) if not is_dc
+                                   else (k - 1 - p, k - 1 - p + op))
+                            x = lax.conv_general_dilated(
+                                x, kern,
+                                window_strides=(s, s) if not is_dc else (1, 1),
+                                padding=[pad, pad],
+                                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
                     else:
                         x = packed_conv(x, kern, k=k, off=off, num=num, den=den,
                                         f_in=f_in, f_out=f_out, h_out=oh, w_out=ow)
