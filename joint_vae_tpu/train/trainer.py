@@ -61,6 +61,7 @@ def train_model(job: Job,
                 fine_tuning: bool = False,
                 final_test: bool = True,
                 final_ood: bool = True,
+                metrics_every: int = 0,
                 mesh=None) -> Job:
     """Train job.state in place (functionally); returns the job.
 
@@ -163,15 +164,27 @@ def train_model(job: Job,
         running: Dict[str, float] = {}
         metrics = {}
         batches_run = 0
+        # a host metrics pull per batch costs one device round-trip per
+        # step (ruinous on tunneled/remote devices where the RTT exceeds
+        # the 5-7 ms step) — batch the pulls on accelerators; CPU keeps
+        # the reference's per-batch live rows
+        me = metrics_every or (1 if jax.default_backend() == 'cpu' else 8)
+        pending = []
         for i, (x, y) in enumerate(loader):
             xb, yb = put_batch(x, y)
             state, metrics = step(state, xb, yb)
             batches_run += 1
-            # one host pull for the whole metrics dict (device scalars pulled
-            # individually cost a round-trip each on tunneled devices)
-            metrics = jax.device_get(metrics)
-            for k, v in metrics.items():
-                running[k] = running.get(k, 0.0) + float(v)
+            pending.append(metrics)
+            if (len(pending) < me and i != per_epoch - 1
+                    and signal_handler.sig <= 3):
+                continue
+            # one host pull for the accumulated metric dicts
+            got = jax.device_get(pending)
+            pending = []
+            metrics = got[-1]
+            for mts in got:
+                for k, v in mts.items():
+                    running[k] = running.get(k, 0.0) + float(v)
             if not np.isfinite(running.get('total', 0.0)):
                 logging.error('non-finite loss at epoch %d batch %d — '
                               'marking derailed', epoch, i)
