@@ -284,8 +284,8 @@ def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
     loader = DataLoader(dataset, batch_size, shuffle=False)
     for i, (x, y) in enumerate(loader):
         k = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
-        m, meas = eval_batch(state.variables, state.sigma_state,
-                             jnp.asarray(x), jnp.asarray(y), k)
+        m, meas = jax.device_get(eval_batch(state.variables, state.sigma_state,
+                                            jnp.asarray(x), jnp.asarray(y), k))
         for k_, v in m.items():
             sums[k_] = sums.get(k_, 0.0) + float(v)
         for k_, v in meas.items():
