@@ -102,25 +102,45 @@ def main():
                 return 50000
 
         dd = DeviceDataset(_Arrays())
-        dstep = make_device_train_step(job.model, tx, BATCH)
         n_batches = dd.n // BATCH
-        ex, ey = dd.shuffled(jax.random.PRNGKey(1))
-        for i in range(WARMUP):
-            state, metrics = dstep(state, ex, ey, i % n_batches)
-        float(metrics['total'])
-        t0 = time.perf_counter()
-        steps_done = 0
+        fused = os.environ.get('JVT_BENCH_FUSED', '') == '1'
         epoch_key = jax.random.PRNGKey(2)
-        while steps_done < STEPS:
-            # realistic epoch loop: one on-device shuffle, then slices
-            ex, ey = dd.shuffled(jax.random.fold_in(epoch_key, steps_done))
-            for i in range(min(n_batches, STEPS - steps_done)):
-                state, metrics = dstep(state, ex, ey, i)
-                steps_done += 1
-        final = float(metrics['total'])
-        dt = time.perf_counter() - t0
+        if fused:
+            # one compiled program per epoch (shuffle + fori_loop of steps)
+            from joint_vae_tpu.train.device_data import make_device_epoch_fn
+            # cap only matters for tiny-batch CPU smokes (real epochs are
+            # shorter than STEPS at bench batch sizes)
+            n_batches = min(n_batches, STEPS)
+            efn = make_device_epoch_fn(job.model, tx, BATCH, n_batches)
+            state, metrics = efn(state, dd.x, dd.y, jax.random.PRNGKey(1))
+            float(metrics['total'])
+            n_epochs = max(STEPS // n_batches, 1)
+            t0 = time.perf_counter()
+            for e in range(n_epochs):
+                state, metrics = efn(state, dd.x, dd.y,
+                                     jax.random.fold_in(epoch_key, e))
+            final = float(metrics['total'])
+            dt = time.perf_counter() - t0
+            steps_timed = n_epochs * n_batches
+        else:
+            dstep = make_device_train_step(job.model, tx, BATCH)
+            ex, ey = dd.shuffled(jax.random.PRNGKey(1))
+            for i in range(WARMUP):
+                state, metrics = dstep(state, ex, ey, i % n_batches)
+            float(metrics['total'])
+            t0 = time.perf_counter()
+            steps_done = 0
+            while steps_done < STEPS:
+                # realistic epoch loop: one on-device shuffle, then slices
+                ex, ey = dd.shuffled(jax.random.fold_in(epoch_key, steps_done))
+                for i in range(min(n_batches, STEPS - steps_done)):
+                    state, metrics = dstep(state, ex, ey, i)
+                    steps_done += 1
+            final = float(metrics['total'])
+            dt = time.perf_counter() - t0
+            steps_timed = STEPS
         assert np.isfinite(final), final
-        img_per_sec = BATCH * STEPS / dt / n_chips
+        img_per_sec = BATCH * steps_timed / dt / n_chips
         print(json.dumps({
             'metric': 'cifar100_cvae_train_pipeline_images_per_sec_per_chip',
             'value': round(img_per_sec, 1),

@@ -80,13 +80,13 @@ def _shuffle(x, y, perm):
     return jnp.take(x, perm, axis=0), jnp.take(y, perm, axis=0)
 
 
-def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
-                           batch_size: int,
-                           warmup: Tuple[int, int] = (0, 0),
-                           warmup_gamma: Tuple[int, int] = (0, 0),
-                           frozen_modules: Tuple[str, ...] = ()):
-    """(state, data_x, data_y, perm, i) -> (state, metrics); the batch is
-    gathered on device from the permuted index window i*B:(i+1)*B."""
+def _device_step_fn(model: CVNet, tx: optax.GradientTransformation,
+                    batch_size: int,
+                    warmup: Tuple[int, int] = (0, 0),
+                    warmup_gamma: Tuple[int, int] = (0, 0),
+                    frozen_modules: Tuple[str, ...] = ()):
+    """The pure (state, data_x, data_y, i) -> (state, metrics) body shared
+    by the per-step jit and the fused whole-epoch program."""
     from ..models.evaluate import evaluate
     cfg = model.cfg
     has_bn = cfg.has_batch_norm
@@ -133,7 +133,51 @@ def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
         metrics.update(out.measures)
         return new_state, metrics
 
+    return step
+
+
+def make_device_train_step(model: CVNet, tx: optax.GradientTransformation,
+                           batch_size: int,
+                           warmup: Tuple[int, int] = (0, 0),
+                           warmup_gamma: Tuple[int, int] = (0, 0),
+                           frozen_modules: Tuple[str, ...] = ()):
+    """(state, data_x, data_y, i) -> (state, metrics); the batch is read
+    from the pre-shuffled arrays with a contiguous dynamic_slice."""
+    step = _device_step_fn(model, tx, batch_size, warmup, warmup_gamma,
+                           frozen_modules)
     return jax.jit(step, donate_argnums=(0,))
+
+
+def make_device_epoch_fn(model: CVNet, tx: optax.GradientTransformation,
+                         batch_size: int, n_batches: int,
+                         warmup: Tuple[int, int] = (0, 0),
+                         warmup_gamma: Tuple[int, int] = (0, 0),
+                         frozen_modules: Tuple[str, ...] = ()):
+    """One compiled program for a whole epoch:
+    (state, x, y, key) -> (state, mean metrics).
+
+    Shuffles on device, then ``fori_loop``s the train step ``n_batches``
+    times — zero host dispatch inside the epoch (the per-step path still
+    pays one dispatch per step, which tunneled/remote devices feel).
+    Metric means accumulate in the loop carry."""
+    step = _device_step_fn(model, tx, batch_size, warmup, warmup_gamma,
+                           frozen_modules)
+
+    def epoch(state: TrainState, data_x, data_y, key):
+        perm = jax.random.permutation(key, data_x.shape[0])
+        ex = jnp.take(data_x, perm, axis=0)
+        ey = jnp.take(data_y, perm, axis=0)
+
+        def body(i, carry):
+            st, sums = carry
+            st, metrics = step(st, ex, ey, i)
+            return st, {k: sums[k] + metrics[k] for k in sums}
+
+        state, m0 = step(state, ex, ey, 0)       # seeds the sum structure
+        state, sums = jax.lax.fori_loop(1, n_batches, body, (state, m0))
+        return state, {k: v / n_batches for k, v in sums.items()}
+
+    return jax.jit(epoch, donate_argnums=(0,))
 
 
 def train_epochs_on_device(job, dataset: ArrayDataset, epochs: int,
@@ -141,17 +185,29 @@ def train_epochs_on_device(job, dataset: ArrayDataset, epochs: int,
                            warmup=(0, 0), warmup_gamma=(0, 0),
                            seed: int = 0,
                            log_every: Optional[int] = None,
-                           dtype=jnp.float32) -> Dict[str, float]:
+                           dtype=jnp.float32,
+                           fused: bool = True) -> Dict[str, float]:
     """Fast path: train job.state for ``epochs`` over a device-resident
-    dataset.  Returns the last-epoch mean metrics."""
+    dataset.  Returns the last-epoch mean metrics.
+
+    ``fused=True`` compiles the whole epoch (shuffle + fori_loop over
+    steps) into one program — zero host dispatch inside an epoch, and the
+    recorded metrics are epoch means; ``fused=False`` dispatches per step
+    and records the last batch's metrics."""
     from .optimizers import build_optimizer, set_learning_rate
     model = job.model
     tx = build_optimizer(job.opt_cfg)
-    step = make_device_train_step(
-        model, tx, batch_size, tuple(warmup), tuple(warmup_gamma),
-        tuple(job.training_parameters.get('frozen_modules') or ()))
+    frozen = tuple(job.training_parameters.get('frozen_modules') or ())
     dd = DeviceDataset(dataset, dtype=dtype)
     steps_per_epoch = dd.n // batch_size
+    if fused:
+        epoch_fn = make_device_epoch_fn(
+            model, tx, batch_size, steps_per_epoch, tuple(warmup),
+            tuple(warmup_gamma), frozen)
+    else:
+        step = make_device_train_step(
+            model, tx, batch_size, tuple(warmup), tuple(warmup_gamma),
+            frozen)
     state = job.state
     pkey = jax.random.PRNGKey(seed)
     metrics = {}
@@ -164,10 +220,13 @@ def train_epochs_on_device(job, dataset: ArrayDataset, epochs: int,
             epoch=jnp.asarray(epoch, jnp.int32),
             opt_state=set_learning_rate(state.opt_state,
                                         job.opt_cfg.lr_at_epoch(epoch)))
-        ex, ey = dd.shuffled(jax.random.fold_in(pkey, epoch))
-        acc: Dict[str, float] = {}
-        for i in range(steps_per_epoch):
-            state, metrics = step(state, ex, ey, i)
+        ekey = jax.random.fold_in(pkey, epoch)
+        if fused:
+            state, metrics = epoch_fn(state, dd.x, dd.y, ekey)
+        else:
+            ex, ey = dd.shuffled(ekey)
+            for i in range(steps_per_epoch):
+                state, metrics = step(state, ex, ey, i)
         last = jax.device_get({k: v for k, v in metrics.items()})
         job.train_history[epoch + 1] = {
             'train_loss': {k: float(v) for k, v in last.items()
