@@ -1,0 +1,24 @@
+#!/bin/bash
+# One-shot TPU measurement session (run when the tunnel is healthy).
+# Sequential: never two TPU processes at once.
+set -u
+cd "$(dirname "$0")/../.."
+LOG=/tmp/tpu_session
+mkdir -p $LOG
+run() {  # run <name> <timeout_s> <cmd...>
+    local name=$1 t=$2; shift 2
+    echo "=== $name ($(date +%H:%M:%S)) ==="
+    timeout "$t" "$@" > "$LOG/$name.log" 2>&1
+    echo "rc=$? tail:"; grep -v WARNING "$LOG/$name.log" | tail -14
+}
+
+run feat       900 python -u scripts/probes/probe_features_r2b.py
+run evaldec    900 python -u scripts/probes/probe_eval_decode_r2b.py
+run bench_tr   600 python bench.py
+run bench_tr_g 600 env JVT_GROUPED_CONV=auto python bench.py
+run bench_pipe 600 env JVT_BENCH_MODE=pipeline python bench.py
+run bench_fuse 600 env JVT_BENCH_MODE=pipeline JVT_BENCH_FUSED=1 python bench.py
+run bench_eval 700 env JVT_BENCH_MODE=eval python bench.py
+run bench_ev_g 700 env JVT_BENCH_MODE=eval JVT_GROUPED_CONV=auto python bench.py
+run bench_mfu  600 env JVT_BENCH_MODE=mfu python bench.py
+echo "=== done ($(date +%H:%M:%S)) ==="
