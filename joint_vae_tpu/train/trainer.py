@@ -62,6 +62,7 @@ def train_model(job: Job,
                 final_test: bool = True,
                 final_ood: bool = True,
                 metrics_every: int = 0,
+                device_data: bool = False,
                 mesh=None) -> Job:
     """Train job.state in place (functionally); returns the job.
 
@@ -99,9 +100,21 @@ def train_model(job: Job,
                                                tp['validation_seed'])
 
     tx = build_optimizer(job.opt_cfg)
-    step = make_train_step(model, tx, tuple(warmup), tuple(warmup_gamma),
-                           donate=True,
-                           frozen_modules=tuple(tp.get('frozen_modules') or ()))
+    frozen = tuple(tp.get('frozen_modules') or ())
+    # device-resident fast path: whole trainset in HBM, contiguous in-jit
+    # batch slices from a per-epoch on-device shuffle — no host->device
+    # transfer in the hot loop.  Keeps every trainer feature (OOD/test
+    # cadence, checkpoints, signals, live rows).  Host-side augmentation
+    # needs the host loader, so it disables the fast path.
+    device_data = device_data and not data_augmentation and mesh is None
+    if device_data:
+        from .device_data import DeviceDataset, make_device_train_step
+        step = make_device_train_step(model, tx, batch_size, tuple(warmup),
+                                      tuple(warmup_gamma), frozen)
+        dd = DeviceDataset(trainset)
+    else:
+        step = make_train_step(model, tx, tuple(warmup), tuple(warmup_gamma),
+                               donate=True, frozen_modules=frozen)
     state = job.state
 
     if mesh is not None:
@@ -120,9 +133,14 @@ def train_model(job: Job,
         def put_batch(x, y):
             return jnp.asarray(x), jnp.asarray(y)
 
-    loader = DataLoader(trainset, batch_size, shuffle=True, seed=seed,
-                        data_augmentation=data_augmentation, drop_last=True)
-    per_epoch = len(loader)
+    if device_data:
+        loader = None
+        per_epoch = dd.n // batch_size
+    else:
+        loader = DataLoader(trainset, batch_size, shuffle=True, seed=seed,
+                            data_augmentation=data_augmentation,
+                            drop_last=True)
+        per_epoch = len(loader)
 
     first_epoch = job.trained
     for epoch in range(first_epoch, epochs):
@@ -170,9 +188,18 @@ def train_model(job: Job,
         # the reference's per-batch live rows
         me = metrics_every or (1 if jax.default_backend() == 'cpu' else 8)
         pending = []
-        for i, (x, y) in enumerate(loader):
-            xb, yb = put_batch(x, y)
-            state, metrics = step(state, xb, yb)
+        if device_data:
+            ex, ey = dd.shuffled(jax.random.fold_in(
+                jax.random.PRNGKey(seed or 1), epoch))
+            batches = range(per_epoch)
+        else:
+            batches = loader
+        for i, batch in enumerate(batches):
+            if device_data:
+                state, metrics = step(state, ex, ey, i)
+            else:
+                xb, yb = put_batch(*batch)
+                state, metrics = step(state, xb, yb)
             batches_run += 1
             pending.append(metrics)
             if (len(pending) < me and i != per_epoch - 1

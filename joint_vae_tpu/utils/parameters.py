@@ -126,6 +126,10 @@ def add_training_args(parser: argparse.ArgumentParser):
     t.add_argument('--dataset', '--set', dest='dataset', default='cifar10')
     t.add_argument('--transformer', default='default')
     t.add_argument('--data-augmentation', nargs='*', default=[])
+    t.add_argument('--device-data', action='store_true',
+                   help='keep the whole trainset resident in device HBM and '
+                        'slice batches in-jit (fits MNIST/CIFAR scale; '
+                        'ignored with --data-augmentation)')
     t.add_argument('--epochs', type=int, default=2)
     t.add_argument('--batch-size', type=int, default=64)
     t.add_argument('--test-batch-size', type=int, default=512)

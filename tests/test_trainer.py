@@ -138,3 +138,34 @@ def test_frozen_modules_never_train():
     enc_b = jax.tree.leaves(before['encoder'])
     enc_a = jax.tree.leaves(after['encoder'])
     assert any(not np.array_equal(a, b) for a, b in zip(enc_a, enc_b))
+
+
+def test_train_model_device_data_path():
+    """train_model(device_data=True): HBM-resident batches through the full
+    trainer (history, checkpoints, final evals) — same features as the host
+    loader path."""
+    cfg = CVNetConfig(input_shape=INPUT_SHAPE, num_labels=C, type='cvae',
+                      encoder=(16,), decoder=(16,), classifier=(8,),
+                      latent_dim=4, latent_sampling=1, test_latent_sampling=2,
+                      gamma=10.0, beta=1e-2, sigma=SigmaConfig(value=0.3))
+    job = new_job(cfg, OptimizerConfig(lr=5e-3), key=jax.random.PRNGKey(0))
+    job.training_parameters['set'] = 'blobs'
+    tr = _dataset('blobs')
+    te = _dataset('blobs', n=64, seed=1)
+    ood = _dataset('noise', n=64, seed=2, noise=True)
+    out = EpochOutput(stdout=False)
+    with tempfile.TemporaryDirectory() as d:
+        train_model(job, tr, te, [ood], epochs=2, batch_size=32,
+                    test_batch_size=32, validation=32, save_dir=d,
+                    outputs=out, full_test_every=1, ood_detection_every=1,
+                    device_data=True)
+        assert job.trained == 2
+        assert np.isfinite(job.train_history[2]['train_loss']['total'])
+        assert 2 in job.testing and 2 in job.ood_results
+        assert os.path.exists(os.path.join(d, 'state.npz'))
+        # resume continues on the device-data path too
+        job2 = load_job(d)
+        train_model(job2, tr, te, [], epochs=3, batch_size=32,
+                    test_batch_size=32, validation=32, save_dir=d,
+                    outputs=out, device_data=True)
+        assert job2.trained == 3 and 3 in job2.train_history
