@@ -103,13 +103,14 @@ def main(argv=None):
         acc = (s.argmax(0) == y).mean()
         print('job {:>6}: accuracy {:.2%}'.format(j.job_number, acc))
 
-    def _inputs(m, idx):
-        """combine inputs for method m over the models at idx"""
+    def _inputs(m, idx, scores=all_scores, nkl=all_nkl):
+        """combine inputs for method m over the models at idx — the one
+        place that knows each method's score source and sign"""
         if m == 'joint':
-            return [-all_scores[i] for i in idx]
+            return [-scores[i] for i in idx]
         if m == 'mean~':
-            return [all_nkl[i] for i in idx]
-        return [all_scores[i] for i in idx]
+            return [nkl[i] for i in idx]
+        return [scores[i] for i in idx]
 
     everyone = list(range(len(jobs)))
     for m in args.methods:
@@ -120,7 +121,11 @@ def main(argv=None):
         # every k-of-n sub-ensemble (ref results/aggregation.py:241-308);
         # combo named with the reference's agg-type letters (:18)
         import itertools
-        letter = {'vote': '&', 'joint': ',', 'mean': '+', 'mean~': '~'}
+        # reference agg_type letters (results/aggregation.py:18); elbo/lme
+        # is not a reference combo type — give it its own join char so its
+        # rows never collide with the 'mean' ('+') names
+        letter = {'vote': '&', 'joint': ',', 'mean': '+', 'mean~': '~',
+                  'elbo': '|', 'lme': '|', 'iws': '|'}
         for k in sorted(set(args.combos)):
             if not 1 <= k <= len(jobs):
                 continue
@@ -188,11 +193,9 @@ def main(argv=None):
             ood_scores = [p[0] for p in per]
             ood_nkl = [p[3] for p in per]
             for m in args.methods:
-                ins = (ood_nkl if m == 'mean~'
-                       else [-s for s in ood_scores] if m == 'joint'
-                       else ood_scores)
                 pi = ensemble_posterior(_inputs(m, everyone), m).max(0)
-                po = ensemble_posterior(ins, m).max(0)
+                po = ensemble_posterior(
+                    _inputs(m, everyone, ood_scores, ood_nkl), m).max(0)
                 auc = float(auroc_one_sided_exact(jnp.asarray(pi),
                                                   jnp.asarray(po)))
                 print('ood {} {}: auroc {:.2%}'.format(ood_name, m, auc))

@@ -131,6 +131,12 @@ def _device_step_fn(model: CVNet, tx: optax.GradientTransformation,
             sigma_state=out.sigma_state, rng=rng, step=state.step + 1)
         metrics = {k: jnp.mean(v) for k, v in out.losses.items()}
         metrics.update(out.measures)
+        # same metric surface as steps.py::make_train_step — the trainer's
+        # device_data path must not silently drop train_acc/grad_norm
+        metrics['grad_norm'] = optax.global_norm(grads)
+        if cfg.y_is_decoded:
+            metrics['train_acc'] = jnp.mean(
+                (jnp.argmax(out.logits, axis=-1) == y).astype(jnp.float32))
         return new_state, metrics
 
     return step
@@ -200,6 +206,10 @@ def train_epochs_on_device(job, dataset: ArrayDataset, epochs: int,
     frozen = tuple(job.training_parameters.get('frozen_modules') or ())
     dd = DeviceDataset(dataset, dtype=dtype)
     steps_per_epoch = dd.n // batch_size
+    if steps_per_epoch == 0:
+        # smaller-than-batch dataset: a no-op, as the per-step loop always
+        # was (the fused program would trace a step unconditionally)
+        return {}
     if fused:
         epoch_fn = make_device_epoch_fn(
             model, tx, batch_size, steps_per_epoch, tuple(warmup),

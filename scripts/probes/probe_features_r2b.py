@@ -30,7 +30,9 @@ rng = np.random.default_rng(0)
 
 def bench(name, f, x, *params, wrt_x=True):
     """fwd + bwd cost of sum(f(x, *params)) differentiating w.r.t. params
-    (always) and x (when wrt_x)."""
+    (always) and x (when wrt_x).  EVERY gradient is consumed into the loop
+    carry — an unused grad output is dead-code-eliminated by XLA and the
+    'backward' silently drops out of the measurement."""
     x = jnp.asarray(x, DT)
     params = [jnp.asarray(p, DT) for p in params]
     argnums = tuple(range(0 if wrt_x else 1, 1 + len(params)))
@@ -41,8 +43,11 @@ def bench(name, f, x, *params, wrt_x=True):
             val, grads = jax.value_and_grad(
                 lambda a, *ps: jnp.sum(f(a, *ps).astype(jnp.float32)),
                 argnums=argnums)(cc, *rest)
+            acc = val
+            for g in grads[1:] if wrt_x else grads:
+                acc = acc + jnp.sum(g.astype(jnp.float32))
             g0 = grads[0] if wrt_x else jnp.zeros_like(cc)
-            return cc + 1e-30 * g0.astype(cc.dtype) + 1e-30 * val.astype(cc.dtype)
+            return cc + 1e-30 * g0.astype(cc.dtype) + 1e-30 * acc.astype(cc.dtype)
         return lax.fori_loop(0, K, body, c)
 
     c = outer(x, *params)
@@ -84,28 +89,23 @@ x0 = rng.standard_normal((B, 32, 32, 3)).astype(np.float32)
 k0 = rng.standard_normal((5, 5, 3, 32)).astype(np.float32)
 
 
+from joint_vae_tpu.models.conv import grouped_conv
+
+
 def c0_grouped_w(a, kk, f):
-    """c0 as an im2col matmul over f horizontally-adjacent output pixels:
-    patches (B, H, W/f, 5*(4+f)*3) @ W_g (5*(4+f)*3, f*32)."""
-    kw = 4 + f
-    # W_g[ky, kx + j, :, j] = W[ky, kx]: f shifted copies along kx
-    wg = jnp.stack([jnp.pad(kk, ((0, 0), (j, f - 1 - j), (0, 0), (0, 0)))
-                    for j in range(f)], axis=3)          # (5, kw, 3, f, 32)
-    wg = wg.reshape(5 * kw * 3, f * 32)
-    pat = lax.conv_general_dilated_patches(
-        a, (5, kw), (1, f), [(2, 2), (2, 2 + f - 1)],
-        dimension_numbers=('NHWC', 'HWIO', 'NHWC'))      # (B, 32, 32/f, 75*kw/5)
-    y = jnp.dot(pat.reshape(-1, 5 * kw * 3), wg,
-                preferred_element_type=jnp.float32).astype(a.dtype)
-    return y.reshape(B, 32, 32, 32)
+    """c0 as an im2col matmul over f horizontally-adjacent output pixels —
+    the production lowering (models/conv.py::grouped_conv; handles the
+    patches' (cin, ky, kx) feature ordering)."""
+    return grouped_conv(a, kk, k=5, p=2, f=f)
 
 
 def c0_grouped_2x2(a, kk):
-    """c0 as an im2col matmul over a 2x2 output-pixel group (f=2 both dims)."""
+    """c0 as an im2col matmul over a 2x2 output-pixel group (f=2 both dims).
+    Patch features are ordered (cin, ky, kx) — match it in the embed."""
     wg = jnp.stack([jnp.pad(kk, ((dy, 1 - dy), (dx, 1 - dx), (0, 0), (0, 0)))
                     for dy in range(2) for dx in range(2)],
                    axis=3)                                # (6, 6, 3, 4, 32)
-    wg = wg.reshape(6 * 6 * 3, 4 * 32)
+    wg = wg.transpose(2, 0, 1, 3, 4).reshape(3 * 6 * 6, 4 * 32)
     pat = lax.conv_general_dilated_patches(
         a, (6, 6), (2, 2), [(2, 3), (2, 3)],
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))      # (B, 16, 16, 108)

@@ -1,16 +1,35 @@
 #!/bin/bash
 # One-shot TPU measurement session (run when the tunnel is healthy).
-# Sequential: never two TPU processes at once.
+# Sequential — never two TPU processes at once — with a health gate first
+# and a cool-down after any failure (a timeout-killed TPU process can
+# wedge the tunnel ~5-10 min; stacking more processes prolongs it).
 set -u
 cd "$(dirname "$0")/../.."
 LOG=/tmp/tpu_session
 mkdir -p $LOG
+# bench's own watchdog must fire BEFORE the outer kill so it exits cleanly
+export JVT_BENCH_WATCHDOG_S=420
+
+health() {
+    timeout 420 python -c \
+        "import jax, jax.numpy as jnp; jax.devices(); print(float(jnp.ones((4,4)).sum()))" \
+        > "$LOG/health.log" 2>&1
+}
+
 run() {  # run <name> <timeout_s> <cmd...>
     local name=$1 t=$2; shift 2
     echo "=== $name ($(date +%H:%M:%S)) ==="
     timeout "$t" "$@" > "$LOG/$name.log" 2>&1
-    echo "rc=$? tail:"; grep -v WARNING "$LOG/$name.log" | tail -14
+    local rc=$?
+    echo "rc=$rc tail:"; grep -v WARNING "$LOG/$name.log" | tail -14
+    if [ $rc -ne 0 ]; then
+        echo "cooling down 360s after failure"; sleep 360
+        health || { echo "tunnel unhealthy — aborting session"; exit 1; }
+    fi
 }
+
+health || { echo "tunnel unhealthy — not starting"; exit 1; }
+echo "tunnel healthy, starting probes"
 
 run feat       900 python -u scripts/probes/probe_features_r2b.py
 run evaldec    900 python -u scripts/probes/probe_eval_decode_r2b.py
