@@ -699,9 +699,10 @@ class DataLoader:
             x = x.copy()
             x[m] = x[m][:, :, :, ::-1]
         if any(a.startswith('crop') for a in self.augmentation):
-            p = 4
             n, c, h, w = x.shape
-            xp = np.pad(x, ((0, 0), (0, 0), (p, p), (p, p)))
+            # ref torch_load.py:409-412: RandomCrop(pad=size//8, mode='edge')
+            p = max(h // 8, 1)
+            xp = np.pad(x, ((0, 0), (0, 0), (p, p), (p, p)), mode='edge')
             oh = rng.integers(0, 2 * p + 1, size=n)
             ow = rng.integers(0, 2 * p + 1, size=n)
             x = np.stack([xp[i, :, oh[i]:oh[i] + h, ow[i]:ow[i] + w]

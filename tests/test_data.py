@@ -110,6 +110,11 @@ def test_loader_determinism_and_augmentation():
     dla = DataLoader(tr, 32, seed=5, data_augmentation=['flip', 'crop'])
     xb, yb = next(iter(dla))
     assert xb.shape == (32, 3, 32, 32)
+    # crop pads with edge values (ref RandomCrop padding_mode='edge',
+    # torch_load.py:409-412): no zero rows appear at image borders
+    assert float(np.abs(xb).min()) >= 0.0
+    assert not np.any(np.all(xb[:, :, 0, :] == 0, axis=-1) &
+                      ~np.all(xb[:, :, 1, :] == 0, axis=-1))
 
     x, y = get_batch(tr, 16, seed=3)
     x2, _ = get_batch(tr, 16, seed=3)
