@@ -111,10 +111,11 @@ def test_loader_determinism_and_augmentation():
     xb, yb = next(iter(dla))
     assert xb.shape == (32, 3, 32, 32)
     # crop pads with edge values (ref RandomCrop padding_mode='edge',
-    # torch_load.py:409-412): no zero rows appear at image borders
-    assert float(np.abs(xb).min()) >= 0.0
-    assert not np.any(np.all(xb[:, :, 0, :] == 0, axis=-1) &
-                      ~np.all(xb[:, :, 1, :] == 0, axis=-1))
+    # torch_load.py:409-412): constant-1 inputs stay constant-1 after any
+    # crop offset (zero padding would leak 0 rows in)
+    ones = np.ones((8, 3, 32, 32), np.float32)
+    out = dla._augment(ones, np.random.default_rng(0))
+    np.testing.assert_array_equal(out, ones)
 
     x, y = get_batch(tr, 16, seed=3)
     x2, _ = get_batch(tr, 16, seed=3)
