@@ -1,0 +1,217 @@
+"""WIM fine-tuning parity against the reference's executable ft/wim.py.
+
+Runs the reference ``WIMJob`` (ft/wim.py) as an oracle with transferred
+weights and a shared alternate prior:
+
+- ``finetune_batch`` loss (ft/wim.py:215-259): L = mean total(ind, original
+  prior) + alpha * mean total(mix, alternate prior, y=0), plus the per-batch
+  loss dicts on each prior;
+- ``evaluate_on_both_priors`` '@'-twin losses (ft/wim.py:107-129);
+- the WIM score grammar k~ / k@ / k~@ / softk~ in
+  ``batch_dist_measures`` (ft/wim.py:131-201) on identical loss tensors.
+
+Determinism: beta=0 collapses sampling to the mean on both sides
+(ref cvae.py:276), so everything except iws is bit-comparable; iws keys
+are skipped as in tests/test_evaluate_vs_reference.py.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+import test_evaluate_vs_reference as ev  # noqa: E402  (harness helpers)
+
+from joint_vae_tpu.ft.wim import WIMJob, wim_measures  # noqa: E402
+from joint_vae_tpu.models.cvnet import CVNetConfig  # noqa: E402
+from joint_vae_tpu.models.evaluate import evaluate  # noqa: E402
+from joint_vae_tpu.ops.priors import build_prior_config  # noqa: E402
+from joint_vae_tpu.ops.sigma import SigmaConfig  # noqa: E402
+from joint_vae_tpu.save_load.jobs import new_job  # noqa: E402
+from joint_vae_tpu.train.optimizers import (OptimizerConfig,  # noqa: E402
+                                            build_optimizer)
+
+torch = pytest.importorskip('torch')
+
+IN_SHAPE = ev.IN_SHAPE
+C, K = ev.C, ev.K
+ALT_MEAN = 3.0
+
+
+@pytest.fixture(scope='module')
+def ref_wimjob():
+    ev._stub_torchvision()
+    sys.path.insert(0, '/root/reference')
+    try:
+        from ft.wim import WIMJob as RefWIM
+    finally:
+        sys.path.remove('/root/reference')
+    return RefWIM
+
+
+def _build_wim_pair(ref_wimjob, gamma=100.0):
+    """Matched (reference WIMJob, our WIMJob) with a shared frozen
+    unconditional alternate prior."""
+    prior_kw = {'distribution': 'gaussian', 'num_priors': C,
+                'init_mean': 1.0, 'learned_means': True}
+    ref = ref_wimjob(IN_SHAPE, C, type='cvae', features=None,
+                     encoder=[16], latent_dim=K, decoder=[16],
+                     classifier=[8], latent_sampling=1,
+                     test_latent_sampling=3, beta=0.0, gamma=gamma,
+                     sigma={'value': 0.5}, output_activation='sigmoid',
+                     prior=dict(prior_kw))
+    ref.eval()
+    ref.set_alternate_prior(dim=K, distribution='gaussian', num_priors=1,
+                            init_mean=ALT_MEAN)
+
+    cfg = CVNetConfig(
+        input_shape=IN_SHAPE, num_labels=C, type='cvae',
+        encoder=(16,), latent_dim=K, decoder=(16,), classifier=(8,),
+        latent_sampling=1, test_latent_sampling=3, beta=0.0, gamma=gamma,
+        sigma=SigmaConfig(value=0.5), output_activation='sigmoid',
+        prior=build_prior_config(K, 'gaussian', num_priors=C,
+                                 init_mean=1.0, learned_means=True))
+    job = new_job(cfg, OptimizerConfig(), key=jax.random.PRNGKey(0))
+    params = dict(job.state.params)
+    params.update(ev._transfer(ref.state_dict(), cfg))
+    job.state = job.state.replace(params=params)
+
+    wim = WIMJob(job)
+    wim.set_alternate_prior(distribution='gaussian', num_priors=1,
+                            init_mean=ALT_MEAN)
+    # pin the alternate prior tensors to the reference's exact values
+    alt = ref._alternate_prior
+    wim.alternate_prior_params = {
+        'mean': jnp.asarray(alt.mean.detach().numpy()),
+        'var_param': jnp.asarray(alt._var_parameter.detach().numpy()).reshape(
+            np.asarray(wim.alternate_prior_params['var_param']).shape),
+    }
+    return ref, wim
+
+
+def _batches(n_in=5, n_mix=4, seed=7):
+    rng = np.random.default_rng(seed)
+    x_in = rng.uniform(0, 1, (n_in,) + IN_SHAPE).astype(np.float32)
+    y_in = rng.integers(0, C, n_in).astype(np.int64)
+    x_mix = rng.uniform(0, 1, (n_mix,) + IN_SHAPE).astype(np.float32)
+    return x_in, y_in, x_mix
+
+
+def test_finetune_batch_loss_parity(ref_wimjob):
+    ref, wim = _build_wim_pair(ref_wimjob)
+    x_in, y_in, x_mix = _batches()
+    alpha = 0.37
+
+    ref_L, ref_in, ref_mix = ref.finetune_batch(
+        0, 0, torch.tensor(x_in), torch.tensor(y_in),
+        torch.tensor(x_mix), alpha=alpha)
+    ref_L = float(ref_L.detach())
+
+    state = wim.job.state
+    tx = build_optimizer(wim.job.opt_cfg)
+    new_state, metrics = wim.finetune_batch(
+        state, jnp.asarray(x_in), jnp.asarray(y_in), jnp.asarray(x_mix),
+        alpha=alpha, rng=jax.random.PRNGKey(3), tx=tx)
+    np.testing.assert_allclose(float(metrics['total']), ref_L,
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(metrics['in_total']),
+                               float(ref_in['total'].detach().mean()),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(float(metrics['mix_total']),
+                               float(ref_mix['total'].detach().mean()),
+                               rtol=2e-4, atol=2e-4)
+    # the step must not touch either prior (frozen, ref ft/wim.py:31-32,103-104)
+    np.testing.assert_array_equal(np.asarray(new_state.params['prior']['mean']),
+                                  np.asarray(state.params['prior']['mean']))
+
+    # per-batch losses on each prior (deterministic keys)
+    variables = {'params': state.params}
+    o_in = evaluate(wim.model, variables, jnp.asarray(x_in),
+                    jnp.asarray(y_in), rng=jax.random.PRNGKey(1),
+                    sigma_state=state.sigma_state, train=True,
+                    bn_eval=True, with_beta=True)
+    o_mix = evaluate(wim.model, variables, jnp.asarray(x_mix),
+                     jnp.zeros((len(x_mix),), jnp.int32),
+                     rng=jax.random.PRNGKey(2),
+                     sigma_state=state.sigma_state, train=True,
+                     bn_eval=True, with_beta=True,
+                     prior_override=(wim.alternate_prior_cfg,
+                                     wim.alternate_prior_params))
+    for name, ref_l, got in (('in', ref_in, o_in), ('mix', ref_mix, o_mix)):
+        compared = []
+        for k, v in ref_l.items():
+            if k in ev.SKIP_KEYS or k not in got.losses:
+                continue
+            w = v.detach().numpy()
+            g = np.asarray(got.losses[k])
+            if g.shape != w.shape:
+                continue
+            np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-4,
+                                       err_msg='{} loss {}'.format(name, k))
+            compared.append(k)
+        assert {'kl', 'zdist', 'total'} <= set(compared), (name, compared)
+
+
+def test_evaluate_on_both_priors_twins(ref_wimjob):
+    ref, wim = _build_wim_pair(ref_wimjob)
+    rng = np.random.default_rng(11)
+    x = rng.uniform(0, 1, (6,) + IN_SHAPE).astype(np.float32)
+
+    with ref.no_estimated_labels(), ref.evaluate_on_both_priors():
+        with torch.no_grad():
+            _, _, ref_losses, _ = ref.evaluate(torch.tensor(x))
+
+    state = wim.job.state
+    _, _, losses, _ = wim.evaluate_on_both_priors(
+        {'params': state.params}, jnp.asarray(x),
+        rng=jax.random.PRNGKey(5), sigma_state=state.sigma_state)
+
+    compared = []
+    for k, v in ref_losses.items():
+        if k in ev.SKIP_KEYS or k.rstrip('@') in ev.SKIP_KEYS:
+            continue
+        if k not in losses:
+            continue
+        w = v.detach().numpy()
+        g = np.asarray(losses[k])
+        if g.shape != w.shape:
+            continue
+        np.testing.assert_allclose(g, w, rtol=2e-4, atol=2e-4,
+                                   err_msg='twin loss {}'.format(k))
+        compared.append(k)
+    assert {'kl', 'kl@', 'zdist', 'zdist@', 'total', 'total@'} <= \
+        set(compared), compared
+
+
+def test_wim_score_grammar_vs_reference(ref_wimjob):
+    """k~ / k@ / k~@ / softk~ on identical loss tensors
+    (ref ft/wim.py:131-201)."""
+    ref, wim = _build_wim_pair(ref_wimjob)
+    rng = np.random.default_rng(0)
+    N = 9
+    base = {k: rng.normal(size=(C, N)).astype(np.float32)
+            for k in ('total', 'kl', 'zdist', 'iws')}
+    twins = {k + '@': rng.normal(size=(N,)).astype(np.float32)
+             for k in ('total', 'kl', 'zdist', 'iws')}
+    y_est = rng.integers(0, C, N)
+
+    methods = ['zdist~', 'zdist@', 'zdist~@', 'elbo~', 'elbo@', 'elbo~@',
+               'softzdist~', 'kl~', 'kl@', 'kl~@', 'iws~', 'iws~@']
+    ref_losses = {k: torch.tensor(v) for k, v in {**base, **twins}.items()}
+    ref_losses['y_est_already'] = torch.tensor(y_est)
+    ref_out = ref.batch_dist_measures(None, ref_losses, methods)
+
+    losses = {k: jnp.asarray(v) for k, v in {**base, **twins}.items()}
+    out = wim_measures(wim.cfg, dict(losses), methods,
+                       y_est=jnp.asarray(y_est))
+
+    for m in methods:
+        np.testing.assert_allclose(np.asarray(out[m]),
+                                   ref_out[m].detach().numpy(),
+                                   rtol=1e-4, atol=1e-5,
+                                   err_msg='method {}'.format(m))
