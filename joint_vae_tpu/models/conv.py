@@ -405,6 +405,23 @@ def _grouped_target() -> int:
     return 4 if v == 'auto' else max(int(v), 0)
 
 
+def _c0_packed_target() -> int:
+    """Packing factor for the packed-output first-conv lowering
+    (JVT_C0_PACKED: '' disables, 'auto'/'1' = 2, else the integer factor).
+
+    Measured on the v5e (probe_features_r2b, training-true backward — the
+    input image is not differentiated): c0 3->32 packed f_out=2 + unpack
+    runs in 0.194 ms vs 0.286 plain and 0.245 grouped f=4.  Unlike the
+    decoder stacks the packing does NOT propagate (mid-stack packing
+    measured as losing, docs/BENCH.md): the output is unpacked right after
+    the conv, so only the lane-starved first matmul changes."""
+    import os
+    v = os.environ.get('JVT_C0_PACKED', '')
+    if v in ('', '0'):
+        return 0
+    return 2 if v in ('auto', '1') else max(int(v), 0)
+
+
 def grouped_conv(x: jax.Array, kern: jax.Array, *, k: int, p: int,
                  f: int) -> jax.Array:
     """'same' stride-1 conv as one im2col matmul over ``f`` horizontally
@@ -558,8 +575,21 @@ class ConvStack(nn.Module):
                     f_out = f if f > 1 else (
                         pack if pack and self.where == 'input' else 1)
                     gf = _grouped_target()
+                    cp = _c0_packed_target()
                     if f_in == 1 and f_out == 1:
-                        if (gf > 1 and not is_dc and s == 1 and k % 2 == 1
+                        if (cp > 1 and not is_dc and s == 1 and i == 0
+                                and self.where == 'input' and c <= 4
+                                and pl.out_channels * cp * cp <= 128
+                                and oh % cp == 0 and ow % cp == 0):
+                            # lane-starved first conv -> cp-phase-packed
+                            # output, unpacked immediately (the rest of the
+                            # input stack stays unpacked; see
+                            # _c0_packed_target)
+                            x = packed_conv(x, kern, k=k, off=p, num=1,
+                                            den=1, f_in=1, f_out=cp,
+                                            h_out=oh, w_out=ow)
+                            x = depth_to_space(x, cp)
+                        elif (gf > 1 and not is_dc and s == 1 and k % 2 == 1
                                 and p == k // 2 and w % gf == 0
                                 and pl.out_channels * gf <= 128):
                             # lane-starved small-c_out conv -> grouped matmul

@@ -33,7 +33,12 @@ def bench(name, f, *args):
     @jax.jit
     def outer(c, *rest):
         def body(i, cc):
-            return cc + 1e-30 * f(cc, *rest).astype(cc.dtype)
+            out = f(cc, *rest)
+            if out.shape == cc.shape:
+                return cc + 1e-30 * out.astype(cc.dtype)
+            # shape-changing op: thread a scalar dependency instead
+            return cc + 1e-30 * jnp.sum(
+                out.astype(jnp.float32)).astype(cc.dtype)
         return lax.fori_loop(0, K, body, c)
 
     c = outer(*args)

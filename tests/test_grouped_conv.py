@@ -82,3 +82,35 @@ def test_conv_stack_lowering_agnostic(monkeypatch):
         np.asarray(a), np.asarray(b)), vs_ref, vs_got)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_conv_stack_c0_packed_agnostic(monkeypatch):
+    """Same checkpoint, same outputs and gradients with the packed-output
+    first-conv lowering on and off (JVT_C0_PACKED)."""
+    from joint_vae_tpu.models.conv import ConvStack, conv_stack_plan
+
+    _, plans, _ = conv_stack_plan((3, 32, 32), '[x5+2]8-8:2-16')
+    plans = tuple(plans)
+    x = jnp.asarray(RNG.standard_normal((2, 3, 32, 32)), jnp.float32)
+
+    def run():
+        stack = ConvStack(input_shape=(3, 32, 32), plans=plans,
+                          where='input')
+        vs = stack.init(jax.random.PRNGKey(0), x)
+        out = stack.apply(vs, x)
+        gw = jax.grad(lambda v: jnp.sum(jnp.sin(
+            stack.apply(v, x).astype(jnp.float32))))(vs)
+        return out, vs, gw
+
+    monkeypatch.delenv('JVT_GROUPED_CONV', raising=False)
+    monkeypatch.delenv('JVT_C0_PACKED', raising=False)
+    ref, vs_ref, gw_ref = run()
+    monkeypatch.setenv('JVT_C0_PACKED', 'auto')
+    got, vs_got, gw_got = run()
+    jax.tree.map(lambda a, b: np.testing.assert_array_equal(
+        np.asarray(a), np.asarray(b)), vs_ref, vs_got)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-4)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-3),
+        gw_ref, gw_got)
