@@ -31,13 +31,15 @@ run() {  # run <name> <timeout_s> <cmd...>
 health || { echo "tunnel unhealthy — not starting"; exit 1; }
 echo "tunnel healthy, starting probes"
 
-run feat       900 python -u scripts/probes/probe_features_r2b.py
 run evaldec    900 python -u scripts/probes/probe_eval_decode_r2b.py
+run featc      900 python -u scripts/probes/probe_features_r2c.py
 run bench_tr   600 python bench.py
+run bench_tr_c0 600 env JVT_C0_PACKED=auto python bench.py
 run bench_tr_g 600 env JVT_GROUPED_CONV=auto python bench.py
 run bench_pipe 600 env JVT_BENCH_MODE=pipeline python bench.py
+run bench_pipe_c0 600 env JVT_BENCH_MODE=pipeline JVT_C0_PACKED=auto python bench.py
 run bench_fuse 600 env JVT_BENCH_MODE=pipeline JVT_BENCH_FUSED=1 python bench.py
 run bench_eval 700 env JVT_BENCH_MODE=eval python bench.py
-run bench_ev_g 700 env JVT_BENCH_MODE=eval JVT_GROUPED_CONV=auto python bench.py
+run bench_ev_c0 700 env JVT_BENCH_MODE=eval JVT_C0_PACKED=auto python bench.py
 run bench_mfu  600 env JVT_BENCH_MODE=mfu python bench.py
 echo "=== done ($(date +%H:%M:%S)) ==="
