@@ -35,6 +35,12 @@ H100_REFERENCE_IMG_PER_SEC = 10000.0
 PEAK_BF16_FLOPS = float(os.environ.get('JVT_PEAK_FLOPS', 197e12))
 
 MODE = os.environ.get('JVT_BENCH_MODE', 'train')
+if MODE == 'pipeline':
+    # measured on the v5e (docs/BENCH.md): the packed-output first-conv
+    # lowering wins in pipeline mode (149.3k vs 146.7k img/s at batch 512),
+    # is a wash on the resident-batch step at 1024 (159.7 vs 159.9k) and
+    # loses in eval (31.5 vs 32.9k) — default it on here only.
+    os.environ.setdefault('JVT_C0_PACKED', 'auto')
 # per-mode sweet spots (docs/BENCH.md): train 1024 (157k vs 152k at 512,
 # 154k at 2048); eval/pipeline 512 (1024 loses to memory pressure there)
 BATCH = int(os.environ.get('JVT_BENCH_BATCH',
