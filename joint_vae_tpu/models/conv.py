@@ -389,9 +389,15 @@ def packed_conv(x: jax.Array, kern: jax.Array, *, k: int, off: int, num: int,
     p_w = -(-w_out // f_out)
     dmax = dmin + tap.shape[0] - 1
     pad = lambda n_out, n_in: (-dmin, g * (n_out - 1) + dmax - (n_in - 1))
+    pads = [pad(p_h, hp_in), pad(p_w, wp_in)]
+    if g == 1:
+        from ..ops.pallas_conv import maybe_same_grid_conv
+        y = maybe_same_grid_conv(x, kd, (1, 1), pads)
+        if y is not None:
+            return y
     return lax.conv_general_dilated(
         x, kd, window_strides=(g, g),
-        padding=[pad(p_h, hp_in), pad(p_w, wp_in)],
+        padding=pads,
         dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
 
 
@@ -597,11 +603,14 @@ class ConvStack(nn.Module):
                         else:
                             pad = ((p, p) if not is_dc
                                    else (k - 1 - p, k - 1 - p + op))
-                            x = lax.conv_general_dilated(
-                                x, kern,
-                                window_strides=(s, s) if not is_dc else (1, 1),
-                                padding=[pad, pad],
-                                dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
+                            st = (s, s) if not is_dc else (1, 1)
+                            from ..ops.pallas_conv import maybe_same_grid_conv
+                            x_p = maybe_same_grid_conv(x, kern, st, [pad, pad])
+                            x = x_p if x_p is not None else \
+                                lax.conv_general_dilated(
+                                    x, kern, window_strides=st,
+                                    padding=[pad, pad],
+                                    dimension_numbers=('NHWC', 'HWIO', 'NHWC'))
                     else:
                         x = packed_conv(x, kern, k=k, off=off, num=num, den=den,
                                         f_in=f_in, f_out=f_out, h_out=oh, w_out=ow)
