@@ -1,4 +1,4 @@
-"""Pallas same-grid conv kernel for the decode-dominated eval path.
+"""Pallas same-grid conv kernel — a MEASURED NEGATIVE, kept opt-in.
 
 The packed decoder lowering (models/conv.py) turns every hot (de)conv of
 the flagship stacks into a *same-grid* NHWC conv: window strides (1, 1)
@@ -8,12 +8,23 @@ breakdown); this kernel re-expresses the conv as tap_h x tap_w shifted
 (M, Cin) @ (Cin, Cout) matmuls accumulated in VMEM f32 — the layout the
 MXU natively wants — to chase the remaining headroom.
 
+Verdict (scripts/probes/probe_pallas_conv.py on the v5e, N=8192 bf16):
+it LOSES to lax.conv on every decode geometry — 0.86x on d3, 0.64x on
+d5, 0.2-0.5x on the k5/subpixel layers — because each tap's operand must
+be materialized as a row-shifted VMEM copy (±1-row shifts cannot be
+sublane-aligned in any W-major flattening), and that VPU copy traffic
+rivals the MXU time at these small channel counts, while XLA's native
+conv streams overlapping windows into the MXU without materializing
+them.  Tile size is a non-factor (max_m 1024-8192 within 0.7%).  Kept
+behind JVT_PALLAS_CONV=1 with parity tests as the documented negative;
+the packed-lowering + XLA conv path stands.
+
 Geometry: for output row r = (n, i, j) and tap (a, b), the contributing
 input row is r + (a - ph_lo) * W + (b - pw_lo) — one *uniform* flat shift
-per tap because the grids coincide.  Shifts are pltpu.roll within the
-batch tile; rows whose true (i + a - ph_lo, j + b - pw_lo) fall outside
-the image are masked, which also covers roll wrap-around at tile edges
-and bleed across image boundaries inside a tile.
+per tap because the grids coincide.  Shifts are static slice + zero-pad
+within the batch tile (Mosaic's rotate has no bf16 lowering); rows whose
+true (i + a - ph_lo, j + b - pw_lo) fall outside the image are masked,
+which also covers bleed across image boundaries inside a tile.
 
 Used opt-in (JVT_PALLAS_CONV=1) from models/conv.py; backward falls back
 to the XLA conv vjp (jax.custom_vjp), so the knob is legal under grad.
@@ -47,14 +58,25 @@ def _pick_nb(n: int, hw: int, max_m: int) -> int:
     return nb
 
 
-def _kernel_body(x_ref, k_ref, o_ref, *, nb, h, w, ci, co, th, tw,
+def _shift_rows(x, d):
+    """x shifted d rows up (shifted[r] = x[r + d]), zero-filled at the edge.
+    Static slice + pad (Mosaic's dynamic_rotate lacks a bf16 lowering); the
+    zero-filled rows are also masked by the caller's edge predicate."""
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.pad(x[d:], ((0, d), (0, 0)))
+    return jnp.pad(x[:d], ((-d, 0), (0, 0)))
+
+
+def _kernel_body(x_ref, k_ref, o_ref, acc_ref, *, nb, h, w, ci, co, th, tw,
                  ph_lo, pw_lo, out_dtype):
     m = nb * h * w
     xf = x_ref[:].reshape(m, ci)
     r = lax.broadcasted_iota(jnp.int32, (m, 1), 0)
     i = (r // w) % h
     j = r % w
-    acc = jnp.zeros((m, co), jnp.float32)
+    first = True
     for a in range(th):
         di = a - ph_lo
         row_ok = None
@@ -63,24 +85,38 @@ def _kernel_body(x_ref, k_ref, o_ref, *, nb, h, w, ci, co, th, tw,
         for b in range(tw):
             dj = b - pw_lo
             delta = di * w + dj
-            shifted = pltpu.roll(xf, (-delta) % m, 0) if delta else xf
-            contrib = jnp.dot(shifted, k_ref[a, b],
-                              preferred_element_type=jnp.float32)
             mask = row_ok
             if dj:
                 col_ok = (j + dj >= 0) & (j + dj < w)
                 mask = col_ok if mask is None else (mask & col_ok)
+            # mask the (cheap, bf16) operand rather than the f32 product so
+            # the tap's whole temporary chain stays one buffer wide
+            shifted = _shift_rows(xf, delta)
             if mask is not None:
-                contrib = jnp.where(mask, contrib, 0.0)
-            acc = acc + contrib
-    o_ref[:] = acc.reshape(nb, h * w, co).astype(out_dtype)
+                shifted = shifted * mask.astype(shifted.dtype)
+            contrib = jnp.dot(shifted, k_ref[a, b],
+                              preferred_element_type=jnp.float32)
+            if first:
+                acc_ref[:] = contrib
+                first = False
+            else:
+                acc_ref[:] += contrib
+    o_ref[:] = acc_ref[:].reshape(nb, h * w, co).astype(out_dtype)
+
+
+_STACK_BUDGET = 20 << 20          # Mosaic scoped-vmem stack for temporaries
 
 
 def _same_grid_conv_impl(x: jax.Array, kern: jax.Array,
                          ph_lo: int, pw_lo: int, max_m: int) -> jax.Array:
     n, h, w, ci = x.shape
     th, tw, _, co = kern.shape
+    # Mosaic stack-allocates the unrolled taps' temporaries (shifted bf16
+    # operand + f32 product per tap); bound the tile so they fit
+    bytes_per_row = th * tw * (2 * x.dtype.itemsize * ci + 4 * co)
+    max_m = min(max_m, max(512, _STACK_BUDGET // bytes_per_row))
     nb = _pick_nb(n, h * w, max_m)
+    m = nb * h * w
     body = functools.partial(
         _kernel_body, nb=nb, h=h, w=w, ci=ci, co=co, th=th, tw=tw,
         ph_lo=ph_lo, pw_lo=pw_lo, out_dtype=x.dtype)
@@ -97,11 +133,14 @@ def _same_grid_conv_impl(x: jax.Array, kern: jax.Array,
         out_specs=pl.BlockSpec((nb, h * w, co), lambda t: (t, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((n, h * w, co), x.dtype),
+        scratch_shapes=[pltpu.VMEM((m, co), jnp.float32)],
         cost_estimate=pl.CostEstimate(
             flops=flops,
             bytes_accessed=(x.size + n * h * w * co) * x.dtype.itemsize
             + kern.size * kern.dtype.itemsize,
             transcendentals=0),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 << 20),
         interpret=_INTERPRET or jax.default_backend() != 'tpu',
     )(x.reshape(n, h * w, ci), kern)
     return y.reshape(n, h, w, co)
