@@ -121,11 +121,11 @@ def main(argv=None):
         # every k-of-n sub-ensemble (ref results/aggregation.py:241-308);
         # combo named with the reference's agg-type letters (:18)
         import itertools
-        # reference agg_type letters (results/aggregation.py:18); elbo/lme
-        # is not a reference combo type — give it its own join char so its
-        # rows never collide with the 'mean' ('+') names
+        # reference agg_type letters (results/aggregation.py:18); elbo/lme/
+        # iws are not reference combo types — each gets its own join char
+        # (none of the reference's) so no two methods' rows share a name
         letter = {'vote': '&', 'joint': ',', 'mean': '+', 'mean~': '~',
-                  'elbo': '|', 'lme': '|', 'iws': '|'}
+                  'elbo': '|', 'lme': '/', 'iws': '^'}
         for k in sorted(set(args.combos)):
             if not 1 <= k <= len(jobs):
                 continue

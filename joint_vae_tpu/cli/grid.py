@@ -28,6 +28,9 @@ def expand_grid(section: Dict[str, str]) -> List[List[str]]:
     times (the reference's SLURM-array repetition)."""
     section = dict(section)
     repeat = int(section.pop('repeat', 1) or 1)
+    if repeat < 1:
+        raise ValueError(
+            'grid section repeat={} would expand to zero jobs'.format(repeat))
     fixed, swept = {}, {}
     for k, v in section.items():
         k = k.replace('_', '-')

@@ -137,19 +137,19 @@ def main(argv=None):
                 pass
         num_batch = (-(-args.test_sample_size // args.batch_size)
                      if args.test_sample_size else None)
+        # a flag given with zero values ('--predict-methods') means NONE
+        # (skip that pass), like --sets; only an absent flag means 'all'
+        pm = 'all' if args.predict_methods is None else args.predict_methods
+        om = 'all' if args.ood_methods is None else args.ood_methods
+        mm = 'all' if args.misclass_methods is None else args.misclass_methods
         accuracy(job, testset, batch_size=args.batch_size,
-                 num_batch=num_batch,
-                 method=args.predict_methods or 'all',
-                 from_where=where)
+                 num_batch=num_batch, method=pm, from_where=where)
         ood_detection_rates(job, testset, oodsets,
                             batch_size=args.batch_size, num_batch=num_batch,
-                            method=args.ood_methods or 'all',
-                            from_where=where)
+                            method=om, from_where=where)
         misclassification_detection_rates(
             job, testset, batch_size=args.batch_size, num_batch=num_batch,
-            predict_methods=args.predict_methods or 'all',
-            misclass_methods=args.misclass_methods or 'all',
-            from_where=where)
+            predict_methods=pm, misclass_methods=mm, from_where=where)
         from ..save_load.jobs import save_job
         save_job(job, m['dir'], save_state=False)
         if args.early_stopping:

@@ -221,6 +221,15 @@ def _save_recorder(rec: LossRecorder, path: str):
                 if k not in rec:
                     rec._tensors[k] = old.get(k)
     rec.save(path)
+    # the saved file supersedes any other-format twin (keys folded in
+    # above); remove it so find_record's newest-wins rule can't resurrect
+    # the stale one after an mtime-mangling copy of the job dir
+    other = base + ('.npz' if path.endswith('.jvr') else '.jvr')
+    if os.path.exists(other):
+        try:
+            os.remove(other)
+        except OSError:
+            pass
 
 
 def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
@@ -250,6 +259,8 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
     methods = develop_starred_methods(
         cfg.ood_methods if method == 'all'
         else ([method] if isinstance(method, str) else list(method)))
+    if not methods:
+        return {}
     if testset is None:
         name = job.training_parameters.get('set') or 'cifar10'
         _, testset = get_dataset(name, splits=['test'])

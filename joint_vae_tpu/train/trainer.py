@@ -213,8 +213,15 @@ def train_model(job: Job,
                 for k, v in mts.items():
                     running[k] = running.get(k, 0.0) + float(v)
             if not np.isfinite(running.get('total', 0.0)):
+                # pinpoint the first bad batch inside the flushed window
+                # (with batched pulls the flush index i can be up to
+                # metrics_every-1 steps past it)
+                bad = next((i - len(got) + 1 + k
+                            for k, mts in enumerate(got)
+                            if not np.isfinite(float(mts.get('total', 0.0)))),
+                           i)
                 logging.error('non-finite loss at epoch %d batch %d — '
-                              'marking derailed', epoch, i)
+                              'marking derailed', epoch, bad)
                 if save_dir:
                     from ..save_load.jobs import mark
                     mark(save_dir, 'derailed')

@@ -36,7 +36,9 @@ run featc      900 python -u scripts/probes/probe_features_r2c.py
 run bench_tr   600 python bench.py
 run bench_tr_c0 600 env JVT_C0_PACKED=auto python bench.py
 run bench_tr_g 600 env JVT_GROUPED_CONV=auto python bench.py
-run bench_pipe 600 env JVT_BENCH_MODE=pipeline python bench.py
+# pipeline mode now defaults JVT_C0_PACKED=auto (bench.py) — the baseline
+# arm must force it off to stay an A/B
+run bench_pipe 600 env JVT_BENCH_MODE=pipeline JVT_C0_PACKED=0 python bench.py
 run bench_pipe_c0 600 env JVT_BENCH_MODE=pipeline JVT_C0_PACKED=auto python bench.py
 run bench_fuse 600 env JVT_BENCH_MODE=pipeline JVT_BENCH_FUSED=1 python bench.py
 run bench_eval 700 env JVT_BENCH_MODE=eval python bench.py
