@@ -102,9 +102,28 @@ def state_shardings(mesh: Mesh, state):
 def distributed_init(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):
-    """Multi-host init (jax.distributed); no-op when single-process."""
+    """Multi-host init (jax.distributed).
+
+    Explicit ``num_processes > 1`` uses the given rendezvous.  With
+    ``num_processes=None`` a distributed context is auto-detected (an
+    explicit/env coordinator address, SLURM, or TPU-pod worker metadata)
+    and handed to jax's own auto-initialization — silently skipping
+    initialize() there would leave each pod host training as a disjoint
+    single-host replica.  No context detected = single-process no-op."""
+    import logging
+    import os
     if num_processes and num_processes > 1:
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id)
+    elif num_processes is None and (
+            coordinator_address
+            or os.environ.get('JAX_COORDINATOR_ADDRESS')
+            or os.environ.get('SLURM_NTASKS', '1') not in ('', '0', '1')
+            or os.environ.get('TPU_WORKER_HOSTNAMES', '').count(',') > 0):
+        try:
+            jax.distributed.initialize(
+                coordinator_address=coordinator_address)
+        except Exception as e:           # already-initialized / no backend
+            logging.warning('jax.distributed auto-init failed: %s', e)
     return jax.process_count(), jax.process_index()

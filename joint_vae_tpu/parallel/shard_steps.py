@@ -30,7 +30,8 @@ def make_shard_map_train_step(model: CVNet, tx: optax.GradientTransformation,
                               warmup: Tuple[int, int] = (0, 0),
                               warmup_gamma: Tuple[int, int] = (0, 0),
                               frozen_modules: Tuple[str, ...] = (),
-                              split_sampling_per_shard: bool = True):
+                              split_sampling_per_shard: bool = True,
+                              donate: bool = True):
     """(state, x, y) -> (state, metrics) with explicit pmean over 'data'.
 
     state replicated; x/y sharded on the leading axis.  BN models are not
@@ -92,10 +93,10 @@ def make_shard_map_train_step(model: CVNet, tx: optax.GradientTransformation,
         out_specs=(P(), P()),
         check_vma=False)
 
-    @jax.jit
-    def step(state, x, y):
-        return sharded(state, x, y)
-
+    # donate the input TrainState like train/steps.py:80 — without it XLA
+    # keeps the old params+opt_state alive across the update (2x HBM)
+    step = jax.jit(lambda state, x, y: sharded(state, x, y),
+                   donate_argnums=(0,) if donate else ())
     return step
 
 

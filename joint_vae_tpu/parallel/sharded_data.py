@@ -25,9 +25,12 @@ def process_shard(dataset: ArrayDataset,
     pc = jax.process_count() if process_count is None else process_count
     n = len(dataset)
     per = n // pc
+    # every shard gets exactly `per` items — handing the remainder to the
+    # last process could give it one MORE batch than its peers, and a
+    # process entering the SPMD step alone hangs the collective; the
+    # (< pc) dataset tail is dropped like a drop_last batch tail
     lo = pi * per
-    hi = lo + per if pi < pc - 1 else n
-    return dataset.subset(np.arange(lo, hi))
+    return dataset.subset(np.arange(lo, lo + per))
 
 
 def global_batch(mesh: Mesh, x_local: np.ndarray, y_local: np.ndarray

@@ -27,7 +27,9 @@ def _im_keys(rec) -> Dict[float, str]:
     for k in rec.keys():
         if k.startswith('Im-'):
             try:
-                out[float(k.split('-')[-1])] = k
+                # everything past the prefix IS the '{:g}' temperature —
+                # split('-') would mangle 'Im-5e-05' or a negative T
+                out[float(k[len('Im-'):])] = k
             except ValueError:
                 continue
     return out
@@ -38,6 +40,16 @@ def process_directory(folder: str, tpr: float = 0.95,
     """-> {T: {'acc', 'im_correct', 'im_incorrect', 'threshold',
     'ood': {set: {'im', 'fpr', 'precision'}}}} or None when the folder has
     no Im recordings."""
+    # header-only probe first: most walked dirs hold plain loss recorders
+    # with no Im keys — don't materialize their tensors (peek is a .jvr
+    # header read / lazy npz member listing)
+    paths = LossRecorder.loadall(folder, output='paths')
+    if not paths:
+        return None
+    if not any(k.startswith('Im-')
+               for p in paths.values()
+               for k in LossRecorder.peek(p).get('components', ())):
+        return None
     recorders = LossRecorder.loadall(folder)
     if not recorders:
         return None

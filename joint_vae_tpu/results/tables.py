@@ -91,15 +91,17 @@ def agg_results(df: pd.DataFrame, group_by: Optional[Sequence[str]] = None,
                 ) -> pd.DataFrame:
     """mean/std/count per architecture group (ref tables.py:366-430).
 
-    Any ``fpr<NN>`` column group counts as a metric regardless of the
-    table's selected TPR level."""
+    Any ``fpr<NN>``/``tnr<NN>`` column group counts as a metric regardless
+    of the table's selected TPR level (tnr=True tables must not lose their
+    OOD columns in aggregation)."""
     if df.empty:
         return df
     group_by = [n for n in (group_by or [n for n in df.index.names
                                          if n != 'job'])
                 if n in df.index.names]
     metric_cols = [c for c in df.columns
-                   if c[0] in metrics_groups or c[0].startswith('fpr')]
+                   if c[0] in metrics_groups
+                   or c[0].startswith(('fpr', 'tnr'))]
     if not metric_cols or not group_by:
         return df
     g = df[metric_cols].groupby(level=group_by)

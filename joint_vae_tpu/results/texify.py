@@ -135,7 +135,25 @@ PERCENT_GROUPS = ('accuracy', 'auc', 'rate')
 
 
 def _is_percent_group(group) -> bool:
-    return group in PERCENT_GROUPS or str(group).startswith('fpr')
+    return (group in PERCENT_GROUPS
+            or str(group).startswith(('fpr', 'tnr')))
+
+
+def _metric_group(col):
+    """The metric group of a column: its first MultiIndex level, except in
+    agg_results tables where level 0 is the statistic ('mean'/'std'/
+    'count') and the group sits at level 1."""
+    if not isinstance(col, tuple):
+        return ''
+    if col[0] in ('mean', 'std', 'count') and len(col) > 1:
+        return col[1]
+    return col[0]
+
+
+def _col_stat(col):
+    if isinstance(col, tuple) and col[0] in ('mean', 'std', 'count'):
+        return col[0]
+    return None
 
 
 # per-column-group formats (ref texify.py format-per-column); keys match
@@ -189,7 +207,9 @@ def texify_test_results_df(df: pd.DataFrame, dataset: Optional[str] = None,
     best: Dict = {}
     if best_in_group:
         for col in df.columns:
-            group = col[0] if isinstance(col, tuple) else ''
+            group = _metric_group(col)
+            if _col_stat(col) not in (None, 'mean'):
+                continue                    # never bold std/count cells
             vals = pd.to_numeric(df[col], errors='coerce')
             if vals.notna().any() and _is_percent_group(group):
                 best[col] = (vals.min() if str(group).startswith('fpr')
@@ -200,12 +220,12 @@ def texify_test_results_df(df: pd.DataFrame, dataset: Optional[str] = None,
         for v in (idx if isinstance(idx, tuple) else (idx,)):
             tab.append_cell(v, key)
         for col, v in zip(df.columns, r.values):
-            group = col[0] if isinstance(col, tuple) else ''
+            group = _metric_group(col)
             if isinstance(v, (float, np.floating)) and not np.isnan(v):
                 face = None
                 if col in best and abs(float(v) - best[col]) < 5e-4:
                     face = 'bf'
-                if _is_percent_group(group):
+                if _is_percent_group(group) and _col_stat(col) != 'count':
                     tab.append_cell(100 * float(v), key,
                                     formatter=fmts.get(group, '{:.1f}'),
                                     face=face)

@@ -32,9 +32,11 @@ class _Lock:
 
     def __enter__(self):
         t0 = time.time()
+        self._token = '{}-{}'.format(os.getpid(), time.monotonic_ns())
         while True:
             try:
                 self._fd = os.open(self.path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(self._fd, self._token.encode())
                 return self
             except FileExistsError:
                 if time.time() - t0 > self.timeout:
@@ -53,9 +55,14 @@ class _Lock:
     def __exit__(self, *a):
         if self._fd is not None:
             os.close(self._fd)
+        # only unlink a lock file we still own: if OUR stale lock was broken
+        # and another process acquired, its live lock must survive our exit
         try:
+            with open(self.path) as f:
+                if f.read() != self._token:
+                    return
             os.unlink(self.path)
-        except FileNotFoundError:
+        except (FileNotFoundError, OSError):
             pass
 
 

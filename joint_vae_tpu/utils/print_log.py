@@ -108,8 +108,11 @@ class EpochOutput:
         groups = self._groups(losses, metrics, accuracy, fpr)
         lead = self._lead(preambule, epoch, epochs, i, per_epoch)
 
-        # header block when the column set changes (ref last_row check)
-        signature = (preambule, tuple((g, tuple(d)) for g, d in groups))
+        # header block when the column set changes (ref last_row check);
+        # the time column's presence is part of the set — a row growing an
+        # 'im/s' cell must reprint the header
+        signature = (preambule, time_per_i > 0,
+                     tuple((g, tuple(d)) for g, d in groups))
         header = None
         if signature != self._signature:
             self._signature = signature
@@ -161,7 +164,11 @@ def set_log(verbose: int = 0, debug: bool = False, log_dir: Optional[str] = None
                                          else logging.WARNING)
     root = logging.getLogger()
     root.setLevel(level)
-    if not any(isinstance(h, logging.StreamHandler) for h in root.handlers):
+    # FileHandler subclasses StreamHandler — the console guard must not be
+    # satisfied by an existing file handler
+    if not any(isinstance(h, logging.StreamHandler)
+               and not isinstance(h, logging.FileHandler)
+               for h in root.handlers):
         h = logging.StreamHandler()
         h.setFormatter(logging.Formatter(
             '[%(levelname).1s %(asctime)s %(name)s] %(message)s', '%H:%M:%S'))
@@ -170,10 +177,16 @@ def set_log(verbose: int = 0, debug: bool = False, log_dir: Optional[str] = None
         os.makedirs(log_dir, exist_ok=True)
         fname = '{}{}.log'.format(name, '-{}'.format(job_number)
                                   if job_number is not None else '')
-        fh = logging.handlers.RotatingFileHandler(
-            os.path.join(log_dir, fname), maxBytes=2 ** 20, backupCount=3)
-        fh.setFormatter(logging.Formatter(
-            '[%(levelname).1s %(asctime)s] %(message)s'))
-        root.addHandler(fh)
+        fpath = os.path.abspath(os.path.join(log_dir, fname))
+        # idempotent: a second set_log with the same target must not
+        # duplicate every record in the .log
+        if not any(isinstance(h, logging.FileHandler)
+                   and getattr(h, 'baseFilename', None) == fpath
+                   for h in root.handlers):
+            fh = logging.handlers.RotatingFileHandler(
+                fpath, maxBytes=2 ** 20, backupCount=3)
+            fh.setFormatter(logging.Formatter(
+                '[%(levelname).1s %(asctime)s] %(message)s'))
+            root.addHandler(fh)
     return root
 

@@ -91,14 +91,17 @@ def main():
             kw['near'] = near
         return MixtureDataset(mix=parts, length=512, **kw)
 
+    ft_epochs = int(os.environ.get('JVT_WIM_FT_EPOCHS', 1))
+    alpha0 = float(os.environ.get('JVT_WIM_ALPHA', 0.3))
     conditions = [
-        ('A uniform-pure',    {'noise': 1.0},             0.3),
-        ('B uniform-mixed',   {'noise': 0.5, 'ind': 0.5}, 0.3),
-        ('C ind-control',     {'ind': 1.0},               0.3),
-        ('D heldout-pure',    {'near': 1.0},              0.3),
-        ('A+ uniform alpha1', {'noise': 1.0},             1.0),
-        ('A- uniform alpha.1', {'noise': 1.0},            0.1),
+        ('A uniform-pure',  {'noise': 1.0},             alpha0),
+        ('B uniform-mixed', {'noise': 0.5, 'ind': 0.5}, alpha0),
+        ('C ind-control',   {'ind': 1.0},               alpha0),
+        ('D heldout-pure',  {'near': 1.0},              alpha0),
     ]
+    if os.environ.get('JVT_WIM_ALPHA_SWEEP', '1') == '1':
+        conditions += [('A+ uniform alpha1', {'noise': 1.0}, 1.0),
+                       ('A- uniform alpha.1', {'noise': 1.0}, 0.1)]
 
     results = {}
     for name, mix_named, alpha in conditions:
@@ -109,8 +112,9 @@ def main():
         wim.set_alternate_prior(init_mean=6.0, num_priors=1,
                                 key=jax.random.PRNGKey(7))
         finetune(wim, tr, moving(mix_named), te, oodsets,
-                 epochs=1, alpha=alpha, train_size=ft_size, batch_size=128,
-                 test_batch_size=512, ood_methods=METHODS, seed=0)
+                 epochs=ft_epochs, alpha=alpha, train_size=ft_size,
+                 batch_size=128, test_batch_size=512, ood_methods=METHODS,
+                 seed=0)
         post = j.ood_results[j.trained]
         row = {s: {m: round(v['auc'], 4) for m, v in ms.items()}
                for s, ms in post.items()}
@@ -123,7 +127,8 @@ def main():
 
     report = {
         'setting': '{} vae beta=0.05 K=64, {} pretrain epochs; '
-                   '1 ft epoch, moving length 512'.format(ind_name, epochs),
+                   '{} ft epoch(s), moving length 512'.format(
+                       ind_name, epochs, ft_epochs),
         'ood_sets': {'near (unseen unless D)': 'shapes32+8+9',
                      'noise (seen by A/B)': 'uniform32',
                      'far (never seen)': 'const32'},
@@ -134,7 +139,8 @@ def main():
         'backend': jax.default_backend(),
     }
     out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), 'docs', 'WIM_STUDY.json')
+        os.path.abspath(__file__))), 'docs',
+        os.environ.get('JVT_WIM_OUT', 'WIM_STUDY.json'))
     with open(out, 'w') as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report))

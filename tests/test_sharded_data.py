@@ -19,11 +19,23 @@ def _ds(n=64):
 
 
 def test_process_shard_partition():
+    # every process must get EXACTLY the same shard size: the dataset
+    # remainder is dropped (a bigger last shard could yield one more batch
+    # there and hang the pod's collectives mid-epoch)
     ds = _ds(10)
     shards = [process_shard(ds, i, 3) for i in range(3)]
-    assert [len(s) for s in shards] == [3, 3, 4]
+    assert [len(s) for s in shards] == [3, 3, 3]
     all_rows = np.concatenate([s.data for s in shards])
-    np.testing.assert_array_equal(all_rows, ds.data)
+    np.testing.assert_array_equal(all_rows, ds.data[:9])
+
+
+def test_process_shard_equal_batch_counts():
+    # n=317, 4 procs, local batch 16: every process sees floor(79/16)=4
+    # batches — the remainder must never create a 5th on the last process
+    ds = _ds(317)
+    shards = [process_shard(ds, i, 4) for i in range(4)]
+    assert len({len(s) for s in shards}) == 1
+    assert all(len(s) // 16 == len(shards[0]) // 16 for s in shards)
 
 
 def test_global_batch_sharded_over_data():
