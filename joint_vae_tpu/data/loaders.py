@@ -642,8 +642,11 @@ class DataLoader:
                 try:
                     from .native import NativeBatcher, available
                     if available():
-                        crop = 4 if any(a.startswith('crop')
-                                        for a in self.augmentation) else 0
+                        # same pad as the numpy path / the reference:
+                        # size//8 with edge mode (ref torch_load.py:409-412)
+                        crop = (max(dataset.data.shape[-2] // 8, 1)
+                                if any(a.startswith('crop')
+                                       for a in self.augmentation) else 0)
                         flip = any(a.startswith(('flip', 'hflip'))
                                    for a in self.augmentation)
                         self._native = NativeBatcher(

@@ -93,6 +93,7 @@ class NativeBatcher:
         if lib is None:
             raise RuntimeError('native batcher not available')
         self._lib = lib
+        self.crop_pad = int(crop_pad)
         # keep references: the native side does not copy
         is_u8 = np.asarray(data).dtype == np.uint8
         self._data = np.ascontiguousarray(data,

@@ -30,7 +30,7 @@ from ..models.cvnet import CVNet
 from ..models.evaluate import evaluate
 from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
 from ..ops.scores import (batch_dist_measures, develop_starred_methods,
-                          predict_after_evaluate)
+                          predict_after_evaluate, strip_roc_suffix)
 from ..save_load.dictify import needed_components
 from ..save_load.jobs import Job
 from ..save_load.recorders import (LossRecorder, find_record,
@@ -42,6 +42,14 @@ KEPT_TPR = DEFAULT_KEPT_TPR
 
 def _epoch_of(job: Job, epoch):
     return job.trained if epoch in (None, 'last') else int(epoch)
+
+
+def _is_wim_method(m: str) -> bool:
+    """'~'/'@'-suffixed methods need the WIM twin recordings (alternate
+    prior losses / estimated labels, ref ft/wim.py) — a plain evaluate
+    cannot produce them, so they are recorder/json-tier only."""
+    b = strip_roc_suffix(m)
+    return bool(b) and b[-1] in '~@'
 
 
 def _sample_dir(job: Job, epoch: int) -> Optional[str]:
@@ -240,6 +248,7 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                         epoch='last',
                         update_self_ood: bool = True,
                         recording: bool = True,
+                        record_dir: Optional[str] = None,
                         from_where: Sequence[str] = ('json', 'recorders',
                                                      'compute'),
                         key: Optional[jax.Array] = None,
@@ -314,6 +323,10 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
                     and loaded.recorded_samples >= n_wanted(s)
                     and all(c in loaded for c in needed_components(m))):
                 from_rec.append(m)
+            elif _is_wim_method(m):
+                logging.warning(
+                    "method %s needs WIM twin recordings absent for %s — "
+                    'skipped (the ft flow records them)', m, s.name)
             else:
                 residue.append(m)
         if from_rec:
@@ -330,8 +343,11 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
             job.model, job.state.sigma_state, has_odin, union, mesh=mesh)
         for s, ms in to_compute:
             rec = None
-            rec_path = (os.path.join(sdir, record_filename(s.name))
-                        if sdir else None)
+            # record_dir redirects fresh recordings (the WIM pre-tuning
+            # baseline writes samples/<epoch>/init/, ref ft/job.py:302-313)
+            wdir = record_dir or sdir
+            rec_path = (os.path.join(wdir, record_filename(s.name))
+                        if wdir else None)
             if recording and rec_path:
                 rec = LossRecorder(batch_size)
                 rec.init_seed_for_dataloader(0)
@@ -580,6 +596,15 @@ def misclassification_detection_rates(job: Job,
     else:
         if testset is None:
             _, testset = get_dataset(name, splits=['test'])
+        # WIM twin methods are recorder-only (see _is_wim_method)
+        fresh = [m for m in mms if not _is_wim_method(m)]
+        for m in mms:
+            if _is_wim_method(m):
+                logging.warning('misclass method %s needs WIM twin '
+                                'recordings — skipped', m)
+        mms = fresh
+        if not mms:
+            return {}
         has_odin = any(m.startswith('odin') for m in mms)
         eval_batch, eval_scan, odin = _make_eval_fn(
             job.model, job.state.sigma_state, has_odin, mms)
@@ -587,13 +612,19 @@ def misclassification_detection_rates(job: Job,
         key = key if key is not None else jax.random.PRNGKey(epoch + 2)
         _collect_scores(job, testset, list(mms), batch_size, rec,
                         eval_batch, eval_scan, odin, key, num_batch)
+        # persist the fresh recording even when no prior record file
+        # existed (find_record only returns pre-existing files)
+        if rec_path is None and sdir:
+            rec_path = os.path.join(sdir, record_filename(name))
         if rec_path:
             _save_recorder(rec, rec_path)
 
     losses, logits, y = _recorder_tensors(rec)
 
     mms_avail = [m for m in mms
-                 if not m.startswith('odin') or m in rec]
+                 if (not m.startswith('odin') or m in rec)
+                 and (not _is_wim_method(m)
+                      or all(c in rec for c in needed_components(m)))]
     ms = batch_dist_measures(cfg, logits, losses, mms_avail)
     results = {}
     for pm in pms:

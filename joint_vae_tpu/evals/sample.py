@@ -98,15 +98,26 @@ def generation_grid(job: Job, n_per_class: int = 8, key=None,
     params = job.state.params['prior']
     mean = np.asarray(params['mean'])          # (P, K)
     P = mean.shape[0] if (prior_cfg.conditional and use_class_means) else 1
-    eps = jax.random.normal(key, (P, n_per_class, cfg.latent_dim))
-    # scalar/diag prior scale = 1 / var_param
-    vp = np.asarray(params['var_param'])
+    eps = np.asarray(jax.random.normal(key, (P, n_per_class, cfg.latent_dim)),
+                     np.float32)
+    # var_param is the INVERSE scale (ops/priors.py: 1/sigma for scalar/
+    # diag, inverse Cholesky T for full; density ~ exp(-||T u||^2 / 2)) —
+    # sampling applies its inverse to eps for every var_dim
+    K = cfg.latent_dim
+    vp = np.asarray(params['var_param'], np.float32)
     if prior_cfg.var_dim == 'scalar':
-        scale = 1.0 / np.maximum(vp.reshape(-1, 1, 1)[:P] if vp.ndim else vp,
-                                 1e-6)
-    else:
-        scale = 1.0
-    z = jnp.asarray(mean[:P, None] + scale * np.asarray(eps))
+        inv = np.maximum(np.abs(vp).reshape(-1), 1e-6)
+        s = inv[:P] if inv.shape[0] >= P else np.full(P, inv[0])
+        u = eps / s[:, None, None]
+    elif prior_cfg.var_dim == 'diag':
+        d = np.maximum(np.abs(vp).reshape(-1, K), 1e-6)
+        d = d[:P] if d.shape[0] >= P else np.broadcast_to(d[0], (P, K))
+        u = eps / d[:, None, :]
+    else:                                      # full: u = T^{-1} eps
+        t = np.tril(vp.reshape(-1, K, K))
+        t = t[:P] if t.shape[0] >= P else np.broadcast_to(t[0], (P, K, K))
+        u = np.stack([np.linalg.solve(t[p], eps[p].T).T for p in range(P)])
+    z = jnp.asarray(mean[:P, None] + u)
     x = job.model.apply(job.state.variables, z.reshape(-1, cfg.latent_dim),
                         method=lambda mdl, zz: mdl.decode(zz))
     x = np.asarray(x.astype(jnp.float32))

@@ -108,7 +108,9 @@ class WIMArray:
                               kept_tpr=DEFAULT_KEPT_TPR,
                               two_sided=two_sided_from_method(m))
                 results[s][m] = {
-                    'n': int(ind_scores[m].shape[0]),
+                    # 'n' counts OOD samples everywhere (engines.py json
+                    # tier compares it against the oodset size)
+                    'n': int(np.asarray(scores[m]).shape[0]),
                     'auc': float(r['auc']),
                     'tpr': [float(t) for t in DEFAULT_KEPT_TPR],
                     'fpr': np.asarray(r['fpr']).tolist(),

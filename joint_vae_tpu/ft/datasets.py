@@ -44,6 +44,10 @@ class SubSampledDataset(ArrayDataset):
         rng = np.random.default_rng(self._seed)
         perm = rng.permutation(self.maxlength)
         L, t = self._length, self._task
+        if L == 0:
+            # empty subset; the complement is also truncated to L (= empty),
+            # and array_split(perm, 0) would raise in the stratified branch
+            return perm[:0]
         if t is None:
             # stratified: one sample per bundle (ref ft/datasets.py:87-92)
             bundles = np.array_split(perm, L)
@@ -115,13 +119,17 @@ class MixtureDataset(ArrayDataset):
         self.mix = {n: float(r) for n, r in zip(names, ratios)}
 
     def bar(self, b: bool = True):
+        # labels must stay the component's index in component_names (the
+        # __init__ convention) — enumerating the surviving _components
+        # would shift every label after a dropped (ratio 0) component
         for c in self._components.values():
             c.bar(b)
         parts = [c.data for c in self._components.values()]
-        labels = [np.full(len(c), i, np.int32)
-                  for i, c in enumerate(self._components.values())]
-        data = np.concatenate(parts)
-        y = np.concatenate(labels)
+        labels = [np.full(len(c), self.component_names.index(n), np.int32)
+                  for n, c in self._components.items()]
+        data = (np.concatenate(parts) if parts
+                else np.zeros((0, 1, 1, 1), np.float32))
+        y = np.concatenate(labels) if labels else np.zeros((0,), np.int32)
         rng = np.random.default_rng((self._seed, 17))
         order = rng.permutation(len(data))
         self.data, self.targets = data[order], y[order]

@@ -155,11 +155,16 @@ def finetune(wim: WIMJob,
         init_dir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch0),
                                 'init')
         os.makedirs(init_dir, exist_ok=True)
+        # fresh compute + recorders into init/ — the array layer merges
+        # these 'pre-' records across jobs (ft/array.py merge_recorders
+        # with init=True; ref WIM arrays' pre-tuning records)
         pre = ood_detection_rates(job, testset, list(oodsets),
                                   batch_size=test_batch_size,
                                   method=[m for m in methods
                                           if not is_wim_method(m)],
-                                  update_self_ood=False, recording=False)
+                                  update_self_ood=False, recording=True,
+                                  record_dir=init_dir,
+                                  from_where=('compute',))
         from ..save_load.checkpoint import save_json
         save_json(pre, os.path.join(init_dir, 'ood.json'))
 

@@ -99,18 +99,19 @@ void assemble_one_t(const Batcher* B, int64_t src, uint64_t rng_key,
     const float is = B->inv_std.empty() ? 1.0f : B->inv_std[ch];
     for (int64_t y = 0; y < oh; ++y) {
       float* dst_row = dst_ch + y * ow;
-      const int64_t gy = y + dy;
-      if (gy < 0 || gy >= oh) {
-        for (int64_t x = 0; x < ow; ++x) dst_row[x] = -m * is;
-        continue;
-      }
+      // edge-replicated crop canvas: out-of-range coordinates clamp to the
+      // nearest edge pixel, matching the numpy path's np.pad(mode='edge')
+      // and the reference's RandomCrop(padding_mode='edge')
+      // (ref utils/torch_load.py:409-412)
+      const int64_t gy =
+          std::min<int64_t>(std::max<int64_t>(y + dy, 0), oh - 1);
       for (int64_t x = 0; x < ow; ++x) {
         const int64_t gx0 = x + dx;
-        const int64_t gx = flip ? (ow - 1 - gx0) : gx0;
+        const int64_t gxf = flip ? (ow - 1 - gx0) : gx0;
+        const int64_t gx =
+            std::min<int64_t>(std::max<int64_t>(gxf, 0), ow - 1);
         float v;
-        if (gx < 0 || gx >= ow) {
-          v = 0.0f;                              // zero-padded crop canvas
-        } else if (!resizing) {
+        if (!resizing) {
           v = load_px<T>(src_ch + gy * w, gx);
         } else {
           const float sy = gy * fy, sx = gx * fx;
