@@ -497,8 +497,7 @@ class ConvStack(nn.Module):
                 elif is_dc and pl.stride > 1:
                     f = pl.stride if (pl.stride == pack and not last) else 1
                 else:
-                    f = f if f > 1 else (
-                        pack if pack and self.where == 'input' else 1)
+                    f = f if f > 1 else 1   # input stacks never pack
             else:
                 f = 1                           # pooling/upsampler unpack
             h, w = oh, ow
@@ -578,8 +577,9 @@ class ConvStack(nn.Module):
                 else:
                     num, den, off = (1, 1, k - 1 - p) if is_dc else (s, 1, p)
                     f_in = f
-                    f_out = f if f > 1 else (
-                        pack if pack and self.where == 'input' else 1)
+                    # input stacks are never phase-packed (_packing_factor
+                    # returns 0 for where='input' — measured negative)
+                    f_out = f if f > 1 else 1
                     gf = _grouped_target()
                     cp = _c0_packed_target()
                     if f_in == 1 and f_out == 1:

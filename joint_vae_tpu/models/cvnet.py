@@ -283,6 +283,11 @@ class CVNetConfig:
             d['prior'] = build_prior_config(dim, dist, **p)
         sigma = d.pop('sigma', None)
         if isinstance(sigma, dict):
+            # copy before mutating: the caller often passes the live
+            # training_parameters['sigma'] dict (load_job), and popping
+            # 'value_' from it would drop reference-schema data from the
+            # next save
+            sigma = dict(sigma)
             sigma.pop('value_', None)
             if sigma.get('input_dim'):
                 sigma['input_dim'] = tuple(sigma['input_dim'])
@@ -445,16 +450,20 @@ class CVNet(nn.Module):
         return self.encoder(flat, y_onehot, train)
 
     def decode(self, z: jax.Array, train: bool = False,
-               native: bool = False) -> jax.Array:
+               native: bool = False,
+               bn_train: Optional[bool] = None) -> jax.Array:
         """z: (..., K) -> reconstruction (..., [256,] *input_shape).
 
         ``native=True`` (only honored by a ConvStack imager whose
         ``native_f() > 0``) returns the stack's native NHWC/packed layout —
-        see ``decode_native_f`` and ConvStack.native_f."""
+        see ``decode_native_f`` and ConvStack.native_f.  ``bn_train``
+        overrides ``train`` for the conv imager only (WIM fine-tuning
+        freezes BatchNorm but keeps MLP dropout live, ref ft/job.py:98-111)."""
         u = self.decoder(z, train)
         lead = u.shape[:-1]
+        conv_train = train if bn_train is None else bn_train
         out = self.imager(u.reshape((-1,) + tuple(self.imager_input_shape)),
-                          train, native_out=native) \
+                          conv_train, native_out=native) \
             if isinstance(self.imager, ConvStack) else self.imager(u)
         return out.reshape(lead + out.shape[1:]) \
             if isinstance(self.imager, ConvStack) else out

@@ -57,11 +57,12 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
     """Run features -> encode -> sample -> decode -> classify through a
     single bound module so BN/dropout state works; returns raw tensors.
 
-    ``bn_eval`` keeps the conv stacks in inference mode (BatchNorm running
-    averages) while the rest of the step behaves as training — the WIM
-    fine-tuning semantics (ref FTJob._recurse_train, ft/job.py:98-111)."""
+    ``bn_eval`` keeps the conv stacks' BatchNorm in inference mode (running
+    averages) while everything else — including MLP dropout — behaves as
+    training: the WIM fine-tuning semantics (ref FTJob._recurse_train,
+    ft/job.py:98-111, which flips only BatchNorm2d modules to eval)."""
     cfg = model.cfg
-    mtrain = train and not bn_eval
+    mtrain = train and not bn_eval    # conv/BN-stack flag only
 
     def run(mdl):
         t = mdl.features(x, mtrain)
@@ -70,7 +71,7 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
         y_onehot = None
         if cfg.y_is_coded:
             y_onehot = onehot_encoding(y, cfg.num_labels, cfg.dtype)
-        mu, log_var, sigma_coded = mdl.encode(t, y_onehot, mtrain)
+        mu, log_var, sigma_coded = mdl.encode(t, y_onehot, train)
         key = mdl.make_rng('sampling')
         dist = 'uniform' if cfg.prior.distribution == 'uniform' else 'gaussian'
         z, eps = reparameterize(key, mu, log_var, L, dist, sampled)
@@ -86,7 +87,8 @@ def _forward(model: CVNet, variables, x, y, *, rng, train, L, sampled,
             # callers (OOD engines) pass decode_mean=False for the same
             # saving at eval (1/17 of the decode at the default test L=16).
             x_reco = mdl.decode(z if (decode_mean and not train) else z[1:],
-                                mtrain, native=native_decode)
+                                train, native=native_decode,
+                                bn_train=mtrain)
         else:
             x_reco = x
         logits = mdl.classify(z)

@@ -8,7 +8,7 @@ without any host-side math.
 """
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ from .save_load.jobs import Job
 class Scorer:
     """Compiled inference head over a trained job.
 
-    methods: OOD score methods to emit; thresholds: {method: low} accept
+    methods: OOD score methods to emit; thresholds: {method: low or (low, up)} accept
     bounds (score >= low means in-distribution), default-calibrated from the
     newest ood_results entry at the requested TPR."""
     job: Job
@@ -44,8 +44,16 @@ class Scorer:
         pm = (self.predict_method if self.predict_method != 'default'
               else (cfg.predict_methods[0] if cfg.predict_methods else 'esty'))
         methods = self.methods
-        thr = {m: jnp.asarray(self.thresholds.get(m, -jnp.inf), jnp.float32)
-               for m in methods}
+
+        def _pair(v):
+            if isinstance(v, (tuple, list)):
+                return float(v[0]), float(v[1])
+            return float(v), float('inf')
+
+        bounds = {m: _pair(self.thresholds.get(m, float('-inf')))
+                  for m in methods}
+        lo = {m: jnp.asarray(bounds[m][0], jnp.float32) for m in methods}
+        hi = {m: jnp.asarray(bounds[m][1], jnp.float32) for m in methods}
 
         @jax.jit
         def run(variables, x, key):
@@ -68,7 +76,9 @@ class Scorer:
             conf = jnp.max(jax.nn.softmax(logits, axis=-1), axis=-1)
             in_dist = jnp.ones(x.shape[0], bool)
             for m in methods:
-                in_dist &= scores[m] >= thr[m]
+                # two-sided-calibrated methods ('-2s'/'-a-p-q') carry an
+                # upper bound too; one-sided gates have hi = +inf
+                in_dist &= (scores[m] >= lo[m]) & (scores[m] <= hi[m])
             return {'label': label, 'confidence': conf,
                     'scores': scores, 'in_distribution': in_dist}
 
@@ -93,14 +103,15 @@ def predict(job: Job, x: np.ndarray, method: str = 'default',
 
 
 def calibrated_thresholds(job: Job, methods: Sequence[str],
-                          tpr: float = 0.95) -> Dict[str, float]:
+                          tpr: float = 0.95) -> Dict[str, Tuple[float, float]]:
     """Accept thresholds at the requested kept-TPR from stored ood_results
     (lowest threshold over OOD sets = most permissive consistent gate)."""
-    out: Dict[str, float] = {}
+    out: Dict[str, Tuple[float, float]] = {}
     epochs = sorted((e for e in job.ood_results if isinstance(e, int)),
                     reverse=True)
     for m in methods:
         found: List[float] = []
+        found_up: List[float] = []
         for e in epochs:
             for s, ms in job.ood_results[e].items():
                 r = ms.get(m)
@@ -111,7 +122,11 @@ def calibrated_thresholds(job: Job, methods: Sequence[str],
                        if abs(t - tpr) < 1e-6]
                 if idx:
                     found.append(float(r['thresholds'][idx[0]]))
+                    ups = r.get('thresholds_up')
+                    found_up.append(float(ups[idx[0]]) if ups
+                                    else float('inf'))
             if found:
                 break
-        out[m] = min(found) if found else float('-inf')
+        out[m] = ((min(found), max(found_up)) if found
+                  else (float('-inf'), float('inf')))
     return out

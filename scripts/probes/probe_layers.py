@@ -6,7 +6,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from joint_vae_tpu.models.conv import _subpixel_deconv, _flipped_1x1_kernel
+from joint_vae_tpu.models.conv import (_flipped_1x1_kernel, depth_to_space,
+                                       packed_conv)
 
 B = 256
 K = 50
@@ -69,7 +70,12 @@ for tag, h, cin, cout, k, p, s, op, kind in layers:
             paths['matmul'] = lambda x_, k_: jnp.einsum(
                 'nc,hwcd->nhwd', x_[:, 0, 0, :], _flipped_1x1_kernel(k_, k, p, h_out))
         elif s > 1:
-            paths['subpixel'] = lambda x_, k_: _subpixel_deconv(x_, k_, k, p, s, op)
+            # current subpixel lowering: dense conv to s^2-packed
+            # channels + depth_to_space (models/conv.py deconv s>1 path)
+            ho = (h - 1) * s - 2 * p + k + op
+            paths['subpixel'] = (lambda x_, k_, ho=ho: depth_to_space(
+                packed_conv(x_, k_, k=k, off=k - 1 - p, num=1, den=s,
+                            f_in=1, f_out=s, h_out=ho, w_out=ho), s))
 
     for pname, f in paths.items():
         def fwd_body(c, f=f):

@@ -41,7 +41,9 @@ def test_scorer_and_thresholds():
                         method=['elbo'], recording=False)
 
     thr = calibrated_thresholds(job, ('elbo',), tpr=0.95)
-    assert np.isfinite(thr['elbo'])
+    lo, up = thr['elbo']
+    assert np.isfinite(lo)
+    assert up == float('inf')      # one-sided method: open upper bound
 
     scorer = Scorer(job, methods=('elbo',))
     out = scorer(te.data[:32])
@@ -57,7 +59,7 @@ def test_scorer_and_thresholds():
     # missing results -> -inf threshold (accept everything)
     job2 = new_job(cfg, key=jax.random.PRNGKey(1))
     thr2 = calibrated_thresholds(job2, ('elbo',))
-    assert thr2['elbo'] == float('-inf')
+    assert thr2['elbo'] == (float('-inf'), float('inf'))
 
 
 def test_recorder_mat_export(tmp_path):
