@@ -73,6 +73,10 @@ def main(argv=None):
     p = argparse.ArgumentParser(prog='jvt-ft')
     p.add_argument('job', nargs='?', type=int, help='source job number')
     p.add_argument('--job-dir', default='jobs')
+    p.add_argument('-W', '--wim-job-dir', default=None,
+                   help='root for the NEW fine-tuned job dir (default '
+                        '<job-dir>/wim; the source job is never overwritten,'
+                        ' ref ft/__main__.py:54,201-206)')
     p.add_argument('--config', default='wim-default')
     p.add_argument('--config-file', default=None)
     p.add_argument('--wim-prior', default=None,
@@ -173,6 +177,20 @@ def _job_main(args, dflt):
     job = find_by_job_number(args.job_dir, args.job, strict=False)
     if job is None:
         sys.exit('job {} not found'.format(args.job))
+    # the fine-tuned model is a NEW job with its own number under
+    # wim-job-dir (ref ft/__main__.py:113-206) — never save back into the
+    # source job's directory (that would overwrite the trained baseline's
+    # checkpoint and ood.json)
+    from ..utils.parameters import next_job_number
+    from .train import save_dir_for
+    wim_root = args.wim_job_dir or os.path.join(args.job_dir, 'wim')
+    source_number = job.job_number
+    job.job_number = next_job_number(args.job_dir)
+    job.training_parameters['from_job'] = source_number
+    job.saved_dir = save_dir_for(job, wim_root,
+                                 job.model_cfg.latent_sampling)
+    logging.info('wim job %d (from job %d) -> %s',
+                 job.job_number, source_number, job.saved_dir)
     job.ood_results = {}
     if args.lr is not None or args.weight_decay is not None:
         # a fresh adam for the fine-tune (ref ft/__main__.py:194-196);

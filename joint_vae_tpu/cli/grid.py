@@ -31,16 +31,28 @@ def expand_grid(section: Dict[str, str]) -> List[List[str]]:
     if repeat < 1:
         raise ValueError(
             'grid section repeat={} would expand to zero jobs'.format(repeat))
-    fixed, swept = {}, {}
+    fixed, swept, zipped = {}, {}, {}
     for k, v in section.items():
         k = k.replace('_', '-')
+        if '|' in v:
+            # zipped options: '|' groups advance together across all
+            # '|' keys (beta = 1e-4|1e-3 with lr = 1e-3|1e-4 yields two
+            # combos, not four); groups may hold multi-word values
+            zipped[k] = [g.strip() for g in v.split('|')]
+            continue
         vals = v.split()
         if len(vals) > 1:
             swept[k] = vals
         else:
             fixed[k] = v
+    if len({len(v) for v in zipped.values()}) > 1:
+        raise ValueError('zipped (|) options must have equal group counts: '
+                         '{}'.format({k: len(v) for k, v in zipped.items()}))
     combos = [dict(zip(swept, c))
               for c in itertools.product(*swept.values())] or [{}]
+    if zipped:
+        zgroups = [dict(zip(zipped, grp)) for grp in zip(*zipped.values())]
+        combos = [dict(c, **z) for c in combos for z in zgroups]
     argvs = []
     for combo in combos:
         argv = []
@@ -50,7 +62,7 @@ def expand_grid(section: Dict[str, str]) -> List[List[str]]:
             elif str(v).lower() == 'false':
                 continue
             else:
-                argv += ['--{}'.format(k), str(v)]
+                argv += ['--{}'.format(k)] + str(v).split()
         argvs.extend([list(argv)] * repeat)
     return argvs
 

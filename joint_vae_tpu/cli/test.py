@@ -106,6 +106,11 @@ def main(argv=None):
 
     where = ('json', 'recorders', 'compute') if args.compute \
         else ('json', 'recorders')
+    # an explicit --epoch bounds result selection by --epoch-tolerance;
+    # 'last' keeps the nearest-epoch default
+    ep_tol = args.epoch_tolerance if args.epoch != 'last' else None
+    if args.epoch != 'last' and args.epoch != 'min-loss':
+        args.epoch = int(args.epoch)
     refreshed = []
     for m in models:
         if not args.compute and not args.early_stopping:
@@ -119,7 +124,9 @@ def main(argv=None):
             continue
         if not args.compute:
             cache_early_stopping(job)
-            refreshed.append(make_dict_from_model(job, directory=m['dir']))
+            refreshed.append(make_dict_from_model(
+                job, directory=m['dir'], wanted_epoch=args.epoch,
+                epoch_tolerance=ep_tol))
             continue
         name = job.training_parameters.get('set')
         # per-method recompute: the engines resolve each (set, method) from
@@ -142,19 +149,23 @@ def main(argv=None):
         pm = 'all' if args.predict_methods is None else args.predict_methods
         om = 'all' if args.ood_methods is None else args.ood_methods
         mm = 'all' if args.misclass_methods is None else args.misclass_methods
+        ep = args.epoch
         accuracy(job, testset, batch_size=args.batch_size,
-                 num_batch=num_batch, method=pm, from_where=where)
+                 num_batch=num_batch, method=pm, epoch=ep, from_where=where)
         ood_detection_rates(job, testset, oodsets,
                             batch_size=args.batch_size, num_batch=num_batch,
-                            method=om, from_where=where)
+                            method=om, epoch=ep, from_where=where)
         misclassification_detection_rates(
             job, testset, batch_size=args.batch_size, num_batch=num_batch,
-            predict_methods=pm, misclass_methods=mm, from_where=where)
+            predict_methods=pm, misclass_methods=mm, epoch=ep,
+            from_where=where)
         from ..save_load.jobs import save_job
         save_job(job, m['dir'], save_state=False)
         if args.early_stopping:
             cache_early_stopping(job)
-        refreshed.append(make_dict_from_model(job, directory=m['dir']))
+        refreshed.append(make_dict_from_model(
+            job, directory=m['dir'], wanted_epoch=args.epoch,
+            epoch_tolerance=ep_tol))
 
     if args.export_losses:
         import os

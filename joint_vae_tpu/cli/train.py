@@ -59,6 +59,16 @@ def main(argv=None):
             sys.exit('job {} not found under {}'.format(args.resume,
                                                         args.job_dir))
         dataset = job.training_parameters['set']
+        # the job's persisted data settings win over CLI defaults on
+        # resume (ref train.py:76-122 reloads the full train params) —
+        # a job trained with --transformer pad must not silently resume
+        # on differently-shaped/normalized data
+        saved_tf = job.training_parameters.get('transformer')
+        if saved_tf and args.transformer == 'default':
+            args.transformer = saved_tf
+        saved_aug = job.training_parameters.get('data_augmentation')
+        if saved_aug and not args.data_augmentation:
+            args.data_augmentation = list(saved_aug)
         save_dir = job.saved_dir
         mark(save_dir, 'RESUMED')
         logging.info('resuming job %d from %s (%d epochs done)',
@@ -71,6 +81,7 @@ def main(argv=None):
                       job_number=jn)
         job.training_parameters.update({
             'set': args.dataset, 'transformer': args.transformer,
+            'data_augmentation': list(args.data_augmentation),
             'epochs': args.epochs, 'batch_size': args.batch_size,
             'validation': args.validation})
         if args.freeze:
@@ -123,9 +134,14 @@ def main(argv=None):
     os.makedirs(save_dir, exist_ok=True)
     outputs.add_file(os.path.join(save_dir, 'output.out'))
 
-    warmup = args.warmup if len(args.warmup) > 1 else [0, args.warmup[0]]
-    warmup_gamma = (args.warmup_gamma if len(args.warmup_gamma) > 1
-                    else [0, args.warmup_gamma[0]])
+    def _ramp(v):
+        """warmup spec -> [start, end]: [] (an empty INI line) = off."""
+        if not v:
+            return [0, 0]
+        return list(v) if len(v) > 1 else [0, v[0]]
+
+    warmup = _ramp(args.warmup)
+    warmup_gamma = _ramp(args.warmup_gamma)
 
     train_model(job, trainset, testset, oodsets,
                 epochs=args.epochs, batch_size=args.batch_size,

@@ -168,10 +168,18 @@ def load_registry_ini(conf_file: str) -> Dict[str, dict]:
         p = {'shape': tuple(int(_) for _ in p_['shape'].split())}
         classes = p_.get('classes', '')
         if p_.get('classes_from_file'):
-            p['classes_from_file'] = p_['classes_from_file']
-            with open(p_['classes_from_file']) as f:
-                p['classes'] = [' '.join(l.split()[1:]).replace('_', ' ')
-                                for l in f if not l.startswith('#')]
+            cf = p_['classes_from_file']
+            p['classes_from_file'] = cf
+            # resolve against the INI's own directory first, then the same
+            # lookup (+ blank-line guard) as the built-in registry
+            beside = os.path.join(os.path.dirname(os.path.abspath(conf_file)),
+                                  cf)
+            classes = _read_class_file(
+                beside if os.path.exists(beside) else cf)
+            if classes is None:
+                raise FileNotFoundError(
+                    'classes_from_file {} not found for [{}]'.format(cf, s))
+            p['classes'] = classes
         elif classes == '$numbers':
             p['classes'] = list(_NUMBERS)
         elif classes == '$letters':

@@ -169,7 +169,8 @@ def available_results(job: Job,
 
 def make_dict_from_model(job: Job, directory: Optional[str] = None,
                          wanted_epoch='last', tpr: float = 0.95,
-                         oodsets: Optional[Sequence[str]] = None
+                         oodsets: Optional[Sequence[str]] = None,
+                         epoch_tolerance: Optional[int] = None
                          ) -> Dict[str, Any]:
     """Flat summary dict per job (ref dictify.py:474-876).
 
@@ -360,7 +361,7 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
             d['kl'] = d['test_kl']
 
     # ---- accuracy per predict method at the closest epoch ----------------
-    epoch = _closest(job.testing, wanted_epoch)
+    epoch = _closest(job.testing, wanted_epoch, epoch_tolerance)
     if epoch is not None:
         n_tested = []
         for m, r in job.testing[epoch].items():
@@ -377,7 +378,7 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
                 d['accuracy_first'] = d['accuracy_{}'.format(first)]
 
     # ---- per-(ood set, method) grids + best-method summary ----------------
-    epoch = _closest(job.ood_results, wanted_epoch)
+    epoch = _closest(job.ood_results, wanted_epoch, epoch_tolerance)
     if epoch is not None:
         per_set_best = {}
         for s, per_method in job.ood_results[epoch].items():
@@ -426,7 +427,7 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
 
     # ---- misclassification detection per predict method -------------------
     # (ref in_out 'errors-' rows, dictify.py:574-585)
-    epoch = _closest(job.testing, wanted_epoch)
+    epoch = _closest(job.testing, wanted_epoch, epoch_tolerance)
     if epoch is not None:
         for pm, r in job.testing[epoch].items():
             if not isinstance(r, dict):
@@ -449,8 +450,11 @@ def _fpr_at(r: dict, tpr: float) -> Optional[float]:
     return None
 
 
-def _closest(results: Dict, wanted: int) -> Optional[int]:
+def _closest(results: Dict, wanted: int,
+             tolerance: Optional[int] = None) -> Optional[int]:
     epochs = [e for e in results if isinstance(e, int) and results[e]]
+    if tolerance is not None:
+        epochs = [e for e in epochs if abs(e - wanted) <= tolerance]
     if not epochs:
         return None
     return min(epochs, key=lambda e: abs(e - wanted))

@@ -66,7 +66,7 @@ class _Lock:
             pass
 
 
-def collect_models(job_dir: str, load_state: bool = False) -> List[str]:
+def collect_models(job_dir: str) -> List[str]:
     """All job directories under job_dir (contain params.json)."""
     out = []
     for root, dirs, files in os.walk(job_dir):
@@ -77,8 +77,7 @@ def collect_models(job_dir: str, load_state: bool = False) -> List[str]:
 
 
 def fetch_models(job_dir: str, flash: bool = True,
-                 filter: Optional[Callable[[Dict], bool]] = None,
-                 light: bool = True) -> List[Dict]:
+                 filter: Optional[Callable[[Dict], bool]] = None) -> List[Dict]:
     """Flat dicts of every (non-deleted) job under job_dir; ``flash`` uses
     the registry cache when fresh (ref fetch.py:181-233)."""
     reg_path = _registry_path(job_dir)

@@ -172,8 +172,12 @@ class LossRecorder:
                     last_batch_size=self.last_batch_size,
                     seed=self._seed if self._seed is not None else -1)
         # atomic: a crash mid-savez must not leave a truncated npz that
-        # poisons the 'recorders' reuse tier (same pattern as checkpoint.py)
-        tmp = path + '.tmp.npz'
+        # poisons the 'recorders' reuse tier (same pattern as checkpoint.py).
+        # The tmp name must NOT match FILE_PATTERN ('record-*.npz'), or an
+        # orphaned tmp would be picked up by loadall as a bogus set — hence
+        # the leading dot (and .npz suffix so savez doesn't append one)
+        d, base = os.path.split(path)
+        tmp = os.path.join(d, '.' + base + '.tmp.npz')
         np.savez(tmp, __meta__=np.array(list(meta.items()), dtype=object),
                  **trimmed)
         os.replace(tmp, path)
@@ -233,7 +237,7 @@ class LossRecorder:
                        for k in self._tensors})
 
     @classmethod
-    def loadall(cls, dir_path: str, *sets: str, file_name: str = 'record-{}.npz',
+    def loadall(cls, dir_path: str, *sets: str,
                 output: str = 'recorders') -> Dict[str, 'LossRecorder']:
         """Load every record file in a sample dir (ref recorders.py:176-216)."""
         out = {}

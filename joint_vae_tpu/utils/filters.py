@@ -160,7 +160,11 @@ FILTER_KEYS: Dict[str, dict] = {
     'arch_code': {'type': str},
     'features': {'type': str},
     'upsampler': {'type': str},
-    'classifier': {'type': str, 'aliases': ['classif_type']},
+    # distinct fields in the flat dict: 'classifier' is the layer-size
+    # string, 'classif_type' the head type (linear/softmax) — the
+    # reference's filters.ini also keys them separately
+    'classifier': {'type': str},
+    'classif_type': {'type': str},
     'depth': {'type': int},
     'width': {'type': int},
     'sigma': {'type': float},

@@ -11,6 +11,7 @@ import argparse
 import configparser
 import os
 import socket
+import time
 from typing import Any, Dict, List, Optional
 
 def _default_config_file() -> str:
@@ -28,19 +29,43 @@ DEFAULT_CONFIG_FILE = _default_config_file()
 
 def next_job_number(job_dir: str = 'jobs') -> int:
     """Hostname-scoped monotonically increasing job number
-    (ref utils/parameters.py:33-59)."""
+    (ref utils/parameters.py:33-59).
+
+    The read-increment-write is guarded by an O_EXCL lock file so
+    concurrent launches (SLURM-array style) never share a number."""
     os.makedirs(job_dir, exist_ok=True)
     path = os.path.join(job_dir, 'number-{}'.format(socket.gethostname()))
-    n = 0
-    if os.path.exists(path):
-        with open(path) as f:
-            try:
-                n = int(f.read().strip() or 0)
-            except ValueError:
-                n = 0
-    with open(path, 'w') as f:
-        f.write(str(n + 1))
-    return n + 1
+    lock = path + '.lock'
+    t0 = time.time()
+    fd = None
+    while fd is None:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            if time.time() - t0 > 10.0:      # break a stale lock
+                try:
+                    os.unlink(lock)
+                except FileNotFoundError:
+                    pass
+                t0 = time.time()
+            time.sleep(0.02)
+    try:
+        n = 0
+        if os.path.exists(path):
+            with open(path) as f:
+                try:
+                    n = int(f.read().strip() or 0)
+                except ValueError:
+                    n = 0
+        with open(path, 'w') as f:
+            f.write(str(n + 1))
+        return n + 1
+    finally:
+        os.close(fd)
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
 
 
 def _parse_value(s: str):

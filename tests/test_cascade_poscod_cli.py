@@ -41,8 +41,13 @@ def test_poscod_cli(job_dir, capsys):
     assert rc == 0
     out = capsys.readouterr().out
     assert 'poscod llr vs fashion' in out
-    from joint_vae_tpu.save_load.fetch import find_by_job_number
-    j = find_by_job_number(job_dir, 1, load_state=False)
+    # the fine-tuned head is a NEW job under <job-dir>/wim; the source
+    # job's results are untouched
+    from joint_vae_tpu.save_load.fetch import collect_models
+    from joint_vae_tpu.save_load.jobs import load_job
+    dirs = collect_models(os.path.join(job_dir, 'wim'))
+    assert dirs
+    j = load_job(dirs[0], load_state=False)
     assert 'llr' in j.ood_results[j.trained]['fashion']
 
 

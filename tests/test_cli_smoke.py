@@ -93,26 +93,41 @@ def test_aggregate_cli_combos(job_dir, capsys):
     assert accs['1+1'] == accs['1']
 
 
+def _wim_dirs(job_dir):
+    from joint_vae_tpu.save_load.fetch import collect_models
+    return collect_models(os.path.join(job_dir, 'wim'))
+
+
 def test_ft_cli(job_dir, capsys):
     from joint_vae_tpu.cli.ft import main
+    from joint_vae_tpu.save_load.fetch import find_by_job_number
+    src_before = find_by_job_number(job_dir, 1, load_state=False)
+    state_path = os.path.join(src_before.saved_dir, 'state.npz')
+    state_bytes = open(state_path, 'rb').read()
     rc = main(['1', '--job-dir', job_dir, '--epochs', '1',
                '--moving-size', '64', '--train-size', '64',
                '--batch-size', '32', '--test-batch-size', '32',
                '--oodsets', 'fashion'])
     assert rc == 0
-    # wim params persisted into the job
-    from joint_vae_tpu.save_load.fetch import find_by_job_number
-    job = find_by_job_number(job_dir, 1, load_state=False)
-    assert 'wim' in job.training_parameters
+    # the fine-tuned model is a NEW job under <job-dir>/wim — the source
+    # job's checkpoint and parameters are untouched (ref ft/__main__.py)
+    src = find_by_job_number(job_dir, 1, load_state=False)
+    assert 'wim' not in src.training_parameters
+    assert open(state_path, 'rb').read() == state_bytes
+    from joint_vae_tpu.save_load.jobs import load_job
+    dirs = _wim_dirs(job_dir)
+    assert len(dirs) == 1
+    wim_job = load_job(dirs[0], load_state=False)
+    assert 'wim' in wim_job.training_parameters
+    assert wim_job.training_parameters['from_job'] == 1
+    assert wim_job.job_number != 1
 
 
 def test_ft_array_cli(job_dir, tmp_path, capsys):
-    """Array aggregation over the WIM job registered from test_ft_cli."""
-    from joint_vae_tpu.save_load.fetch import find_by_job_number
-    job = find_by_job_number(job_dir, 1, load_state=False)
+    """Array aggregation over the WIM job written by test_ft_cli."""
     arr_dir = str(tmp_path / 'array')
     from joint_vae_tpu.cli.ft import main
-    rc = main(['--array', arr_dir, '--register', job.saved_dir,
+    rc = main(['--array', arr_dir, '--register', _wim_dirs(job_dir)[0],
                '--oodsets', 'fashion', '--job-dir', job_dir])
     assert rc == 0
     from joint_vae_tpu.save_load.checkpoint import load_json
