@@ -240,7 +240,7 @@ def get_args(argv: Optional[List[str]] = None, what: str = 'train'):
 
 def model_config_from_args(args) -> 'CVNetConfig':
     from ..models.cvnet import CVNetConfig
-    from ..ops.priors import PriorConfig, build_prior_config
+    from ..ops.priors import build_prior_config
     from ..ops.sigma import SigmaConfig
     from ..data.registry import get_shape_by_name
 
