@@ -67,9 +67,12 @@ def main(argv=None):
     p.add_argument('--sets-to-exclude', nargs='*', default=[],
                    help='OOD companions to skip in --ood/--record '
                         '(ref results/aggregation.py:33)')
-    p.add_argument('--ood', action='store_true')
-    p.add_argument('--batch-size', type=int, default=256)
-    p.add_argument('--dataset-size', type=int, default=None)
+    p.add_argument('--ood', action='store_true', default=True,
+                   help='(on by default, like the reference)')
+    p.add_argument('--no-ood', action='store_false', dest='ood',
+                   help='skip the ensemble OOD pass (ref aggregation.py:135)')
+    p.add_argument('--batch-size', '-M', type=int, default=256)
+    p.add_argument('--dataset-size', '-N', type=int, default=None)
     p.add_argument('--record', action='store_true',
                    help='record per-sample Im-{T} tensors per set into '
                         '<job-dir>/<set>/<j1|j2>/record-<set>.npz '
@@ -78,10 +81,11 @@ def main(argv=None):
     p.add_argument('-T', '--temps', nargs='*', type=float,
                    default=[1.0, 2.0, 5.0])
     p.add_argument('-v', '--verbose', action='count', default=0)
+    p.add_argument('--debug', action='store_true')
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
-    set_log(args.verbose)
+    set_log(args.verbose, args.debug)
 
     jobs = []
     for n in args.jobs:

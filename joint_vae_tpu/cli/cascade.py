@@ -26,11 +26,28 @@ from . import add_platform_arg, apply_platform
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog='jvt-cascade')
-    p.add_argument('jobs', nargs='+', type=int)
+    p.add_argument('jobs', nargs='*', type=int)
+    p.add_argument('--jobs', '-j', dest='jobs_flag', nargs='+', type=int,
+                   default=[], help="the reference's flag spelling of the "
+                                    'job list (module/cascad.py:207)')
     p.add_argument('--job-dir', default='jobs')
-    p.add_argument('-N', type=int, default=512)
+    p.add_argument('-N', type=int, default=None,
+                   help='total samples (default: batch-size x num-batch '
+                        'capped to the set)')
+    p.add_argument('--batch-size', type=int, default=512)
+    p.add_argument('--num-batch', type=int, default=1,
+                   help='with --batch-size, sets -N (ref cascad.py:218-219)')
+    p.add_argument('--when', default='last',
+                   help='(accepted for reference compatibility; stages '
+                        'always evaluate the loaded checkpoint)')
     p.add_argument('--seed', type=int, default=0)
-    p.add_argument('--out', default=None)
+    p.add_argument('--out', '--cascad-job-dir', default=None)
+    p.add_argument('--tex', nargs='?', default=None, const='/tmp/r.tex',
+                   help='write the per-stage table as LaTeX (ref '
+                        'cascad.py:212)')
+    p.add_argument('--saved-samples-per-batch', type=int, default=None,
+                   help='(accepted for reference compatibility; --record '
+                        'stores whole-batch tensors)')
     p.add_argument('--record', action='store_true',
                    help='record per-sample latent-agreement Im-<T> tensors '
                         'for every consecutive stage pair, stacked on a '
@@ -41,10 +58,17 @@ def main(argv=None):
     p.add_argument('-T', '--temps', nargs='*', type=float,
                    default=[1.0, 2.0, 5.0])
     p.add_argument('-v', '--verbose', action='count', default=0)
+    p.add_argument('--debug', action='store_true')
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
-    set_log(args.verbose)
+    set_log(args.verbose, args.debug)
+
+    args.jobs = list(args.jobs) + list(args.jobs_flag)
+    if not args.jobs:
+        sys.exit('no jobs given (positional or --jobs)')
+    if args.N is None:
+        args.N = args.batch_size * args.num_batch
 
     jobs = []
     for n in args.jobs:
@@ -85,6 +109,22 @@ def main(argv=None):
         acc_it = float((it.argmax(0) == y).mean())
         report['iterated_accuracy'] = acc_it
         print('bayes-iterated accuracy: {:.2%}'.format(acc_it))
+
+    if args.tex:
+        os.makedirs(os.path.dirname(args.tex) or '.', exist_ok=True)
+        with open(args.tex, 'w') as f:
+            f.write('% cascade {} on {} (n={})\n'.format(
+                '-'.join(map(str, args.jobs)), name, len(x)))
+            f.write('\\begin{tabular}{rrrr}\n\\toprule\n')
+            f.write('stage & job & total & acc \\\\\n\\midrule\n')
+            for i, entry in enumerate(report['stages']):
+                acc = entry.get('accuracy')
+                f.write('{} & {} & {:.4f} & {} \\\\\n'.format(
+                    i, entry['job'], entry['mean_losses']['total'],
+                    '{:.2%}'.format(acc).replace('%', '\\%')
+                    if acc is not None else '--'))
+            f.write('\\bottomrule\n\\end{tabular}\n')
+        print('tex table written to {}'.format(args.tex))
 
     out = args.out or (os.path.join(jobs[0].saved_dir, 'samples', 'cascade')
                        if jobs[0].saved_dir else 'cascade')

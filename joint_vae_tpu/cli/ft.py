@@ -72,26 +72,34 @@ def _run_poscod(args, job, dflt):
 def main(argv=None):
     p = argparse.ArgumentParser(prog='jvt-ft')
     p.add_argument('job', nargs='?', type=int, help='source job number')
-    p.add_argument('--job-dir', default='jobs')
+    p.add_argument('--job-dir', '-J', '--source-job-dir', default='jobs')
+    p.add_argument('--job-number', '-j', type=int, default=0,
+                   help='explicit number for the NEW wim job '
+                        '(ref ft/__main__.py:30)')
+    p.add_argument('--args-from-file', nargs=2, metavar=('FILE', 'INDEX'),
+                   default=None,
+                   help='read the INDEX-th line of FILE as the argument '
+                        'list (SLURM-array pattern, ref ft/__main__.py:91-95)')
     p.add_argument('-W', '--wim-job-dir', default=None,
                    help='root for the NEW fine-tuned job dir (default '
                         '<job-dir>/wim; the source job is never overwritten,'
                         ' ref ft/__main__.py:54,201-206)')
     p.add_argument('--config', default='wim-default')
     p.add_argument('--config-file', default=None)
-    p.add_argument('--wim-prior', default=None,
+    p.add_argument('--wim-prior', '--prior', default=None,
                    choices=['gaussian', 'tilted', 'uniform'])
-    p.add_argument('--wim-mean', type=float, default=None)
-    p.add_argument('--wim-tau', type=float, default=None)
+    p.add_argument('--wim-mean', '--prior-means', type=float, default=None)
+    p.add_argument('--wim-tau', '--tau', type=float, default=None)
     p.add_argument('--alpha', type=float, default=None)
     p.add_argument('--epochs', type=int, default=None)
-    p.add_argument('--train-size', type=int, default=None)
-    p.add_argument('--moving-size', type=int, default=None)
+    p.add_argument('--train-size', '-N', type=int, default=None)
+    p.add_argument('--moving-size', '-n', type=int, default=None)
     p.add_argument('--mix', type=float, default=None, help='ood mix ratio')
-    p.add_argument('--padding', type=float, default=0.0)
-    p.add_argument('--mix-padding', type=float, default=0.0)
+    p.add_argument('--padding', type=float, nargs='?', const=1.0, default=0.0)
+    p.add_argument('--mix-padding', type=float, nargs='?', const=1.0,
+                   default=0.0)
     p.add_argument('--padding-sets', nargs='*', default=[])
-    p.add_argument('--oodsets', nargs='*', default=None)
+    p.add_argument('--oodsets', '--wim-sets', nargs='*', default=None)
     p.add_argument('--batch-size', type=int, default=64)
     p.add_argument('--test-batch-size', type=int, default=256)
     p.add_argument('--inspection', action='store_true',
@@ -102,19 +110,44 @@ def main(argv=None):
                    help='fine-tune with a fresh adam at this lr instead of '
                         "the source job's optimizer (ref ft/__main__.py:194)")
     p.add_argument('--weight-decay', type=float, default=None)
-    p.add_argument('--seed', type=int, default=0)
-    p.add_argument('--task', type=int, default=0, help='array task index')
-    p.add_argument('--array', default=None, help='array dir (aggregation)')
+    p.add_argument('--seed', '-S', '--sampling-seed', type=int, default=None,
+                   help='sampling seed (default: source job number + 7, '
+                        'ref ft/__main__.py:160-161)')
+    p.add_argument('--task', '-T', '--sampling-task', type=int, default=0,
+                   help='array task index')
+    p.add_argument('--sampling-task-shift', type=int, default=0,
+                   help='added to --task (SLURM offset arrays, '
+                        'ref ft/__main__.py:87)')
+    p.add_argument('--array', '-A', '--array-job-dir', default=None,
+                   help='array dir (aggregation)')
+    p.add_argument('--do-not-collect-jobs', action='store_false',
+                   dest='collect_jobs',
+                   help='(accepted for reference compatibility; array '
+                        'registration is explicit via --register here)')
     p.add_argument('--register', nargs='*', default=[],
                    help='job dirs to register into --array')
     p.add_argument('--poscod', action='store_true',
                    help='train a frozen-net 1-logit OOD head instead of WIM '
                         '(ref ft/poscod.py)')
     p.add_argument('-v', '--verbose', action='count', default=0)
+    p.add_argument('--debug', action='store_true')
     add_platform_arg(p)
     args = p.parse_args(argv)
+    if args.args_from_file:
+        # the INDEX-th line of FILE replaces the CLI (ref ft/__main__.py:91-95)
+        path, idx = args.args_from_file
+        with open(path) as f:
+            lines = [ln.strip() for ln in f if ln.strip()
+                     and not ln.lstrip().startswith('#')]
+        line = lines[int(idx)]
+        logging.info('Args from file: %s', line)
+        args = p.parse_args(line.split(), namespace=args)
+    args.task += args.sampling_task_shift
     apply_platform(args)
-    set_log(args.verbose)
+    set_log(args.verbose, args.debug)
+    if args.seed is None:
+        # ref ft/__main__.py:160-161: sampling seed defaults to job# + 7
+        args.seed = (args.job or 0) + 7
 
     try:
         defaults = load_config_section(args.config_file, args.config)
@@ -185,7 +218,7 @@ def _job_main(args, dflt):
     from .train import save_dir_for
     wim_root = args.wim_job_dir or os.path.join(args.job_dir, 'wim')
     source_number = job.job_number
-    job.job_number = next_job_number(args.job_dir)
+    job.job_number = args.job_number or next_job_number(args.job_dir)
     job.training_parameters['from_job'] = source_number
     job.saved_dir = save_dir_for(job, wim_root,
                                  job.model_cfg.latent_sampling)
@@ -242,6 +275,16 @@ def _job_main(args, dflt):
                  batch_size=args.batch_size,
                  test_batch_size=args.test_batch_size,
                  save_dir=job.saved_dir, seed=args.seed)
+    # moving-set composition into the persisted wim params so the flat
+    # dict's wim_sets/wim_mix/wim_padding filters resolve (ref filters.ini
+    # wim_* keys; dictify reads tp['wim'])
+    job.training_parameters.setdefault('wim', {}).update(
+        sets=list(ood_names), mix=float(dflt('mix', 0.5)),
+        padding=args.padding, mix_padding=args.mix_padding,
+        padding_dataset='-'.join(args.padding_sets) or None)
+    if job.saved_dir:
+        from ..save_load.jobs import save_job
+        save_job(job, job.saved_dir, save_state=False)
     logging.info('wim results: %s', job.ood_results.get(job.trained, {}))
 
     if args.inspection and job.saved_dir:

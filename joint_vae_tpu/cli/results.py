@@ -236,35 +236,72 @@ def comparison_table(cp: configparser.ConfigParser, models: List[Dict],
 
 def main(argv=None):
     p = argparse.ArgumentParser(prog='jvt-results')
-    p.add_argument('config', help='results INI file')
+    p.add_argument('configs', nargs='+', metavar='config',
+                   help='results INI file(s) (ref results/__main__.py:437)')
     p.add_argument('--job-dir', default='jobs')
-    p.add_argument('--out-dir', default=None)
+    p.add_argument('--out-dir', '--result-dir', default=None)
+    p.add_argument('--which', '-c', nargs='*', default=['all'],
+                   help='restrict to these INI sections (ref --which)')
+    p.add_argument('--tpr', type=int, default=None,
+                   help='default kept-TPR percent for sections without a '
+                        'tpr option (ref results/__main__.py:434)')
+    p.add_argument('--register', dest='flash', action='store_false',
+                   help='rebuild the model registry cache (ref --register)')
+    p.add_argument('-q', action='store_false', dest='show_dfs',
+                   help='quiet: write files only (ref results/__main__.py)')
+    p.add_argument('--texify', default=None,
+                   help='(accepted for reference compatibility; table '
+                        'styling is built in here)')
+    p.add_argument('--filters-file', default=None,
+                   help='(accepted for reference compatibility; the filter-'
+                        'key schema is built in here)')
+    p.add_argument('--auc', action='store_true',
+                   help='(accepted for reference compatibility; auc columns '
+                        'are always included)')
     p.add_argument('-v', '--verbose', action='count', default=0)
+    p.add_argument('--debug', action='store_true')
     add_platform_arg(p)
     args = p.parse_args(argv)
     apply_platform(args)
-    set_log(args.verbose)
+    set_log(args.verbose, args.debug)
+    if args.texify or args.filters_file:
+        import logging
+        logging.warning('--texify/--filters-file are accepted for reference '
+                        'compatibility but the schemas are built in')
 
+    rc = 0
+    for config in args.configs:
+        if _one_config(config, args) != 0:
+            rc = 1
+    return rc
+
+
+def _one_config(config, args):
     cp = configparser.ConfigParser()
-    cp.read(args.config)
-    out_dir = args.out_dir or os.path.dirname(os.path.abspath(args.config))
-    name = os.path.splitext(os.path.basename(args.config))[0]
+    cp.read(config)
+    out_dir = args.out_dir or os.path.dirname(os.path.abspath(config))
+    name = os.path.splitext(os.path.basename(config))[0]
 
-    models = fetch_models(args.job_dir)
+    models = fetch_models(args.job_dir, flash=args.flash)
 
     if cp.defaults().get('dataset') and cp.defaults().get('ood'):
         tex = comparison_table(cp, models, out_dir, name)
         return 0 if tex else 1
 
+    sections = cp.sections()
+    if 'all' not in args.which:
+        sections = [s for s in sections if s in args.which]
+
     wrote = []
-    for section in cp.sections():
+    for section in sections:
         opts = dict(cp[section])
         group = _section_models(models, opts)
         if not group:
             print('[{}] no models'.format(section))
             continue
         try:
-            tpr = int(opts.get('tpr', 95))
+            tpr = int(opts.get('tpr', args.tpr if args.tpr is not None
+                      else 95))
         except ValueError:
             print('[{}] bad tpr option {!r} (want an integer percent)'
                   .format(section, opts['tpr']))
@@ -272,6 +309,12 @@ def main(argv=None):
         df = auto_remove_index(results_dataframe(group, tpr=tpr))
         if opts.get('agg', '').lower() == 'true':
             df = agg_results(df)
+        if args.show_dfs:
+            try:
+                print(df.to_string(float_format=lambda v:
+                                   '{:.4g}'.format(v)))
+            except Exception:
+                pass
         tex = os.path.join(out_dir, '{}.tex'.format(section))
         tab = os.path.join(out_dir, '{}.tab'.format(section))
         texify_test_results_df(

@@ -49,8 +49,13 @@ def save_dir_for(job, job_dir: str, latent_sampling: int,
 def main(argv=None):
     args = get_args(argv, 'train')
     set_log(args.verbose, args.debug)
-    if getattr(args, 'platform', None):
-        jax.config.update('jax_platforms', args.platform)
+    from . import apply_platform
+    apply_platform(args)
+    for flag, v in (('--conv-padding', args.conv_padding),
+                    ('--force-cross-y', args.force_cross_y)):
+        if v:
+            logging.warning('%s is accepted but (like the reference) unused',
+                            flag)
     handler = default_handler()
 
     if args.resume is not None:
@@ -70,13 +75,16 @@ def main(argv=None):
         if saved_aug and not args.data_augmentation:
             args.data_augmentation = list(saved_aug)
         save_dir = job.saved_dir
+        if args.where:                      # ref train.py:267-269
+            print(save_dir)
+            return 0
         mark(save_dir, 'RESUMED')
         logging.info('resuming job %d from %s (%d epochs done)',
                      job.job_number, save_dir, job.trained)
     else:
         model_cfg = model_config_from_args(args)
         opt_cfg = optimizer_config_from_args(args)
-        jn = next_job_number(args.job_dir)
+        jn = args.job_number or next_job_number(args.job_dir)
         job = new_job(model_cfg, opt_cfg, key=jax.random.PRNGKey(args.seed),
                       job_number=jn)
         job.training_parameters.update({
@@ -94,6 +102,9 @@ def main(argv=None):
         dataset = args.dataset
         save_dir = save_dir_for(job, args.job_dir, args.latent_sampling,
                                 args.data_augmentation)
+        if args.where:                      # ref train.py:267-269
+            print(save_dir)
+            return 0
 
     if args.show or args.dry_run:
         import json
@@ -133,6 +144,10 @@ def main(argv=None):
     outputs = EpochOutput()
     os.makedirs(save_dir, exist_ok=True)
     outputs.add_file(os.path.join(save_dir, 'output.out'))
+    if args.output_dir:                    # ref train.py:271-275
+        os.makedirs(args.output_dir, exist_ok=True)
+        outputs.add_file(os.path.join(
+            args.output_dir, 'train-{:06d}.out'.format(job.job_number)))
 
     def _ramp(v):
         """warmup spec -> [start, end]: [] (an empty INI line) = off."""

@@ -24,15 +24,28 @@ TRAIN_COLUMNS = ['beta', 'gamma', 'sigma', 'latent_sampling', 'optim', 'lr',
                  'batch_size', 'done', 'epochs', 'finished']
 
 
+MEASURE_KEYS = ['mse', 'rmse', 'dB', 'kl', 'test_loss', 'sigma', 'zdist',
+                'iws', 'validation_loss']
+
+
 def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
                       ood: bool = True, tpr: int = 95, tnr: bool = False,
-                      sort_index: bool = True) -> pd.DataFrame:
+                      sort_index: bool = True,
+                      ood_methods='first', predict_methods='all',
+                      measures: bool = False) -> pd.DataFrame:
     """Rows = jobs; columns = (group, key) MultiIndex.
 
     ``tpr`` selects which kept-TPR level's FPR column appears (the
     reference's per-table tpr option, results/__main__.py); ``tnr`` shows
     1-FPR under a 'tnr' group instead (ref test.py --tnr);
-    ``sort_index=False`` keeps the caller's model order (--sort/--last)."""
+    ``sort_index=False`` keeps the caller's model order (--sort/--last).
+
+    ``ood_methods``/``predict_methods`` control method expansion (ref
+    test.py:326 ``all_methods = 'all' if args.expand > 1 else 'first'``):
+    'first' keeps one column per OOD set (the best method) / the best
+    accuracy; 'all' adds one column per (set, method); a list restricts to
+    those methods.  ``measures=True`` adds a 'measures' column group from
+    the history-derived metric keys (ref test.py show_measures)."""
     if not models:
         return pd.DataFrame()
     index = list(index or DEFAULT_INDEX)
@@ -53,19 +66,54 @@ def results_dataframe(models: List[Dict], index: Optional[Sequence[str]] = None,
                 # metric group so agg_results never averages epochs
                 row[('train', 'acc_epoch')] = v
             elif k.startswith('accuracy_'):
-                row[('accuracy', k[len('accuracy_'):])] = v
+                pm = k[len('accuracy_'):]
+                if predict_methods == 'all' or (
+                        not isinstance(predict_methods, str)
+                        and pm in predict_methods):
+                    row[('accuracy', pm)] = v
+        if measures:
+            for k in MEASURE_KEYS:
+                if m.get(k) is not None:
+                    row[('measures', k)] = m[k]
         if ood:
             fpr_suffix = '_fpr{}'.format(tpr)
+            # per-set best-method summary columns (always present)
             for k, v in m.items():
-                if k.startswith('ood_') and k.endswith('_auc'):
-                    row[('auc', k[4:-4])] = v
-                elif k.startswith('ood_') and k.endswith(fpr_suffix):
-                    s = k[4:-len(fpr_suffix)]
-                    if tnr:
-                        row[('tnr{}'.format(tpr), s)] = (
-                            1.0 - v if v is not None else None)
-                    else:
-                        row[('fpr{}'.format(tpr), s)] = v
+                if not k.startswith('ood_'):
+                    continue
+                body = k[4:]
+                if k.endswith('_auc'):
+                    body = body[:-4]
+                elif k.endswith(fpr_suffix):
+                    body = body[:-len(fpr_suffix)]
+                else:
+                    continue
+                # 'ood_<set>_auc' (best) has no method part; method grids
+                # are 'ood_<set>_<m>_auc' — distinguish via the known sets
+                sets_with_best = {kk[4:-7] for kk in m
+                                  if kk.startswith('ood_')
+                                  and kk.endswith('_method')}
+                if body in sets_with_best or '_' not in body:
+                    col = body
+                elif ood_methods == 'first' or (
+                        isinstance(ood_methods, str) and ood_methods != 'all'):
+                    continue
+                else:
+                    s, _, meth = body.rpartition('_')
+                    while s and s not in sets_with_best and '_' in s:
+                        s2, _, m2 = s.rpartition('_')
+                        meth = '{}_{}'.format(m2, meth)
+                        s = s2
+                    if ood_methods != 'all' and meth not in ood_methods:
+                        continue
+                    col = '{}/{}'.format(s, meth)
+                if k.endswith('_auc'):
+                    row[('auc', col)] = v
+                elif tnr:
+                    row[('tnr{}'.format(tpr), col)] = (
+                        1.0 - v if v is not None else None)
+                else:
+                    row[('fpr{}'.format(tpr), col)] = v
         rows.append(row)
     df = pd.DataFrame(rows)
     df.columns = pd.MultiIndex.from_tuples(df.columns)

@@ -267,6 +267,9 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
         'wim_moving_size': None,
         'wim_mix': (tp.get('wim') or {}).get('mix'),
         'wim_padding': (tp.get('wim') or {}).get('padding'),
+        'wim_padding_dataset': (tp.get('wim') or {}).get('padding_dataset'),
+        'wim_mix_padding': (tp.get('wim') or {}).get('mix_padding'),
+        'wim_array_size': (tp.get('wim') or {}).get('array_size'),
         'wim_from': None,
         'l': cfg.test_latent_sampling,
         'classif_type': cfg.classifier_type or 'none',
@@ -382,6 +385,10 @@ def make_dict_from_model(job: Job, directory: Optional[str] = None,
     if epoch is not None:
         per_set_best = {}
         for s, per_method in job.ood_results[epoch].items():
+            if oodsets is not None and s not in oodsets:
+                # an explicit oodsets list restricts which sets appear
+                # (ref dictify.py:545+ via test.py --sets / [options] ood)
+                continue
             aucs = {m: r.get('auc') for m, r in per_method.items()
                     if isinstance(r, dict) and r.get('auc') is not None}
             for m, r in per_method.items():

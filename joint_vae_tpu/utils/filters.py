@@ -207,6 +207,12 @@ FILTER_KEYS: Dict[str, dict] = {
     'wim_moving_size': {'type': int},
     'wim_mix': {'type': float},
     'wim_padding': {'type': float},
+    # remaining filters.ini keys (ref utils/filters.ini:40-52)
+    'wim_array_size': {'type': int},
+    'wim_from': {'type': int},
+    'wim_padding_dataset': {'type': str},
+    'wim_mix_padding': {'type': float},
+    'latent_prior_means': {'type': str},
     'finished': {'type': bool},
 }
 

@@ -106,15 +106,27 @@ def add_training_args(parser: argparse.ArgumentParser):
     g.add_argument('--classifier', nargs='*', default=[36])
     g.add_argument('--latent-dim', '-K', type=int, default=32)
     g.add_argument('--latent-sampling', '-L', type=int, default=1)
-    g.add_argument('--test-latent-sampling', type=int, default=0)
+    g.add_argument('--test-latent-sampling', '-l', type=int, default=0)
     g.add_argument('--activation', default='relu')
     g.add_argument('--output-activation', default='sigmoid')
     g.add_argument('--output-distribution',
                    choices=['gaussian', 'categorical'], default='gaussian')
+    g.add_argument('--categorical', action='store_const',
+                   dest='output_distribution', const='categorical',
+                   help='alias for --output-distribution categorical '
+                        '(ref parameters.py:251)')
+    g.add_argument('--conv-padding', default=None,
+                   help='(parsed but unused in the reference, '
+                        'parameters.py:312)')
     g.add_argument('--batch-norm', nargs='?', const='encoder', default=None,
                    choices=['encoder', 'both'])
     g.add_argument('--dropout', type=float, default=0.0)
-    g.add_argument('--encoder-forced-variance', type=float, default=0.0)
+    g.add_argument('--encoder-forced-variance', type=float, nargs='?',
+                   const=1.0, default=0.0)
+    g.add_argument('--encoder-free-variance', action='store_const',
+                   dest='encoder_forced_variance', const=0.0,
+                   help='inverse of --encoder-forced-variance '
+                        '(ref parameters.py:320)')
     g.add_argument('--compute-dtype', choices=['float32', 'bfloat16'],
                    default='float32')
     g.add_argument('--iws-mode', choices=['reference', 'lme'],
@@ -140,8 +152,12 @@ def add_training_args(parser: argparse.ArgumentParser):
     l.add_argument('--beta', type=float, default=1.0)
     l.add_argument('--gamma', type=float, default=0.0)
     l.add_argument('--sigma-per-dim', action='store_true')
-    l.add_argument('--sigma', default='1.0',
+    l.add_argument('--sigma', '-s', default='1.0',
                    help='float | "learned" | "rmse" | "coded"')
+    l.add_argument('--force-cross-y', type=float, nargs='?', const=1.0,
+                   default=0.0,
+                   help='(parsed but unused in the reference, '
+                        'parameters.py:336)')
     l.add_argument('--sigma-reach', type=float, default=1.0)
     l.add_argument('--sigma-decay', type=float, default=0.0)
     l.add_argument('--sigma-max-step', type=float, default=0.0)
@@ -156,9 +172,9 @@ def add_training_args(parser: argparse.ArgumentParser):
                         'slice batches in-jit (fits MNIST/CIFAR scale; '
                         'ignored with --data-augmentation)')
     t.add_argument('--epochs', type=int, default=2)
-    t.add_argument('--batch-size', type=int, default=64)
-    t.add_argument('--test-batch-size', type=int, default=512)
-    t.add_argument('--validation', type=int, default=0)
+    t.add_argument('--batch-size', '-M', type=int, default=64)
+    t.add_argument('--test-batch-size', '-m', type=int, default=512)
+    t.add_argument('--validation', '-V', type=int, default=0)
     t.add_argument('--test-sample-size', '-t', type=int, default=0,
                    help='cap the per-epoch test/OOD evaluation to this many '
                         'samples (0 = whole set; ref parameters.py:236, '
@@ -175,7 +191,7 @@ def add_training_args(parser: argparse.ArgumentParser):
                    choices=['adam', 'sgd'])
     t.add_argument('--lr', type=float, default=0.0)
     t.add_argument('--lr-decay', type=float, default=0.0)
-    t.add_argument('--weight-decay', type=float, default=0.0)
+    t.add_argument('--weight-decay', '--wd', type=float, default=0.0)
     t.add_argument('--grad-clipping', type=float, default=0.0)
     t.add_argument('--seed', type=int, default=0)
     t.add_argument('--fine-tuning', action='store_true')
@@ -199,11 +215,24 @@ def add_training_args(parser: argparse.ArgumentParser):
 
     t.add_argument('--platform', choices=['cpu', 'tpu', 'gpu'], default=None,
                    help='force the jax backend (ref --device/--force-cpu)')
+    t.add_argument('--device', dest='platform_device', default=None,
+                   help="reference spelling: 'cuda'/'tpu' map to the "
+                        "accelerator backend, 'cpu' to cpu")
+    t.add_argument('--force-cpu', action='store_true',
+                   help='force the cpu backend (ref --force-cpu)')
 
     j = parser.add_argument_group('job')
     j.add_argument('--job-dir', default='jobs')
-    j.add_argument('--resume', type=int, default=None,
+    j.add_argument('--job-number', '-j', type=int, default=0,
+                   help='use this job number instead of the hostname '
+                        'counter (ref parameters.py:364)')
+    j.add_argument('--resume', '-R', type=int, default=None,
                    help='job number to resume')
+    j.add_argument('--output-dir', default=None, metavar='DIR/',
+                   help='also write the live epoch table to '
+                        'DIR/train-<job>.out (ref parameters.py:369)')
+    j.add_argument('--where', action='store_true',
+                   help='print the save dir and exit (ref train.py:267)')
     j.add_argument('--show', action='store_true')
     j.add_argument('--verbose', '-v', action='count', default=0)
     j.add_argument('--debug', action='store_true')

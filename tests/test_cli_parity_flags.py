@@ -55,7 +55,9 @@ def test_only_finished(job_dir, capsys):
 
 def test_restricted_methods_and_sets(job_dir, capsys):
     from joint_vae_tpu.cli.test import main
-    assert main(['--job-dir', job_dir, '--compute', '-t', '64',
+    # reference --compute grammar: bare --compute only replays recorders;
+    # 'hard' adds the model-recompute tier (ref test.py:110-121)
+    assert main(['--job-dir', job_dir, '--compute', 'hard', '-t', '64',
                  '--sets', 'const28',
                  '--ood-methods', 'elbo', '--predict-methods', 'esty',
                  '--misclass-methods', 'max']) == 0
@@ -88,7 +90,11 @@ def test_ft_inspection_and_lr(job_dir):
                '--batch-size', '32', '--test-batch-size', '32',
                '--oodsets', 'fashion', '--inspection', '--lr', '5e-5'])
     assert rc == 0
-    job = find_by_job_number(job_dir, 1, load_state=False)
+    # the fine-tune writes a NEW wim job (number 2) under <job-dir>/wim —
+    # the source job's checkpoint is never touched
+    job = find_by_job_number(job_dir, 2, load_state=False)
+    assert job is not None and os.sep + 'wim' + os.sep in job.saved_dir
+    assert job.training_parameters.get('from_job') == 1
     edir = os.path.join(job.saved_dir, 'samples',
                         '{:04d}'.format(job.trained))
     # init + post latent dumps and the shift report

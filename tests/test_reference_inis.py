@@ -24,8 +24,8 @@ def job_dir(tmp_path_factory):
     from joint_vae_tpu.cli.train import main
     assert main(TRAIN_ARGS + ['--job-dir', d]) == 0
     from joint_vae_tpu.cli.test import main as test_main
-    assert test_main(['--job-dir', d, '--compute', '--sets', 'const28',
-                      '--ood-methods', 'iws']) == 0
+    assert test_main(['--job-dir', d, '--compute', 'hard',
+                      '--sets', 'const28', '--ood-methods', 'iws']) == 0
     return d
 
 
