@@ -83,8 +83,11 @@ def read_filter_file(path: str):
     (ref parameters.py:500-530: sections are OR'd groups; [options] may
     carry '<set> ood = ...' lists and default ood/predict methods)."""
     cp = configparser.ConfigParser()
+    # keep option-name case: schema aliases are case-sensitive (K/L vs k/l)
+    cp.optionxform = str
     cp.read(path)
-    options = dict(cp['options']) if 'options' in cp else {}
+    options = {k.lower(): v for k, v in cp['options'].items()} \
+        if 'options' in cp else {}
     keys = get_filter_keys()
     alias = {}
     for k, spec in keys.items():
@@ -97,7 +100,8 @@ def read_filter_file(path: str):
             continue
         flt = DictOfListsOfParamFilters()
         for k, v in cp[section].items():
-            kk = alias.get(k.replace('-', '_'), k.replace('-', '_'))
+            k_norm = k.replace('-', '_')
+            kk = alias.get(k_norm, alias.get(k_norm.lower(), k_norm.lower()))
             t = keys.get(kk, {}).get('type', str)
             flt.add(kk, ParamFilter.from_string(v, type=t))
         groups.append(flt)
@@ -288,8 +292,13 @@ def main(argv=None):
         flat = [head] + oodsets[head]
         oodsets = {s: flat for s in trainsets}
 
+    # bare --tpr (nargs='*') is legal: degrade to the default level
+    tpr0 = args.tpr[0] if args.tpr else 95
+
     refreshed = []
-    nondefault_view = args.epoch != 'last' or args.tpr[0] != 95
+    # --sets restrictions must route through make_dict_from_model, so they
+    # also force the reload path (ref test.py:193-198)
+    nondefault_view = (args.epoch != 'last' or tpr0 != 95 or bool(oodsets))
     for m in models:
         wanted_epochs = [args.epoch]
         if (args.all_epochs or need_engines or args.early_stopping
@@ -314,6 +323,8 @@ def main(argv=None):
             continue
 
         name = job.training_parameters.get('set')
+        # display restriction for make_dict_from_model: None = no restriction
+        # (the reference passes oodsets_n=None when --sets is absent)
         ood_names = oodsets.get(name)
         if need_engines:
             # per-method recompute: the engines resolve each (set, method)
@@ -321,10 +332,12 @@ def main(argv=None):
             # the residue (ref available_results, dictify.py:215-382 +
             # test.py:178-318)
             _, testset = get_dataset(name, splits=['test'])
-            if ood_names is None:
-                ood_names = testset.same_size
+            # the engine set list defaults to same-size companions without
+            # becoming a display restriction
+            engine_ood = (ood_names if ood_names is not None
+                          else testset.same_size)
             sets = []
-            for n in ood_names:
+            for n in engine_ood:
                 try:
                     _, s = get_dataset(n, splits=['test'])
                     sets.append(s)
@@ -356,7 +369,7 @@ def main(argv=None):
             refreshed.append(make_dict_from_model(
                 job, directory=m['dir'], wanted_epoch=ep,
                 epoch_tolerance=ep_tol, oodsets=ood_names,
-                tpr=args.tpr[0] / 100))
+                tpr=tpr0 / 100))
 
     if args.export_losses:
         from ..save_load.recorders import LossRecorder
@@ -377,7 +390,7 @@ def main(argv=None):
 
     all_methods = 'all' if args.expand > 1 else 'first'
     df = results_dataframe(
-        refreshed, tpr=args.tpr[0], tnr=args.tnr, sort_index=not args.sort,
+        refreshed, tpr=tpr0, tnr=args.tnr, sort_index=not args.sort,
         ood_methods=args.ood_methods or all_methods,
         predict_methods=args.predict_methods or all_methods,
         measures=args.show_measures >= 2)
@@ -445,7 +458,10 @@ def main(argv=None):
         if args.latex:
             tex = tex or base + '.tex'
     if tex or tab:
-        texify_test_results_df(shown, tex_file=tex, tab_file=tab,
+        # saved tables keep all columns: the -e pruning is console-display
+        # only (ref test.py texifies the full frame at :390 before the
+        # display pruning at :468)
+        texify_test_results_df(df, tex_file=tex, tab_file=tab,
                                best_in_group=args.best)
         if agg is not None and args.results_file:
             texify_test_results_df(
