@@ -1,0 +1,449 @@
+"""Import a reference-trained job directory into a native job.
+
+The reference persists a job as (ref cvae.py:2650-2675):
+
+    params.json         architecture ctor kwargs
+    train_params.json   training parameters (sigma/beta/optimizer/...)
+    test.json           accuracy results   {epoch: {method: {...}}}
+    ood.json            OOD results        {epoch: {set: {method: {...}}}}
+    history.json        per-epoch training history
+    state.pth           torch state_dict
+    optimizer.pth       torch optimizer state (NOT imported; moments restart)
+    samples/<epoch>/record-<set>.pth   LossRecorder dumps
+                        (ref utils/save_load/recorders.py:108-176)
+
+``import_reference_job(src, dst)`` converts all of it into this framework's
+layout (save_load/jobs.py): the same JSONs (consumed verbatim — the schemas
+match by design), ``state.npz`` with the torch weights mapped onto the flax
+param tree, and ``.jvr`` recorders.  The resulting directory is a first-class
+job: ``load_job``/``fetch_models``/the CLIs consume it, and ``evaluate``
+reproduces the reference's losses on the transferred weights (oracled to
+5e-4 in tests/test_import_reference.py).
+
+Weight-mapping rules (the same transposes the evaluate oracle uses):
+
+    torch Linear   (out, in)          -> kernel (in, out)        = W.T
+    torch Conv2d   (O, I, kH, kW)     -> kernel (kH, kW, I, O)   OIHW->HWIO
+    torch ConvT2d  (I, O, kH, kW)     -> kernel (kH, kW, I, O), HW-flipped
+                                         (ours are correlation-oriented
+                                         lax kernels; models/conv.py parity)
+    BatchNorm weight/bias             -> scale/bias
+    BatchNorm running_mean/var        -> batch_stats mean/var
+    encoder.prior.mean                -> prior/mean
+    encoder.prior._var_parameter      -> prior/var_param
+    sigma (log-space iff learned)     -> sigma_param + sigma_state/data
+
+Sequential indices on the torch side are positional (activations/dropout
+interleave), so groups are walked by *weight-bearing entries in index
+order* and zipped against our static layer names (conv_i/deconv_i/bn_i/
+dense_i), which follow the same construction order.
+
+Not importable (clear error): torchvision resnet/densenet feature
+extractors — our ResNet/DenseNet features are from-scratch flax modules
+with different parameterization (documented deviation, docs/PARITY.md).
+"""
+
+import logging
+import os
+import re
+import shutil
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from .checkpoint import (save_json, load_json, flatten_pytree,
+                         unflatten_into, save_checkpoint)
+from .jobs import Job, load_job, save_job
+from .recorders import LossRecorder, record_filename
+from ..models.cvnet import CVNetConfig
+
+_SEQ_KEY = re.compile(r'(\d+)\.(.+)\Z')
+
+
+# -- torch checkpoint reading -------------------------------------------------
+
+def load_reference_state(path: str) -> Dict[str, np.ndarray]:
+    """state.pth -> {name: float64-safe ndarray}.
+
+    Plain tensors unpickle with stock torch; if the dump carries the
+    reference's Sigma Parameter-subclass, stub modules are injected so the
+    reference package need not be importable.
+    """
+    import torch
+
+    def _to_numpy(sd):
+        out = {}
+        for k, v in sd.items():
+            if hasattr(v, 'detach'):
+                out[k] = v.detach().cpu().numpy()
+            else:
+                out[k] = np.asarray(v)
+        return out
+
+    try:
+        return _to_numpy(torch.load(path, map_location='cpu',
+                                    weights_only=False))
+    except (ModuleNotFoundError, AttributeError) as e:
+        logging.debug('retrying %s with stub reference modules (%s)', path, e)
+        _inject_reference_stubs()
+        return _to_numpy(torch.load(path, map_location='cpu',
+                                    weights_only=False))
+
+
+def _inject_reference_stubs():
+    """Make `module.vae_layers.layers.Sigma` (and friends) unpicklable as
+    plain Parameters without the reference package on the path."""
+    import sys
+    import types
+    import torch
+
+    class _AnyParameter(torch.nn.Parameter):
+        def __init__(self, *a, **kw):                     # noqa: U100
+            pass
+
+    for name in ('module', 'module.vae_layers', 'module.vae_layers.layers'):
+        if name in sys.modules:
+            continue
+        m = types.ModuleType(name)
+        m.__getattr__ = lambda attr, _p=_AnyParameter: _p
+        sys.modules[name] = m
+
+
+# -- kernel orientation -------------------------------------------------------
+
+def _linear(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.T)
+
+
+def _conv(w: np.ndarray) -> np.ndarray:
+    return np.ascontiguousarray(w.transpose(2, 3, 1, 0))      # OIHW -> HWIO
+
+
+def _deconv(w: np.ndarray) -> np.ndarray:
+    # torch ConvTranspose2d (I, O, kH, kW) is the 180-degree flip of our
+    # correlation-oriented lax kernel (models/conv.py)
+    return np.ascontiguousarray(w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1))
+
+
+# -- state_dict structure helpers ---------------------------------------------
+
+def _group(sd: Dict[str, np.ndarray], prefix: str) -> Dict[str, np.ndarray]:
+    p = prefix + '.'
+    return {k[len(p):]: v for k, v in sd.items() if k.startswith(p)}
+
+
+def _seq_entries(group: Dict[str, np.ndarray]) -> List[Dict[str, np.ndarray]]:
+    """Group `<idx>.<field>` keys by ascending Sequential index."""
+    by_idx: Dict[int, Dict[str, np.ndarray]] = {}
+    for k, v in group.items():
+        m = _SEQ_KEY.match(k)
+        if m:
+            by_idx.setdefault(int(m.group(1)), {})[m.group(2)] = v
+    return [by_idx[i] for i in sorted(by_idx)]
+
+
+def _sorted_names(sub: Dict[str, Any], prefixes) -> List[str]:
+    """Our layer names with a numeric suffix, in construction order."""
+    names = [n for n in sub
+             if n.startswith(tuple(p + '_' for p in prefixes))]
+    return sorted(names, key=lambda n: int(n.rsplit('_', 1)[1]))
+
+
+class ImportError_(RuntimeError):
+    pass
+
+
+def _map_conv_group(ref_entries: List[Dict[str, np.ndarray]],
+                    ours: Dict[str, Any], out: Dict[str, np.ndarray],
+                    stats: Dict[str, np.ndarray], path: str):
+    """Zip a torch (de)conv Sequential against our ConvStack param subtree."""
+    weight_names = _sorted_names(ours, ('conv', 'deconv'))
+    dense_names = ['dense'] if 'dense' in ours else []
+    bn_names = _sorted_names(ours, ('bn',))
+    wi = bi = 0
+    for entry in ref_entries:
+        if 'running_mean' in entry:
+            if bi >= len(bn_names):
+                raise ImportError_('{}: more torch BatchNorms than ours'
+                                   .format(path))
+            n = bn_names[bi]
+            out['{}/{}/scale'.format(path, n)] = entry['weight']
+            out['{}/{}/bias'.format(path, n)] = entry['bias']
+            stats['{}/{}/mean'.format(path, n)] = entry['running_mean']
+            stats['{}/{}/var'.format(path, n)] = entry['running_var']
+            bi += 1
+        elif 'weight' in entry and entry['weight'].ndim == 4:
+            if wi >= len(weight_names):
+                raise ImportError_('{}: more torch convs than ours'
+                                   .format(path))
+            n = weight_names[wi]
+            conv = _conv if n.startswith('conv') else _deconv
+            out['{}/{}/kernel'.format(path, n)] = conv(entry['weight'])
+            if 'bias' in entry:
+                out['{}/{}/bias'.format(path, n)] = entry['bias']
+            wi += 1
+        elif 'weight' in entry and entry['weight'].ndim == 2:
+            if not dense_names:
+                raise ImportError_('{}: unexpected torch Linear'.format(path))
+            out['{}/dense/kernel'.format(path)] = _linear(entry['weight'])
+            out['{}/dense/bias'.format(path)] = entry['bias']
+    if wi != len(weight_names):
+        raise ImportError_('{}: mapped {}/{} conv layers'.format(
+            path, wi, len(weight_names)))
+
+
+def _map_dense_seq(ref_entries: List[Dict[str, np.ndarray]],
+                   names: List[str], out: Dict[str, np.ndarray], path: str):
+    linears = [e for e in ref_entries if e.get('weight') is not None
+               and e['weight'].ndim == 2]
+    if len(linears) != len(names):
+        raise ImportError_('{}: {} torch Linears vs {} of ours'.format(
+            path, len(linears), len(names)))
+    for e, n in zip(linears, names):
+        out['{}/{}/kernel'.format(path, n)] = _linear(e['weight'])
+        out['{}/{}/bias'.format(path, n)] = e['bias']
+
+
+def map_reference_state(sd: Dict[str, np.ndarray], params,
+                        batch_stats) -> Tuple[Dict[str, np.ndarray],
+                                              Dict[str, np.ndarray],
+                                              Optional[np.ndarray]]:
+    """Reference state_dict -> (flat param updates, flat batch_stat updates,
+    sigma data or None).  Raises ImportError_ on structural mismatch."""
+    out: Dict[str, np.ndarray] = {}
+    stats: Dict[str, np.ndarray] = {}
+
+    if any(k.startswith('features.model.') for k in sd):
+        raise ImportError_(
+            'torchvision resnet/densenet features are not importable: our '
+            'ResNet/DenseNet features are from-scratch flax modules with a '
+            'different parameterization (docs/PARITY.md)')
+
+    # features / imager conv stacks
+    for ref_name, our_name in (('features', 'features_stack'),
+                               ('imager', 'imager')):
+        g = _group(sd, ref_name)
+        if not g or our_name not in params:
+            continue
+        entries = _seq_entries(g)
+        if (our_name == 'imager' and len(entries) == 1
+                and entries[0]['weight'].ndim == 2):
+            # featureless MLP imager: a single Linear (ref cvae.py imager)
+            out['imager/dense/kernel'] = _linear(entries[0]['weight'])
+            out['imager/dense/bias'] = entries[0]['bias']
+        else:
+            _map_conv_group(entries, params[our_name], out, stats, our_name)
+
+    # encoder MLP + heads + prior
+    enc = _group(sd, 'encoder')
+    if enc:
+        # Sequential and ModuleList spellings both key `dense_projs.<i>.*`
+        projs = _seq_entries(_group(enc, 'dense_projs'))
+        our_projs = params.get('encoder', {}).get('dense_projs', {})
+        _map_dense_seq(projs, _sorted_names(our_projs, ('dense',)), out,
+                       'encoder/dense_projs')
+        for head in ('dense_mean', 'dense_log_var'):
+            if head + '.weight' in enc:
+                out['encoder/{}/kernel'.format(head)] = _linear(
+                    enc[head + '.weight'])
+                out['encoder/{}/bias'.format(head)] = enc[head + '.bias']
+        if 'sigma.weight' in enc:                       # coded-sigma head
+            out['encoder/sigma/kernel'] = _linear(enc['sigma.weight'])
+            out['encoder/sigma/bias'] = enc['sigma.bias']
+        if 'prior.mean' in enc:
+            out['prior/mean'] = enc['prior.mean']
+        if 'prior._var_parameter' in enc:
+            out['prior/var_param'] = enc['prior._var_parameter']
+
+    # decoder MLP
+    dec = _seq_entries(_group(sd, 'decoder'))
+    if dec and 'decoder' in params:
+        _map_dense_seq(dec, _sorted_names(params['decoder'], ('dense',)),
+                       out, 'decoder')
+
+    # classifier MLP + head (vestigial heads differ in shape: skip leniently)
+    clf = _seq_entries(_group(sd, 'classifier'))
+    if clf and 'classifier' in params:
+        linears = [e for e in clf if e['weight'].ndim == 2]
+        names = _sorted_names(params['classifier'], ('dense',))
+        if 'head' in params['classifier'] and len(linears) == len(names) + 1:
+            _map_dense_seq(linears[:-1], names, out, 'classifier')
+            out['classifier/head/kernel'] = _linear(linears[-1]['weight'])
+            out['classifier/head/bias'] = linears[-1]['bias']
+        else:
+            logging.warning('classifier not imported (vestigial head: '
+                            '%d torch Linears vs %s ours)',
+                            len(linears), names)
+
+    sigma = sd.get('sigma')
+    if sigma is not None and 'sigma_param' in params:
+        out['sigma_param'] = sigma
+
+    # verify every mapped leaf's shape against the fresh tree
+    flat = flatten_pytree(params)
+    for k, v in out.items():
+        if k not in flat:
+            raise ImportError_('mapped key {} absent from our tree'.format(k))
+        if tuple(flat[k].shape) != tuple(v.shape):
+            raise ImportError_('shape mismatch at {}: ref {} vs ours {}'
+                               .format(k, v.shape, flat[k].shape))
+    if batch_stats is not None:
+        flat_bs = flatten_pytree(batch_stats)
+        for k, v in stats.items():
+            if k not in flat_bs or tuple(flat_bs[k].shape) != tuple(v.shape):
+                raise ImportError_('batch-stat mismatch at {}'.format(k))
+
+    return out, stats, sigma
+
+
+# -- recorders ----------------------------------------------------------------
+
+def import_recorder(pth_path: str, dst_path: str):
+    """record-<set>.pth (torch.save of LossRecorder.__dict__,
+    ref recorders.py:108-138) -> native .jvr/.npz recorder."""
+    import torch
+    d = torch.load(pth_path, map_location='cpu', weights_only=False)
+    tensors = {k: v.detach().cpu().numpy() for k, v in d['_tensors'].items()}
+    batch_size = int(d['batch_size'])
+    num_batch = int(d.get('_num_batch', 0))
+    recorded = int(d.get('_recorded_batches', num_batch))
+    rec = LossRecorder(batch_size)
+    rec._tensors = tensors
+    rec._num_batch = num_batch
+    rec._recorded_batches = recorded
+    rec.last_batch_size = int(d.get('last_batch_size', batch_size))
+    seed = d.get('_seed')
+    if seed is not None:
+        rec._seed = int(seed)
+    rec.save(dst_path)
+
+
+# -- the importer -------------------------------------------------------------
+
+def import_reference_job(src: str, dst: str,
+                         job_number: Optional[int] = None,
+                         import_recorders: bool = True) -> str:
+    """Convert a reference job directory into a native one under ``dst``.
+
+    Returns the destination directory.  The import is rejected (with the
+    reason) rather than silently wrong when the architecture cannot be
+    reproduced.
+    """
+    params_path = os.path.join(src, 'params.json')
+    if not os.path.exists(params_path):
+        raise FileNotFoundError('{} is not a job dir (no params.json)'
+                                .format(src))
+    arch = load_json(params_path)
+    arch.pop('version', None)
+    job_no = arch.pop('job_number', None)
+    if job_number is None:
+        if isinstance(job_no, int):
+            job_number = job_no
+        else:
+            # the reference falls back to the directory name (cvae.py:2705)
+            base = os.path.basename(os.path.abspath(src).rstrip(os.sep))
+            job_number = int(base) if base.isdigit() else 0
+
+    tp_path = os.path.join(src, 'train_params.json')
+    training_parameters = load_json(tp_path) if os.path.exists(tp_path) else {}
+
+    # shape-affecting training params merge before construction (load_job)
+    merged = dict(arch)
+    for k in ('beta', 'gamma', 'latent_sampling', 'sigma'):
+        if training_parameters.get(k) is not None:
+            merged[k] = training_parameters[k]
+    cfg = CVNetConfig.from_dict(merged)
+
+    os.makedirs(dst, exist_ok=True)
+    save_json(dict(cfg.architecture, job_number=job_number),
+              os.path.join(dst, 'params.json'))
+    training_parameters.setdefault('from_reference', os.path.abspath(src))
+    save_json(training_parameters, os.path.join(dst, 'train_params.json'))
+    for name in ('test.json', 'ood.json', 'history.json'):
+        p = os.path.join(src, name)
+        if os.path.exists(p):
+            save_json(load_json(p), os.path.join(dst, name))
+
+    state_path = os.path.join(src, 'state.pth')
+    if os.path.exists(state_path):
+        # a fresh job of the same config supplies the param-tree template
+        import jax
+        job = load_job(dst, load_state=False, key=jax.random.PRNGKey(0))
+        sd = load_reference_state(state_path)
+        mapped, stats, sigma = map_reference_state(
+            sd, job.state.params, job.state.batch_stats)
+        flat = flatten_pytree(job.state.params)
+        flat.update(mapped)
+        params, _, _ = unflatten_into(job.state.params, flat)
+        bs = job.state.batch_stats
+        if bs is not None and stats:
+            flat_bs = flatten_pytree(bs)
+            flat_bs.update(stats)
+            bs, _, _ = unflatten_into(bs, flat_bs)
+        sigma_state = job.state.sigma_state
+        if sigma is not None:
+            sigma_state = sigma_state.replace(
+                data=np.asarray(sigma, np.float32))
+        epochs = 0
+        hist = os.path.join(src, 'history.json')
+        if os.path.exists(hist):
+            epochs = int(load_json(hist).get('epochs', 0) or 0)
+        st = job.state.replace(params=params, batch_stats=bs,
+                               sigma_state=sigma_state)
+        model_tree = {'params': st.params, 'batch_stats': st.batch_stats,
+                      'sigma_state': {'data': st.sigma_state.data,
+                                      'rmse': st.sigma_state.rmse},
+                      'counters': {'epoch': np.asarray(epochs, np.int32),
+                                   'step': np.asarray(0, np.int32)},
+                      'rng': st.rng}
+        save_checkpoint(os.path.join(dst, 'state.npz'), model_tree)
+        logging.info('state.pth imported: %d tensors mapped onto %s',
+                     len(mapped), dst)
+    if os.path.exists(os.path.join(src, 'optimizer.pth')):
+        logging.warning('optimizer.pth not imported: optimizer moments '
+                        'restart at zero on resume')
+
+    if import_recorders:
+        _import_sample_dirs(src, dst)
+
+    for sentinel in ('deleted', 'derailed', 'RESUMED'):
+        p = os.path.join(src, sentinel)
+        if os.path.exists(p):
+            shutil.copy(p, os.path.join(dst, sentinel))
+    return dst
+
+
+def _import_sample_dirs(src: str, dst: str):
+    samples = os.path.join(src, 'samples')
+    if not os.path.isdir(samples):
+        return
+    epochs = 0
+    hist = os.path.join(src, 'history.json')
+    if os.path.exists(hist):
+        epochs = int(load_json(hist).get('epochs', 0) or 0)
+    for sub in sorted(os.listdir(samples)):
+        sub_path = os.path.join(samples, sub)
+        if not os.path.isdir(sub_path):
+            continue
+        if sub == 'last':
+            # 'last' holds the newest epoch's records (ref cvae.py sample
+            # dirs); map it onto the trained-epoch number unless present
+            target = '{:04d}'.format(epochs)
+            if os.path.isdir(os.path.join(samples, target)) \
+                    or os.path.isdir(os.path.join(samples, str(epochs))):
+                continue
+            sub_out = str(epochs)
+        elif sub.isdigit():
+            sub_out = str(int(sub))
+        else:
+            sub_out = sub
+        out_dir = os.path.join(dst, 'samples', sub_out)
+        for f in sorted(os.listdir(sub_path)):
+            m = re.match(r'record-(?P<set>.+)\.pth\Z', f)
+            if not m:
+                continue
+            dst_file = os.path.join(out_dir, record_filename(m.group('set')))
+            try:
+                import_recorder(os.path.join(sub_path, f), dst_file)
+            except Exception as e:
+                logging.warning('recorder %s not imported: %s', f, e)

@@ -1,0 +1,246 @@
+"""Reference-job importer oracle: build reference CVNets in-process, save
+them with the REFERENCE'S OWN save() (ref cvae.py:2650-2675), import the
+job dirs, and assert the native job reproduces the reference's evaluate
+losses to 5e-4 and is consumable by fetch_models / the test CLI.
+"""
+
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from joint_vae_tpu.models.evaluate import evaluate
+from joint_vae_tpu.save_load.import_reference import (
+    import_reference_job, ImportError_)
+from joint_vae_tpu.save_load.jobs import load_job
+
+IN_SHAPE = (1, 8, 8)
+C, K = 4, 6
+SKIP_KEYS = {'iws', 'total', 'dzdist'}     # iws needs injected eps; total has
+                                           # stochastic parts at L>0
+
+
+def _stub_torchvision():
+    if 'torchvision' in sys.modules:
+        return
+
+    class _Dummy:
+        def __init__(self, *a, **k):
+            pass
+
+    def _ga(name):
+        if name.startswith('__'):
+            raise AttributeError(name)
+        return _Dummy
+    tv = types.ModuleType('torchvision')
+    for sub in ('models', 'transforms', 'datasets', 'utils'):
+        m = types.ModuleType('torchvision.' + sub)
+        m.__getattr__ = _ga
+        setattr(tv, sub, m)
+        sys.modules['torchvision.' + sub] = m
+    tv.utils.save_image = lambda *a, **k: None
+    tv.__path__ = []
+    sys.modules['torchvision'] = tv
+
+
+@pytest.fixture(scope='module')
+def ref():
+    _stub_torchvision()
+    sys.path.insert(0, '/root/reference')
+    try:
+        import cvae as ref_cvae
+        from utils.save_load.recorders import LossRecorder as RefRecorder
+    finally:
+        sys.path.remove('/root/reference')
+    return types.SimpleNamespace(Net=ref_cvae.ClassificationVariationalNetwork,
+                                 Recorder=RefRecorder)
+
+
+def _save_reference_job(net, dir_name, epochs=2, with_recorder=True,
+                        ref_mod=None):
+    """Mark as trained, attach results, save with the reference's save()."""
+    net.eval()
+    net.trained = epochs
+    net.train_history['epochs'] = epochs
+    net.testing = {epochs: {'iws': {'n': 64, 'epochs': epochs,
+                                    'sampling': 3, 'accuracy': 0.75}}}
+    net.ood_results = {epochs: {'fashion': {'iws': {
+        'n': 64, 'auc': 0.9, 'tpr': [0.95], 'fpr': [0.2],
+        'thresholds': [0.0], 'epochs': epochs}}}}
+    net.save(dir_name)
+    if with_recorder:
+        rec = ref_mod.Recorder(10)
+        g = torch.Generator().manual_seed(3)
+        for n in (10, 10, 7):
+            rec.append_batch(kl=torch.randn(C, n, generator=g),
+                             y_true=torch.randint(0, C, (n,), generator=g))
+        rec_dir = os.path.join(dir_name, 'samples', str(epochs))
+        os.makedirs(rec_dir, exist_ok=True)
+        rec.save(os.path.join(rec_dir, 'record-mnist.pth'))
+    return dir_name
+
+
+def _compare_losses(net, job, rtol=5e-4, atol=5e-4):
+    x = np.random.default_rng(42).uniform(
+        0, 1, (5,) + IN_SHAPE).astype(np.float32)
+    with torch.no_grad():
+        x_r, logits, losses, _ = net.evaluate(torch.tensor(x))
+    out = evaluate(job.model, job.state.variables, jnp.asarray(x), None,
+                   rng=jax.random.PRNGKey(1),
+                   sigma_state=job.state.sigma_state, train=False)
+    compared = []
+    for k, v in losses.items():
+        if k in SKIP_KEYS or k not in out.losses:
+            continue
+        got, want = np.asarray(out.losses[k]), v.numpy()
+        if got.shape != want.shape:
+            continue
+        np.testing.assert_allclose(got, want, rtol=rtol, atol=atol,
+                                   err_msg='loss {}'.format(k))
+        compared.append(k)
+    assert {'kl', 'zdist'} <= set(compared), compared
+    return compared
+
+
+def _conv_net(ref, **kw):
+    args = dict(type='cvae', features='8x3+1:2-16x3+1',
+                upsampler='4x8+0-!1x3+1', batch_norm='both',
+                encoder=[16, 16], latent_dim=K, decoder=[16],
+                classifier=[8], latent_sampling=1, test_latent_sampling=3,
+                beta=0.0, gamma=10., output_activation='sigmoid',
+                sigma={'learned': True, 'value': 0.5},
+                prior={'distribution': 'tilted', 'num_priors': C, 'tau': 5.,
+                       'init_mean': 1.0, 'learned_means': True})
+    args.update(kw)
+    net = ref.Net(IN_SHAPE, C, **args)
+    # randomize batch-norm stats so the import is actually exercised
+    g = torch.Generator().manual_seed(11)
+    for m in net.modules():
+        if type(m).__name__ == 'BatchNorm2d':
+            m.running_mean.copy_(torch.randn(m.running_mean.shape,
+                                             generator=g) * 0.1)
+            m.running_var.copy_(1 + 0.3 * torch.rand(m.running_var.shape,
+                                                     generator=g))
+    return net
+
+
+@pytest.fixture(scope='module')
+def imported_conv(ref, tmp_path_factory):
+    """The flagship import case: conv+bn features/imager, learned sigma,
+    conditional tilted prior — saved by the reference, imported by us."""
+    root = tmp_path_factory.mktemp('refjobs')
+    net = _conv_net(ref)
+    src = _save_reference_job(net, str(root / 'src' / '7'), ref_mod=ref)
+    dst = str(root / 'jobs' / '7')
+    import_reference_job(src, dst)
+    return types.SimpleNamespace(net=net, src=src, dst=dst,
+                                 jobs_root=str(root / 'jobs'))
+
+
+def test_import_evaluate_parity_conv(imported_conv):
+    job = load_job(imported_conv.dst)
+    compared = _compare_losses(imported_conv.net, job)
+    assert 'cross_x' in compared and 'cross_y' in compared
+
+
+def test_import_metadata_and_results(imported_conv):
+    job = load_job(imported_conv.dst, ghost=True)
+    assert job.job_number == 7
+    assert job.trained == 2
+    assert job.testing[2]['iws']['accuracy'] == 0.75
+    assert job.ood_results[2]['fashion']['iws']['auc'] == 0.9
+    assert job.training_parameters['from_reference'] == imported_conv.src
+    # sigma state carries the reference's learned log-sigma
+    assert np.isclose(float(job.model_cfg.sigma_cfg.value), 0.5)
+
+
+def test_import_recorders(imported_conv, ref):
+    from joint_vae_tpu.save_load.recorders import LossRecorder, find_record
+    rec_dir = os.path.join(imported_conv.dst, 'samples', '2')
+    path = find_record(rec_dir, 'mnist')
+    assert path is not None and path.endswith('.jvr')
+    ours = LossRecorder.load(path)
+    theirs = ref.Recorder.load(
+        os.path.join(imported_conv.src, 'samples', '2', 'record-mnist.pth'))
+    assert ours.recorded_samples == 27
+    np.testing.assert_array_equal(ours.get('kl'), theirs['kl'].numpy())
+    np.testing.assert_array_equal(ours.get('y_true'),
+                                  theirs['y_true'].numpy())
+
+
+def test_imported_job_feeds_fetch_and_test_cli(imported_conv, capsys):
+    from joint_vae_tpu.save_load.fetch import fetch_models
+    models = fetch_models(imported_conv.jobs_root, flash=False)
+    assert len(models) == 1 and models[0]['job'] == 7
+
+    from joint_vae_tpu.cli.test import main
+    assert main(['--job-dir', imported_conv.jobs_root]) == 0
+    out = capsys.readouterr().out
+    assert 'fashion' in out and '0.9' in out
+
+
+def test_import_mlp_gaussian(ref, tmp_path):
+    """Featureless MLP path: dense imager, plain gaussian conditional
+    prior, constant sigma, labeled + label-free evaluate parity."""
+    net = ref.Net(IN_SHAPE, C, type='cvae', features=None,
+                  encoder=[16], latent_dim=K, decoder=[16],
+                  classifier=[8], latent_sampling=1, test_latent_sampling=3,
+                  beta=0.0, gamma=100., sigma={'value': 0.5},
+                  output_activation='sigmoid',
+                  prior={'distribution': 'gaussian', 'num_priors': C,
+                         'init_mean': 1.0, 'learned_means': True})
+    src = _save_reference_job(net, str(tmp_path / 'src' / '3'),
+                              with_recorder=False, ref_mod=ref)
+    dst = str(tmp_path / 'jobs' / '3')
+    import_reference_job(src, dst)
+    job = load_job(dst)
+    compared = _compare_losses(net, job)
+    assert 'cross_x' in compared
+
+
+def test_import_uniform_prior(ref, tmp_path):
+    """Conditional uniform-with-gaussian-tail prior (the non-conditional
+    spelling trips a broadcast bug in the reference's own evaluate)."""
+    net = ref.Net(IN_SHAPE, C, type='cvae', features=None,
+                  encoder=[16], latent_dim=K, decoder=[16],
+                  classifier=[8], latent_sampling=1, test_latent_sampling=3,
+                  beta=0.0, gamma=0., sigma={'value': 0.5},
+                  output_activation='sigmoid',
+                  prior={'distribution': 'uniform', 'num_priors': C,
+                         'init_mean': 1.0, 'learned_means': True})
+    src = _save_reference_job(net, str(tmp_path / 'src' / '4'),
+                              with_recorder=False, ref_mod=ref)
+    dst = str(tmp_path / 'jobs' / '4')
+    import_reference_job(src, dst)
+    job = load_job(dst)
+    _compare_losses(net, job)
+
+
+def test_import_rejects_resnet_features(tmp_path):
+    """torchvision feature extractors fail loudly, not silently wrong."""
+    from joint_vae_tpu.save_load.import_reference import map_reference_state
+    sd = {'features.model.conv1.weight': np.zeros((8, 3, 3, 3), np.float32)}
+    with pytest.raises(ImportError_, match='resnet'):
+        map_reference_state(sd, {'features_stack': {}}, None)
+
+
+def test_import_cli_scan(ref, tmp_path, capsys):
+    """--scan walks a reference jobs tree, keeps the relative layout."""
+    net = _conv_net(ref)
+    nested = tmp_path / 'refroot' / 'mnist' / 'archX' / 'opt' / '12'
+    _save_reference_job(net, str(nested), with_recorder=False, ref_mod=ref)
+    from joint_vae_tpu.cli.import_ref import main
+    jobs = str(tmp_path / 'jobs')
+    assert main(['--scan', str(tmp_path / 'refroot'), '--job-dir', jobs,
+                 '--platform', 'cpu']) == 0
+    out = capsys.readouterr().out
+    assert '1 imported, 0 failed' in out
+    dst = os.path.join(jobs, 'mnist', 'archX', 'opt', '12')
+    job = load_job(dst, ghost=True)
+    assert job.job_number == 12
