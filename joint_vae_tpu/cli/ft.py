@@ -104,8 +104,17 @@ def main(argv=None):
     p.add_argument('--test-batch-size', type=int, default=256)
     p.add_argument('--inspection', action='store_true',
                    help='record encoder-mean SampleRecorders per set before '
-                        'and after the fine-tune for PCA/latent-shift '
+                        'and after the fine-tune for PCA/t-SNE/latent-shift '
                         'analysis (ref ft/__main__.py:209-221)')
+    p.add_argument('--pca', action='store_const', dest='inspection_model',
+                   const='pca', default='pca',
+                   help='project latents with PCA (ref ft/inspection.py:217)')
+    p.add_argument('--tsne', action='store_const', dest='inspection_model',
+                   const='tsne',
+                   help='project latents with t-SNE '
+                        '(ref ft/inspection.py:218)')
+    p.add_argument('--inspection-model', choices=['pca', 'tsne'],
+                   dest='inspection_model')
     p.add_argument('--lr', type=float, default=None,
                    help='fine-tune with a fresh adam at this lr instead of '
                         "the source job's optimizer (ref ft/__main__.py:194)")
@@ -165,13 +174,15 @@ def main(argv=None):
     return _job_main(args, dflt)
 
 
-def _report_latent_shift(save_dir: str, epoch: int, set_name: str) -> None:
-    """PCA + shift metrics between the init and post latent dumps; writes
-    inspection.json next to the recorders (ref ft/inspection.py:24-118)."""
+def _report_latent_shift(save_dir: str, epoch: int, set_name: str,
+                         classes=None, model: str = 'pca') -> None:
+    """Shift metrics + 2D projection (PCA or t-SNE) between the init and
+    post latent dumps; writes inspection.json and proj2d-<model>.csv next
+    to the recorders (ref ft/inspection.py:24-180)."""
     import json as _json
     import numpy as np
     from ..save_load.recorders import SampleRecorder
-    from ..utils.inspection import latent_pca, latent_shift
+    from ..utils.inspection import latent_pca, latent_shift, proj2d_csv
     edir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch))
     pre = os.path.join(edir, 'init', 'sample-{}.npz'.format(set_name))
     post = os.path.join(edir, 'sample-{}.npz'.format(set_name))
@@ -182,11 +193,30 @@ def _report_latent_shift(save_dir: str, epoch: int, set_name: str) -> None:
     n = min(len(mu0), len(mu1))
     shift = latent_shift(mu0[:n], mu1[:n])
     _, _, var_ratio = latent_pca(mu1[:n])
-    out = dict(shift, set=set_name, epoch=epoch,
+    out = dict(shift, set=set_name, epoch=epoch, model=model,
                pca_explained=[float(v) for v in np.asarray(var_ratio)[:2]])
     with open(os.path.join(edir, 'inspection.json'), 'w') as f:
         _json.dump(out, f, indent=1)
     logging.info('latent shift (%s): %s', set_name, shift)
+
+    # all recorded sets feed the 2D projection (ref proj2d)
+    def _load_dir(d):
+        recs = {}
+        for f in sorted(os.listdir(d)) if os.path.isdir(d) else []:
+            if f.startswith('sample-') and f.endswith('.npz'):
+                r = SampleRecorder.load(os.path.join(d, f))
+                recs[f[len('sample-'):-len('.npz')]] = {
+                    k: r.get(k) for k in r.keys()}
+        return recs
+    pre_recs = _load_dir(os.path.join(edir, 'init'))
+    post_recs = _load_dir(edir)
+    if set_name in pre_recs and set_name in post_recs:
+        csv = os.path.join(edir, 'proj2d-{}.csv'.format(model))
+        proj2d_csv(pre_recs, post_recs, set_name,
+                   classes if classes is not None
+                   else list(range(len(pre_recs[set_name]['centroids']))),
+                   csv, model=model)
+        logging.info('2d latent projection (%s) written to %s', model, csv)
 
 
 def _array_main(args):
@@ -293,8 +323,9 @@ def _job_main(args, dflt):
                        jax.random.PRNGKey(args.seed),
                        os.path.join(job.saved_dir, 'samples',
                                     '{:04d}'.format(job.trained)))
-        _report_latent_shift(job.saved_dir, job.trained,
-                             testset.name)
+        _report_latent_shift(job.saved_dir, job.trained, testset.name,
+                             classes=getattr(testset, 'classes', None),
+                             model=args.inspection_model)
     return 0
 
 

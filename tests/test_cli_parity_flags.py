@@ -107,6 +107,11 @@ def test_ft_inspection_and_lr(job_dir):
     import numpy as np
     with np.load(os.path.join(edir, 'sample-mnist.npz')) as z:
         assert 'mu' in z and 'centroids' in z and 'alternate' in z
+    # the 2D projection CSV (default model pca, ref ft/inspection.py:217)
+    csv = open(os.path.join(edir, 'proj2d-pca.csv')).read().splitlines()
+    assert csv[0] == 'x1,x2,y,set,dist,ft'
+    assert any(',alt,ood,both' in line for line in csv[1:])
+    assert any(line.endswith(',mnist,ind,ft') for line in csv[1:])
 
 
 def test_no_features_flag():
