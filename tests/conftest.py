@@ -29,3 +29,22 @@ os.environ['JAX_PLATFORMS'] = 'cpu'
 import jax  # noqa: E402
 
 jax.config.update('jax_platforms', 'cpu')
+
+import pytest  # noqa: E402
+
+
+def pytest_addoption(parser):
+    parser.addoption('--runslow', action='store_true', default=False,
+                     help='also run slow tests (oracle campaigns, e2e '
+                          'trainers) — the full ~30 min suite')
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two tiers: the default run is the fast (<10 min) edit-verify loop;
+    `--runslow` runs everything; `-m slow` runs only the slow tier."""
+    if config.getoption('--runslow') or config.getoption('-m'):
+        return
+    skip = pytest.mark.skip(reason='slow tier: pass --runslow or -m slow')
+    for item in items:
+        if 'slow' in item.keywords:
+            item.add_marker(skip)

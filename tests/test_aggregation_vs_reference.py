@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.evals.aggregation import ensemble_posterior
 
 torch = pytest.importorskip('torch')

@@ -4,6 +4,8 @@ import os
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 TRAIN_ARGS = ['--dataset', 'mnist', '--type', 'cvae', '--epochs', '1',
               '--batch-size', '32', '--test-batch-size', '64',
               '-K', '8', '--encoder', '32', '--decoder', '32',

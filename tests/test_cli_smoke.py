@@ -6,6 +6,8 @@ import os
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 TRAIN_ARGS = ['--dataset', 'mnist', '--type', 'cvae', '--epochs', '1',
               '--batch-size', '32', '--test-batch-size', '64',
               '-K', '8', '--encoder', '32', '--decoder', '32',

@@ -5,6 +5,8 @@ must equal what torch Conv2d/ConvTranspose2d/pooling produce."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 

@@ -8,6 +8,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.data.registry import (get_shape_by_name,
                                          get_same_size_by_name,
                                          get_heldout_classes_by_name,

@@ -10,6 +10,8 @@ import tempfile
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 
 from joint_vae_tpu.models.cvnet import CVNetConfig

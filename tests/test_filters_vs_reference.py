@@ -8,6 +8,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.utils.filters import ParamFilter
 
 torch = pytest.importorskip('torch')   # the reference tree assumes torch

@@ -1,5 +1,9 @@
 """Array aggregation, scheduler, poscod head tests."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import tempfile
 import threading

@@ -1,6 +1,10 @@
 """The fused whole-epoch device program (make_device_epoch_fn) trains the
 same trajectory as the per-step dispatch path."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from joint_vae_tpu.ops.losses import mse_loss, categorical_loss, x_loss

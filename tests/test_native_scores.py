@@ -13,6 +13,8 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from __graft_entry__ import _flagship_cfg
 from joint_vae_tpu.models.cvnet import CVNetConfig, decode_native_f
 from joint_vae_tpu.models.evaluate import evaluate

@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from joint_vae_tpu.train.optimizers import (OptimizerConfig, build_optimizer,

@@ -14,6 +14,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import joint_vae_tpu.ops.pallas_conv as pc
 
 RNG = np.random.default_rng(7)

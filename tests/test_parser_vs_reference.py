@@ -14,6 +14,8 @@ import types
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.models.conv import (parse_conv_layer_name,
                                        FEATURES_ARCHS, UPSAMPLER_ARCHS)
 

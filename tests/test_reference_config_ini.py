@@ -5,6 +5,8 @@ optimizer configurations (ref config.ini:1-366, utils/parameters.py:179-219).
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.utils.parameters import (get_args, model_config_from_args,
                                             optimizer_config_from_args)
 

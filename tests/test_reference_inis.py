@@ -8,6 +8,8 @@ import shutil
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.utils.filters import filters_from_dict
 
 TRAIN_ARGS = ['--dataset', 'mnist', '--type', 'cvae', '--epochs', '1',

@@ -5,6 +5,10 @@ Scorer honoring two-sided upper thresholds, and CVNetConfig.from_dict not
 mutating the caller's nested sigma dict.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import numpy as np

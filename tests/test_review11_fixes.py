@@ -14,6 +14,8 @@ import threading
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 
 # -- train CLI: resume adopts the saved transformer -------------------------
 

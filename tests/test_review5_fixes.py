@@ -13,6 +13,8 @@ import time
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.data.loaders import ArrayDataset, DataLoader
 from joint_vae_tpu.data.registry import dataset_properties
 from joint_vae_tpu.save_load.recorders import LossRecorder

@@ -7,6 +7,10 @@ result 'n' counting OOD samples, and kl-argmin pseudo-labels recorded for
 the '~' replay tier.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import tempfile
 

@@ -13,6 +13,8 @@ import tempfile
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.data.loaders import ArrayDataset
 from joint_vae_tpu.models.cvnet import CVNetConfig
 from joint_vae_tpu.ops.priors import PriorConfig

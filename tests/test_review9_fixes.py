@@ -8,6 +8,10 @@ recorder persistence on first run, and generation_grid honoring diag
 prior scales.
 """
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import tempfile
 

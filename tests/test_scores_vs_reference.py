@@ -8,6 +8,8 @@ import types
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax.numpy as jnp
 
 from joint_vae_tpu.models.cvnet import CVNetConfig

@@ -2,6 +2,10 @@
 matches the single-device step exactly (pmean of per-shard grads == global
 gradient when the loss is a batch mean)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

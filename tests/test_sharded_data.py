@@ -1,6 +1,10 @@
 """Sharded data feeding on the virtual mesh (single-process path + shard
 arithmetic for the multi-process path)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

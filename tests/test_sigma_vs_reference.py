@@ -7,6 +7,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from joint_vae_tpu.ops.sigma import (SigmaConfig, init_sigma_state,
                                      update_sigma_rmse, sigma_value)
 

@@ -2,6 +2,10 @@
 LR decay applies, checkpoints round-trip bit-exactly (the jax way: same seed
 => same losses — SURVEY.md section 4 implication c)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -1,6 +1,10 @@
 """Trainer-loop integration test on a tiny synthetic dataset: history,
 validation split, checkpoint files, resume, early stopping."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import tempfile
 

@@ -1,5 +1,9 @@
 """train_model(mesh=...) integration on the virtual 8-device mesh."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

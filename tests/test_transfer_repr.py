@@ -1,5 +1,9 @@
 """Pretrained transfer + freezing, HSV representation, resnet features."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import tempfile
 

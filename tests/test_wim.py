@@ -1,6 +1,10 @@
 """WIM fine-tuning tests: ft datasets, score grammar vs hand math, and the
 end-to-end finetune flow improving alternate-prior separation."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import os
 import tempfile
 

@@ -1,6 +1,10 @@
 """WIMJob.evaluate_on_both_priors produces the @-suffixed loss twins with
 the right shapes (the context-manager behavior of ref ft/wim.py:114-130)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax

@@ -3,6 +3,10 @@ priors stay frozen, and the alternate-prior ELBO of the moving set improves
 — the directional behavior the WIM flow relies on (full-scale OOD-AUROC
 gains need real-data training budgets, ref results/tabs/sota.csv)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import numpy as np
 
 import jax
