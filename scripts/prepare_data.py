@@ -95,6 +95,17 @@ def cmd_make_fixtures(args):
     d = args.data_dir
     rng = np.random.default_rng(0)
 
+    # cifar-10 python-pickle batches (5 train batches + test_batch)
+    import pickle
+    b10 = os.path.join(d, 'cifar10', 'cifar-10-batches-py')
+    os.makedirs(b10, exist_ok=True)
+    for fn, n in [('data_batch_{}'.format(i), 8) for i in range(1, 6)] + [
+            ('test_batch', 16)]:
+        with open(os.path.join(b10, fn), 'wb') as f:
+            pickle.dump({b'data': rng.integers(0, 255, (n, 3072),
+                                               dtype=np.uint8),
+                         b'labels': rng.integers(0, 10, n).tolist()}, f)
+
     # svhn .mat
     os.makedirs(os.path.join(d, 'svhn'), exist_ok=True)
     for split, n in (('train', 12), ('test', 8)):
