@@ -190,6 +190,103 @@ def test_evaluate_on_both_priors_twins(ref_wimjob):
         set(compared), compared
 
 
+def test_post_finetune_twin_and_score_parity(ref_wimjob):
+    """Round-2 verdict item 4: the '@'-twin oracle at a *fine-tuned* state.
+
+    The init-state twin parity (test above) does not cover the regime the
+    sota table lives in: priors that have DIVERGED through optimizer steps.
+    Here both sides take 4 identical finetune_batch steps (the reference's
+    caller does L.backward() + Adam.step(), ref ft/wim.py:215-259 consumed
+    by its WIM driver; ours is wim.finetune_batch with the torch-semantics
+    optax chain), then compare evaluate_on_both_priors losses AND the
+    k@/k~/k~@ scores computed from those diverged-state losses."""
+    torch.manual_seed(42)          # reproducible init -> reproducible drift
+    ref, wim = _build_wim_pair(ref_wimjob)
+    lr, alpha = 1e-3, 0.3
+    opt = torch.optim.Adam([p for p in ref.parameters() if p.requires_grad],
+                           lr=lr)
+    tx = build_optimizer(OptimizerConfig(optim_type='adam', lr=lr))
+    state = wim.job.state
+
+    rng = np.random.default_rng(23)
+    for step in range(4):
+        x_in = rng.uniform(0, 1, (5,) + IN_SHAPE).astype(np.float32)
+        y_in = rng.integers(0, C, 5).astype(np.int64)
+        x_mix = rng.uniform(0, 1, (4,) + IN_SHAPE).astype(np.float32)
+        L, _, _ = ref.finetune_batch(0, step, torch.tensor(x_in),
+                                     torch.tensor(y_in),
+                                     torch.tensor(x_mix), alpha=alpha)
+        opt.zero_grad()
+        L.backward()
+        opt.step()
+        state, metrics = wim.finetune_batch(
+            state, jnp.asarray(x_in), jnp.asarray(y_in), jnp.asarray(x_mix),
+            alpha=alpha, rng=jax.random.PRNGKey(step), tx=tx)
+        # fp32 Adam trajectories drift a little more each step (the
+        # gamma=100 CE term amplifies it); the point here is the twin/score
+        # parity at the diverged state below, at the same 2e-3
+        np.testing.assert_allclose(float(metrics['total']),
+                                   float(L.detach()), rtol=2e-3, atol=2e-3,
+                                   err_msg='step {} loss'.format(step))
+
+    # both priors must be bit-frozen through the steps
+    np.testing.assert_array_equal(
+        np.asarray(state.params['prior']['mean']),
+        np.asarray(wim.job.state.params['prior']['mean']))
+    np.testing.assert_array_equal(
+        ref._alternate_prior.mean.detach().numpy(),
+        np.asarray(wim.alternate_prior_params['mean']))
+
+    # twin losses at the diverged state
+    x = rng.uniform(0, 1, (6,) + IN_SHAPE).astype(np.float32)
+    ref.eval()
+    with ref.no_estimated_labels(), ref.evaluate_on_both_priors():
+        with torch.no_grad():
+            _, _, ref_losses, _ = ref.evaluate(torch.tensor(x))
+    _, _, losses, _ = wim.evaluate_on_both_priors(
+        {'params': state.params}, jnp.asarray(x),
+        rng=jax.random.PRNGKey(5), sigma_state=state.sigma_state)
+    compared = []
+    for k, v in ref_losses.items():
+        if k in ev.SKIP_KEYS or k.rstrip('@') in ev.SKIP_KEYS:
+            continue
+        if k not in losses:
+            continue
+        w = v.detach().numpy()
+        g = np.asarray(losses[k])
+        if g.shape != w.shape:
+            continue
+        np.testing.assert_allclose(g, w, rtol=2e-3, atol=2e-3,
+                                   err_msg='diverged twin loss {}'.format(k))
+        compared.append(k)
+    assert {'kl', 'kl@', 'zdist', 'zdist@', 'total', 'total@'} <= \
+        set(compared), compared
+
+    # ...and the LLR scores computed from those diverged-state losses
+    y_est = rng.integers(0, C, len(x))
+    methods = ['zdist@', 'zdist~@', 'elbo@', 'kl@', 'kl~@']
+    ref_in = {k: v.detach() for k, v in ref_losses.items()
+              if k.rstrip('@') in ('total', 'kl', 'zdist')}
+    ours_in = {k: losses[k] for k in ref_in}
+    # the reference engine dereferences an iws tensor regardless of the
+    # requested methods (ref cvae.py:996); iws is sampling-noise dependent,
+    # so feed both sides the SAME synthetic twins (unconsumed by `methods`)
+    shared_iws = rng.normal(size=(C, len(x))).astype(np.float32)
+    shared_iws_t = rng.normal(size=(len(x),)).astype(np.float32)
+    ref_in['iws'], ref_in['iws@'] = (torch.tensor(shared_iws),
+                                     torch.tensor(shared_iws_t))
+    ours_in['iws'], ours_in['iws@'] = (jnp.asarray(shared_iws),
+                                       jnp.asarray(shared_iws_t))
+    ref_in['y_est_already'] = torch.tensor(y_est)
+    ref_out = ref.batch_dist_measures(None, ref_in, methods)
+    got = wim_measures(wim.cfg, ours_in, methods, y_est=jnp.asarray(y_est))
+    for m in methods:
+        np.testing.assert_allclose(np.asarray(got[m]),
+                                   ref_out[m].detach().numpy(),
+                                   rtol=2e-3, atol=2e-3,
+                                   err_msg='diverged-state method ' + m)
+
+
 def test_wim_score_grammar_vs_reference(ref_wimjob):
     """k~ / k@ / k~@ / softk~ on identical loss tensors
     (ref ft/wim.py:131-201)."""
