@@ -90,10 +90,19 @@ def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
         from ..parallel.mesh import sample_constraint
         constrain_z = sample_constraint(mesh)
 
+    # JVT_EVAL_NATIVE: native-layout loss epilogue in the forward-only
+    # scoring program ('' = off, '1'/'bf16'/'barrier'/'bf16+barrier' — see
+    # models/evaluate.py native_scores; measured in docs/BENCH.md round 3).
+    # Safe here because nothing downstream renders x_reco (scores/losses
+    # only); recorders get identical loss dicts.
+    ns = os.environ.get('JVT_EVAL_NATIVE', '')
+    ns = False if ns in ('', '0') else (True if ns == '1' else ns)
+
     def _one(variables, x, key):
         out = evaluate(model, variables, x, None, rng=key,
                        sigma_state=sigma_state, train=False,
-                       decode_mean=False, constrain_z=constrain_z)
+                       decode_mean=False, constrain_z=constrain_z,
+                       native_scores=ns)
         losses = dict(out.losses)
         if odin is not None:
             losses.update(odin(variables, x, key))

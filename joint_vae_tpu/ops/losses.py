@@ -26,14 +26,24 @@ def _image_axes(x: jax.Array, ndim: int):
 
 
 def mse_loss(x_output: jax.Array, x_target: jax.Array, ndim: int = 3,
-             batch_mean: bool = True) -> jax.Array:
+             batch_mean: bool = True, low_precision: bool = False) -> jax.Array:
     """Per-sample MSE over the last ``ndim`` dims.
 
     x_target: (N1..Ng, D1..Dt);  x_output: (L, [C,] N1..Ng, D1..Dt).
     Returns (L, [C,] N1..Ng) if not batch_mean, else scalar mean.
+
+    ``low_precision=True`` keeps the elementwise sub/square in the output's
+    compute dtype (bf16 on TPU) and only accumulates the reduction in
+    float32 — halves the HBM traffic of the (L, ...) epilogue at ~1e-3
+    relative noise on the per-item means (opt-in, eval throughput knob).
     """
-    diff = (x_output - x_target).astype(jnp.float32)
-    per = jnp.mean(jnp.square(diff), axis=_image_axes(diff, ndim))
+    if low_precision and x_output.dtype != jnp.float32:
+        diff = x_output - x_target.astype(x_output.dtype)
+        per = jnp.mean(jnp.square(diff).astype(jnp.float32),
+                       axis=_image_axes(diff, ndim))
+    else:
+        diff = (x_output - x_target).astype(jnp.float32)
+        per = jnp.mean(jnp.square(diff), axis=_image_axes(diff, ndim))
     return jnp.mean(per) if batch_mean else per
 
 

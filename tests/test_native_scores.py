@@ -85,6 +85,42 @@ def test_grad_parity(tiny_job):
                                    rtol=5e-4, atol=1e-5, err_msg=str(p))
 
 
+@pytest.mark.parametrize('flags', ['barrier', 'bf16', 'bf16+barrier'])
+def test_epilogue_flag_parity(tiny_job, flags):
+    """The eval-throughput epilogue variants ('barrier' is numerically
+    inert; 'bf16' keeps the sub/square in compute dtype with f32
+    accumulation) stay close to the canonical losses."""
+    cfg = tiny_job.model_cfg
+    x, _ = _batch(cfg)
+    kw = dict(rng=jax.random.PRNGKey(1),
+              sigma_state=tiny_job.state.sigma_state, train=False)
+    o0 = evaluate(tiny_job.model, tiny_job.state.variables, x, None, **kw)
+    o1 = evaluate(tiny_job.model, tiny_job.state.variables, x, None,
+                  native_scores=flags, **kw)
+    assert set(o0.losses) == set(o1.losses)
+    # f32 compute dtype on CPU: 'bf16' only engages on low-precision
+    # decoders, so parity here is tight for every flag combination
+    for k in o0.losses:
+        np.testing.assert_allclose(np.asarray(o0.losses[k]),
+                                   np.asarray(o1.losses[k]),
+                                   rtol=2e-5, atol=1e-5, err_msg=k)
+
+
+def test_epilogue_bf16_low_precision_mse():
+    """mse_loss(low_precision=True) on bf16 inputs: bf16 elementwise, f32
+    accumulation — relative error vs the f32 path stays ~1e-2."""
+    from joint_vae_tpu.ops.losses import mse_loss
+    rng = np.random.default_rng(3)
+    out = jnp.asarray(rng.uniform(0, 1, (4, 6, 8, 8, 3)).astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(0, 1, (6, 8, 8, 3)).astype(np.float32))
+    ref = mse_loss(out, tgt, batch_mean=False)
+    low = mse_loss(out.astype(jnp.bfloat16), tgt, batch_mean=False,
+                   low_precision=True)
+    assert low.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(low), np.asarray(ref),
+                               rtol=2e-2, atol=1e-3)
+
+
 def test_pack0_native_is_nhwc(tiny_job, monkeypatch):
     monkeypatch.setenv('JVT_PACK', '0')
     cfg = tiny_job.model_cfg
