@@ -35,6 +35,12 @@ H100_REFERENCE_IMG_PER_SEC = 10000.0
 PEAK_BF16_FLOPS = float(os.environ.get('JVT_PEAK_FLOPS', 197e12))
 
 MODE = os.environ.get('JVT_BENCH_MODE', 'train')
+# Second bench geometry (JVT_BENCH_GEOM=imagenet64): vgg16 features on
+# 3x64x64, C=1000, K=256 — BASELINE.json config #5's shape class.  The
+# packed/subpixel lowering decisions were re-derived on it (docs/BENCH.md
+# "Second train geometry").
+GEOM = os.environ.get('JVT_BENCH_GEOM', 'cifar')
+PREFIX = 'imagenet64' if GEOM == 'imagenet64' else 'cifar100'
 if MODE == 'pipeline':
     # measured on the v5e (docs/BENCH.md): the packed-output first-conv
     # lowering wins in pipeline mode (149.3k vs 146.7k img/s at batch 512),
@@ -44,7 +50,8 @@ if MODE == 'pipeline':
 # per-mode sweet spots (docs/BENCH.md): train 1024 (157k vs 152k at 512,
 # 154k at 2048); eval/pipeline 512 (1024 loses to memory pressure there)
 BATCH = int(os.environ.get('JVT_BENCH_BATCH',
-                           1024 if MODE in ('train', 'mfu') else 512))
+                           (256 if GEOM == 'imagenet64' else
+                            1024 if MODE in ('train', 'mfu') else 512)))
 STEPS = int(os.environ.get('JVT_BENCH_STEPS', 200))
 WARMUP = int(os.environ.get('JVT_BENCH_WARMUP', 10))
 
@@ -77,12 +84,13 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from __graft_entry__ import _flagship_cfg
+    from __graft_entry__ import _flagship_cfg, _imagenet64_cfg
     from joint_vae_tpu.save_load.jobs import new_job
     from joint_vae_tpu.train.optimizers import OptimizerConfig, build_optimizer
     from joint_vae_tpu.train.steps import make_train_step
 
-    cfg = _flagship_cfg(
+    make_cfg = _imagenet64_cfg if GEOM == 'imagenet64' else _flagship_cfg
+    cfg = make_cfg(
         compute_dtype=os.environ.get('JVT_BENCH_DTYPE', 'bfloat16'))
     job = new_job(cfg, OptimizerConfig(lr=1e-4), key=jax.random.PRNGKey(0))
     tx = build_optimizer(job.opt_cfg)
@@ -148,7 +156,7 @@ def main():
         assert np.isfinite(final), final
         img_per_sec = BATCH * steps_timed / dt / n_chips
         print(json.dumps({
-            'metric': 'cifar100_cvae_train_pipeline_images_per_sec_per_chip',
+            'metric': PREFIX + '_cvae_train_pipeline_images_per_sec_per_chip',
             'value': round(img_per_sec, 1),
             'unit': 'images/sec/chip',
             'vs_baseline': round(img_per_sec / H100_REFERENCE_IMG_PER_SEC, 3),
@@ -178,7 +186,7 @@ def main():
         assert np.isfinite(final), final
         img_per_sec = BATCH * nb * reps / dt / n_chips
         print(json.dumps({
-            'metric': 'cifar100_cvae_ood_eval_images_per_sec_per_chip',
+            'metric': PREFIX + '_cvae_ood_eval_images_per_sec_per_chip',
             'value': round(img_per_sec, 1),
             'unit': 'images/sec/chip',
             'vs_baseline': round(img_per_sec / H100_REFERENCE_IMG_PER_SEC, 3),
@@ -216,7 +224,7 @@ def main():
 
     img_per_sec = BATCH * STEPS / dt / n_chips
     out = {
-        'metric': 'cifar100_cvae_train_images_per_sec_per_chip',
+        'metric': PREFIX + '_cvae_train_images_per_sec_per_chip',
         'value': round(img_per_sec, 1),
         'unit': 'images/sec/chip',
         'vs_baseline': round(img_per_sec / H100_REFERENCE_IMG_PER_SEC, 3),
