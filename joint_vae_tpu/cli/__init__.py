@@ -31,3 +31,7 @@ def apply_platform(args):
     if platform:
         import jax
         jax.config.update('jax_platforms', platform)
+    # persistent XLA compile cache: repeat CLI runs skip the first-compile
+    # wait (JVT_COMPILE_CACHE=0 disables; utils/device.py)
+    from ..utils.device import enable_compilation_cache
+    enable_compilation_cache()

@@ -10,11 +10,40 @@
 
 import logging
 import os
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, Optional, Tuple
 
 import numpy as np
 
 _max_batch_cache: Dict[Tuple, int] = {}
+
+
+def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
+    """Point XLA's persistent compilation cache at a writable directory so
+    repeat CLI invocations skip the 20-40s first compile (no reference
+    counterpart — torch has no AOT compile to cache).
+
+    Resolution order: explicit ``path`` > ``JVT_COMPILE_CACHE`` env var >
+    ``~/.cache/joint_vae_tpu/xla``.  ``JVT_COMPILE_CACHE=0`` (or ``off``)
+    disables.  Returns the directory in use, or None when disabled or the
+    backend/filesystem refuses (never fatal — the cache is an optimization).
+    """
+    p = path if path is not None else os.environ.get('JVT_COMPILE_CACHE')
+    if p in ('0', 'off'):
+        return None
+    if not p:
+        p = os.path.join(os.path.expanduser('~'), '.cache',
+                         'joint_vae_tpu', 'xla')
+    try:
+        os.makedirs(p, exist_ok=True)
+        import jax
+        jax.config.update('jax_compilation_cache_dir', p)
+        # cache every model-scale program (the defaults skip sub-second
+        # compiles, which covers the tiny helper jits we don't care about)
+        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        return p
+    except Exception as e:               # pragma: no cover - defensive
+        logging.info('compilation cache disabled: %s', e)
+        return None
 
 
 def compute_max_batch_size(step_fn: Callable[[int], None], start: int = 128,
