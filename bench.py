@@ -48,10 +48,12 @@ if MODE == 'pipeline':
     # loses in eval (31.5 vs 32.9k) — default it on here only.
     os.environ.setdefault('JVT_C0_PACKED', 'auto')
 # per-mode sweet spots (docs/BENCH.md): train 1024 (157k vs 152k at 512,
-# 154k at 2048); eval/pipeline 512 (1024 loses to memory pressure there)
+# 154k at 2048); pipeline 512 (1024 loses to memory pressure there);
+# eval 768 (round-3 probe: 35.2k vs 34.9k at 512 with the bf16 epilogue)
 BATCH = int(os.environ.get('JVT_BENCH_BATCH',
                            (256 if GEOM == 'imagenet64' else
-                            1024 if MODE in ('train', 'mfu') else 512)))
+                            1024 if MODE in ('train', 'mfu') else
+                            768 if MODE == 'eval' else 512)))
 STEPS = int(os.environ.get('JVT_BENCH_STEPS', 200))
 WARMUP = int(os.environ.get('JVT_BENCH_WARMUP', 10))
 

@@ -91,11 +91,16 @@ def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
         constrain_z = sample_constraint(mesh)
 
     # JVT_EVAL_NATIVE: native-layout loss epilogue in the forward-only
-    # scoring program ('' = off, '1'/'bf16'/'barrier'/'bf16+barrier' — see
-    # models/evaluate.py native_scores; measured in docs/BENCH.md round 3).
-    # Safe here because nothing downstream renders x_reco (scores/losses
-    # only); recorders get identical loss dicts.
+    # scoring program ('0' = off, '1'/'bf16'/'barrier'/'bf16+barrier' — see
+    # models/evaluate.py native_scores; measured in docs/BENCH.md round 3:
+    # 'bf16' wins +7% on bf16 models, score deviation <=8e-4 relative, so
+    # it is the default there; f32 models keep the canonical layout, where
+    # the native epilogue measured a wash).  Safe here because nothing
+    # downstream renders x_reco (scores/losses only); recorders get
+    # identical loss dicts.
     ns = os.environ.get('JVT_EVAL_NATIVE', '')
+    if ns == '':
+        ns = 'bf16' if model.cfg.compute_dtype == 'bfloat16' else '0'
     ns = False if ns in ('', '0') else (True if ns == '1' else ns)
 
     def _one(variables, x, key):

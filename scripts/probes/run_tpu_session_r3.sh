@@ -32,7 +32,14 @@ run() {  # run <name> <timeout_s> <cmd...>
     fi
 }
 
-health || { echo "tunnel unhealthy — not starting"; exit 1; }
+# The tunnel self-heals ~5-10 min after a killed/timed-out TPU process:
+# retry the health gate a few times before giving up.
+for attempt in 1 2 3 4; do
+    health && break
+    echo "health attempt $attempt failed ($(date +%H:%M:%S)) — waiting 300s"
+    [ "$attempt" = 4 ] && { echo "tunnel unhealthy — not starting"; exit 1; }
+    sleep 300
+done
 echo "tunnel healthy, starting round-3 session"
 
 # --- item 3: eval epilogue variants ---
@@ -51,5 +58,5 @@ run im64_c0      700 env JVT_BENCH_GEOM=imagenet64 JVT_C0_PACKED=auto python ben
 run flag_train   600 python bench.py
 run flag_mfu     600 env JVT_BENCH_MODE=mfu python bench.py
 run flag_eval    700 env JVT_BENCH_MODE=eval python bench.py
-run wim_inv     1500 python -u scripts/wim_inversion_study.py
+run wim_inv     2700 python -u scripts/wim_inversion_study.py
 echo "=== done ($(date +%H:%M:%S)) ==="

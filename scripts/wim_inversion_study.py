@@ -4,11 +4,23 @@
 results/tabs/sota.csv wim-vae column.)
 
 The LLR score k@ = sign*k(original prior) - sign*k(alternate prior)
-subtracts two discriminators.  This study decomposes it at two WIM
-operating points — A: the reference's (mix 0.5, alpha 0.3, 1 ft epoch,
-wim-vae.ini) and B: the strong dose WIM_QUALITY.json was measured at
-(pure-OOD moving set, alpha 1.0, 8 ft epochs) — reporting, per score k in
-{elbo, zdist, kl}:
+subtracts two discriminators.  This study decomposes it for two pretrain
+prior families x two WIM operating points:
+
+  families — 'gaussian': the WIM_QUALITY.json benchmark config (where
+  tests/test_wim_llr_identity.py proves kl@ == zdist@ == elbo@ exactly, so
+  there is only ONE LLR method); 'tilted': the reference's sota.csv
+  headline operating point (ref config.ini [tilted]: tilted prior, forced
+  encoder variance 1.0, sigma 0.7071, beta 1, tau/init_mean scaled from
+  K=100's 25 to K=64's 20; alternate prior = tilted mean-0 same-tau, ref
+  config.ini [wim-default] prior_means=0/tau), where the LLR scores
+  genuinely decouple;
+
+  operating points — A: the reference's (mix 0.5, alpha 0.3, 1 ft epoch)
+  and B: the strong dose WIM_QUALITY.json was measured at (pure-OOD moving
+  set, alpha 1.0, 8 ft epochs).
+
+Reported per score k in {elbo, zdist, kl}:
 
     auc_plain  AUROC of the original-prior score alone (higher = ind)
     auc_alt    AUROC of the alternate-prior twin alone (same orientation)
@@ -122,20 +134,34 @@ def main():
     _, ood = get_dataset(ood_name, splits=['test'], size=eval_n)
     te_eval_idx = np.arange(min(len(te), eval_n))
 
-    cfg = CVNetConfig(
-        input_shape=(3, 32, 32), num_labels=10, type='vae',
-        features='conv32', upsampler='deconv32',
-        encoder=(512,), decoder=(512,), latent_dim=64,
-        latent_sampling=1, test_latent_sampling=16, gamma=0.0, beta=0.05,
-        sigma=SigmaConfig(value=0.2), prior=PriorConfig(dim=64),
-        compute_dtype=os.environ.get('JVT_WIM_DTYPE', 'bfloat16'))
-    job = new_job(cfg, OptimizerConfig(lr=3e-4), key=jax.random.PRNGKey(0))
-    job.training_parameters['set'] = ind_name
-    train_epochs_on_device(job, tr, epochs=epochs, batch_size=256,
-                           log_every=10)
-    print('pretrained in {:.0f}s'.format(time.time() - t0), flush=True)
-    snap = tempfile.mkdtemp(prefix='wim_inv_')
-    save_job(job, snap)
+    dtype = os.environ.get('JVT_WIM_DTYPE', 'bfloat16')
+    common = dict(input_shape=(3, 32, 32), num_labels=10, type='vae',
+                  features='conv32', upsampler='deconv32',
+                  encoder=(512,), decoder=(512,), latent_dim=64,
+                  latent_sampling=1, test_latent_sampling=16, gamma=0.0,
+                  compute_dtype=dtype)
+    families = {
+        # the WIM_QUALITY.json benchmark config: LLRs provably collapse
+        'gaussian': dict(
+            cfg=CVNetConfig(beta=0.05, sigma=SigmaConfig(value=0.2),
+                            prior=PriorConfig(dim=64), **common),
+            alt=dict(init_mean=6.0, num_priors=1),
+        ),
+        # the reference sota.csv operating point (config.ini [tilted] +
+        # [wim-default]), tau/init_mean rescaled 25 -> 20 for K=64
+        'tilted': dict(
+            cfg=CVNetConfig(beta=1.0, sigma=SigmaConfig(value=0.7071),
+                            encoder_forced_variance=1.0,
+                            prior=PriorConfig(dim=64, distribution='tilted',
+                                              tau=20.0, init_mean=20.0),
+                            **common),
+            alt=dict(distribution='tilted', tau=20.0, init_mean=0.0,
+                     num_priors=1),
+        ),
+    }
+    if os.environ.get('JVT_WIM_FAMILIES'):
+        keep = os.environ['JVT_WIM_FAMILIES'].split(',')
+        families = {k: v for k, v in families.items() if k in keep}
 
     class _Slice:
         def __init__(self, ds, idx):
@@ -155,25 +181,35 @@ def main():
             c['ft_epochs'] = 1
     report = {'ind': ind_name, 'ood': ood_name, 'pretrain_epochs': epochs,
               'conditions': {}}
-    for name, c in conditions.items():
-        jb = load_job(snap)
-        wim = WIMJob(job=jb)
-        wim.set_alternate_prior(init_mean=6.0, num_priors=1,
-                                key=jax.random.PRNGKey(7))
-        moving = MixtureDataset(mix={'ood': c['mix'], 'ind': 1 - c['mix']},
-                                length=512, ood=ood, ind=te)
-        finetune(wim, tr, moving, te, [ood], epochs=c['ft_epochs'],
-                 alpha=c['alpha'], train_size=train_size,
-                 batch_size=32 if smoke else 128,
-                 moving_batch_size=4 if smoke else None,
-                 test_batch_size=512,
-                 ood_methods=['elbo', 'elbo@', 'zdist', 'zdist@', 'kl'],
-                 seed=0, outputs=EpochOutput(stdout=False))
-        ind_tw = collect_twins(wim, _Slice(te, te_eval_idx))
-        ood_tw = collect_twins(wim, _Slice(ood, np.arange(len(ood))))
-        rows = decompose(ind_tw, ood_tw)
-        report['conditions'][name] = {'operating_point': c, 'scores': rows}
-        print(name, json.dumps(rows), flush=True)
+    for fam, f in families.items():
+        job = new_job(f['cfg'], OptimizerConfig(lr=3e-4),
+                      key=jax.random.PRNGKey(0))
+        job.training_parameters['set'] = ind_name
+        train_epochs_on_device(job, tr, epochs=epochs, batch_size=256,
+                               log_every=10)
+        print('{} pretrained at {:.0f}s'.format(fam, time.time() - t0),
+              flush=True)
+        snap = tempfile.mkdtemp(prefix='wim_inv_{}_'.format(fam))
+        save_job(job, snap)
+        for name, c in conditions.items():
+            jb = load_job(snap)
+            wim = WIMJob(job=jb)
+            wim.set_alternate_prior(key=jax.random.PRNGKey(7), **f['alt'])
+            moving = MixtureDataset(mix={'ood': c['mix'], 'ind': 1 - c['mix']},
+                                    length=512, ood=ood, ind=te)
+            finetune(wim, tr, moving, te, [ood], epochs=c['ft_epochs'],
+                     alpha=c['alpha'], train_size=train_size,
+                     batch_size=32 if smoke else 128,
+                     moving_batch_size=4 if smoke else None,
+                     test_batch_size=512,
+                     ood_methods=['elbo', 'elbo@', 'zdist', 'zdist@', 'kl'],
+                     seed=0, outputs=EpochOutput(stdout=False))
+            ind_tw = collect_twins(wim, _Slice(te, te_eval_idx))
+            ood_tw = collect_twins(wim, _Slice(ood, np.arange(len(ood))))
+            rows = decompose(ind_tw, ood_tw)
+            key = '{}/{}'.format(fam, name)
+            report['conditions'][key] = {'operating_point': c, 'scores': rows}
+            print(key, json.dumps(rows), flush=True)
 
     report['seconds'] = round(time.time() - t0, 1)
     report['backend'] = jax.default_backend()
