@@ -49,9 +49,11 @@ if MODE == 'pipeline':
     os.environ.setdefault('JVT_C0_PACKED', 'auto')
 # per-mode sweet spots (docs/BENCH.md): train 1024 (157k vs 152k at 512,
 # 154k at 2048); pipeline 512 (1024 loses to memory pressure there);
-# eval 768 (round-3 probe: 35.2k vs 34.9k at 512 with the bf16 epilogue)
+# eval 768 (round-3 probe: 35.2k vs 34.9k at 512 with the bf16 epilogue);
+# imagenet64 512 (12.9k vs 12.0k at 256 — first compile can exceed 420s,
+# keep JVT_BENCH_WATCHDOG_S >= 900 for a cold cache)
 BATCH = int(os.environ.get('JVT_BENCH_BATCH',
-                           (256 if GEOM == 'imagenet64' else
+                           (512 if GEOM == 'imagenet64' else
                             1024 if MODE in ('train', 'mfu') else
                             768 if MODE == 'eval' else 512)))
 STEPS = int(os.environ.get('JVT_BENCH_STEPS', 200))
