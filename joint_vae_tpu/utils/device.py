@@ -36,7 +36,15 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     try:
         os.makedirs(p, exist_ok=True)
         import jax
+        redirected = jax.config.jax_compilation_cache_dir not in (None, p)
         jax.config.update('jax_compilation_cache_dir', p)
+        if redirected:
+            # the cache object is a process singleton bound to the dir it
+            # was first initialized with; re-pointing the config mid-process
+            # (tests, embedding apps) needs an explicit reset to take effect
+            from jax.experimental.compilation_cache import (
+                compilation_cache as _cc)
+            _cc.reset_cache()
         # cache every model-scale program (the defaults skip sub-second
         # compiles, which covers the tiny helper jits we don't care about)
         jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
