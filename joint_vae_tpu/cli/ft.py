@@ -184,22 +184,9 @@ def _report_latent_shift(save_dir: str, epoch: int, set_name: str,
     from ..save_load.recorders import SampleRecorder
     from ..utils.inspection import latent_pca, latent_shift, proj2d_csv
     edir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch))
-    pre = os.path.join(edir, 'init', 'sample-{}.npz'.format(set_name))
-    post = os.path.join(edir, 'sample-{}.npz'.format(set_name))
-    if not (os.path.exists(pre) and os.path.exists(post)):
-        return
-    mu0 = SampleRecorder.load(pre).get('mu')
-    mu1 = SampleRecorder.load(post).get('mu')
-    n = min(len(mu0), len(mu1))
-    shift = latent_shift(mu0[:n], mu1[:n])
-    _, _, var_ratio = latent_pca(mu1[:n])
-    out = dict(shift, set=set_name, epoch=epoch, model=model,
-               pca_explained=[float(v) for v in np.asarray(var_ratio)[:2]])
-    with open(os.path.join(edir, 'inspection.json'), 'w') as f:
-        _json.dump(out, f, indent=1)
-    logging.info('latent shift (%s): %s', set_name, shift)
 
-    # all recorded sets feed the 2D projection (ref proj2d)
+    # all recorded sets feed the 2D projection (ref proj2d); loaded once,
+    # the shift metrics reuse the same arrays
     def _load_dir(d):
         recs = {}
         for f in sorted(os.listdir(d)) if os.path.isdir(d) else []:
@@ -210,13 +197,25 @@ def _report_latent_shift(save_dir: str, epoch: int, set_name: str,
         return recs
     pre_recs = _load_dir(os.path.join(edir, 'init'))
     post_recs = _load_dir(edir)
-    if set_name in pre_recs and set_name in post_recs:
-        csv = os.path.join(edir, 'proj2d-{}.csv'.format(model))
-        proj2d_csv(pre_recs, post_recs, set_name,
-                   classes if classes is not None
-                   else list(range(len(pre_recs[set_name]['centroids']))),
-                   csv, model=model)
-        logging.info('2d latent projection (%s) written to %s', model, csv)
+    if not (set_name in pre_recs and set_name in post_recs):
+        return
+    mu0 = pre_recs[set_name]['mu']
+    mu1 = post_recs[set_name]['mu']
+    n = min(len(mu0), len(mu1))
+    shift = latent_shift(mu0[:n], mu1[:n])
+    _, _, var_ratio = latent_pca(mu1[:n])
+    out = dict(shift, set=set_name, epoch=epoch, model=model,
+               pca_explained=[float(v) for v in np.asarray(var_ratio)[:2]])
+    with open(os.path.join(edir, 'inspection.json'), 'w') as f:
+        _json.dump(out, f, indent=1)
+    logging.info('latent shift (%s): %s', set_name, shift)
+
+    csv = os.path.join(edir, 'proj2d-{}.csv'.format(model))
+    proj2d_csv(pre_recs, post_recs, set_name,
+               classes if classes is not None
+               else list(range(len(pre_recs[set_name]['centroids']))),
+               csv, model=model)
+    logging.info('2d latent projection (%s) written to %s', model, csv)
 
 
 def _array_main(args):

@@ -62,12 +62,20 @@ def main(argv=None):
         p.error('--job-number only applies to a single source')
 
     done, failed = 0, 0
+    taken = set()
     for src in sources:
         src = os.path.abspath(src)
         if rel_root and src.startswith(rel_root + os.sep):
             rel = os.path.relpath(src, rel_root)
         else:
             rel = os.path.basename(src.rstrip(os.sep))
+        # two explicit sources may share a basename (e.g. .../mnist/.../7
+        # and .../cifar/.../7) — never let the second overwrite the first
+        base, n = rel, 1
+        while rel in taken:
+            rel = '{}-{}'.format(base, n)
+            n += 1
+        taken.add(rel)
         dst = os.path.join(args.job_dir, rel)
         if args.dry_run:
             print('{} -> {}'.format(src, dst))

@@ -364,6 +364,11 @@ def import_reference_job(src: str, dst: str,
         if os.path.exists(p):
             save_json(load_json(p), os.path.join(dst, name))
 
+    epochs = 0
+    hist = os.path.join(src, 'history.json')
+    if os.path.exists(hist):
+        epochs = int(load_json(hist).get('epochs', 0) or 0)
+
     state_path = os.path.join(src, 'state.pth')
     if os.path.exists(state_path):
         # a fresh job of the same config supplies the param-tree template
@@ -384,10 +389,6 @@ def import_reference_job(src: str, dst: str,
         if sigma is not None:
             sigma_state = sigma_state.replace(
                 data=np.asarray(sigma, np.float32))
-        epochs = 0
-        hist = os.path.join(src, 'history.json')
-        if os.path.exists(hist):
-            epochs = int(load_json(hist).get('epochs', 0) or 0)
         st = job.state.replace(params=params, batch_stats=bs,
                                sigma_state=sigma_state)
         model_tree = {'params': st.params, 'batch_stats': st.batch_stats,
@@ -404,7 +405,7 @@ def import_reference_job(src: str, dst: str,
                         'restart at zero on resume')
 
     if import_recorders:
-        _import_sample_dirs(src, dst)
+        _import_sample_dirs(src, dst, epochs)
 
     for sentinel in ('deleted', 'derailed', 'RESUMED'):
         p = os.path.join(src, sentinel)
@@ -413,28 +414,31 @@ def import_reference_job(src: str, dst: str,
     return dst
 
 
-def _import_sample_dirs(src: str, dst: str):
+def _import_sample_dirs(src: str, dst: str, epochs: int):
+    """``epochs`` is the trained-epoch count already parsed from
+    history.json by :func:`import_reference_job` (single source of truth).
+
+    Destination epoch dirs are zero-padded ``{:04d}`` — the layout every
+    native consumer resolves (engines/dictify/ft all format epochs that
+    way); the reference writes bare ints (ref cvae.py sample dirs).
+    """
     samples = os.path.join(src, 'samples')
     if not os.path.isdir(samples):
         return
-    epochs = 0
-    hist = os.path.join(src, 'history.json')
-    if os.path.exists(hist):
-        epochs = int(load_json(hist).get('epochs', 0) or 0)
     for sub in sorted(os.listdir(samples)):
         sub_path = os.path.join(samples, sub)
         if not os.path.isdir(sub_path):
             continue
         if sub == 'last':
-            # 'last' holds the newest epoch's records (ref cvae.py sample
-            # dirs); map it onto the trained-epoch number unless present
-            target = '{:04d}'.format(epochs)
-            if os.path.isdir(os.path.join(samples, target)) \
-                    or os.path.isdir(os.path.join(samples, str(epochs))):
+            # 'last' holds the newest epoch's records; map it onto the
+            # trained-epoch number unless that epoch dir exists in src
+            if os.path.isdir(os.path.join(samples, str(epochs))) \
+                    or os.path.isdir(os.path.join(
+                        samples, '{:04d}'.format(epochs))):
                 continue
-            sub_out = str(epochs)
+            sub_out = '{:04d}'.format(epochs)
         elif sub.isdigit():
-            sub_out = str(int(sub))
+            sub_out = '{:04d}'.format(int(sub))
         else:
             sub_out = sub
         out_dir = os.path.join(dst, 'samples', sub_out)

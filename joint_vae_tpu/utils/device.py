@@ -45,9 +45,12 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
             from jax.experimental.compilation_cache import (
                 compilation_cache as _cc)
             _cc.reset_cache()
-        # cache every model-scale program (the defaults skip sub-second
-        # compiles, which covers the tiny helper jits we don't care about)
-        jax.config.update('jax_persistent_cache_min_compile_time_secs', 1.0)
+        # cache every model-scale program (the 1s floor skips the tiny
+        # helper jits we don't care about) — but never clobber an explicit
+        # user choice made through jax's own env var
+        if 'JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS' not in os.environ:
+            jax.config.update('jax_persistent_cache_min_compile_time_secs',
+                              1.0)
         return p
     except Exception as e:               # pragma: no cover - defensive
         logging.info('compilation cache disabled: %s', e)

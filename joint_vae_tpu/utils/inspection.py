@@ -2,6 +2,7 @@
 histograms of posterior variances, mu/sigma scatters, per-class latent
 means — written as whitespace .dat files for plotting."""
 
+import csv
 import os
 from typing import Dict, Optional
 
@@ -195,8 +196,9 @@ def proj2d_csv(pre: Dict[str, Dict[str, np.ndarray]],
 
     out: Dict[str, np.ndarray] = {}
     os.makedirs(os.path.dirname(csv_file) or '.', exist_ok=True)
-    with open(csv_file, 'w') as f:
-        print(','.join(['x1', 'x2', 'y', 'set', 'dist', 'ft']), file=f)
+    with open(csv_file, 'w', newline='') as f:
+        writer = csv.writer(f)
+        writer.writerow(['x1', 'x2', 'y', 'set', 'dist', 'ft'])
         start = 0
         for (key, y), block in zip(rows, blocks):
             seg = proj[start:start + len(block)]
@@ -212,8 +214,8 @@ def proj2d_csv(pre: Dict[str, Dict[str, np.ndarray]],
                 labels = ([classes[int(c)] for c in y] if y is not None
                           else [dset] * len(seg))
             for (x1, x2), lab in zip(seg, labels):
-                print('{:.6g},{:.6g},{},{},{},{}'.format(
-                    x1, x2, lab, dset, dist, ft), file=f)
+                writer.writerow(['{:.6g}'.format(x1), '{:.6g}'.format(x2),
+                                 lab, dset, dist, ft])
     return out
 
 

@@ -21,7 +21,10 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
-VARIANTS = ['', '1', 'bf16', 'barrier', 'bf16+barrier']
+# '0' is the canonical f32 epilogue: since the bf16 default for bf16
+# models (engines._make_eval_fn), '' resolves to 'bf16' and would make
+# the parity baseline compare bf16 against itself
+VARIANTS = ['0', '1', 'bf16', 'barrier', 'bf16+barrier']
 BATCHES = [int(b) for b in os.environ.get('JVT_PROBE_BATCHES',
                                           '512,768').split(',')]
 STEPS = int(os.environ.get('JVT_BENCH_STEPS', 192))

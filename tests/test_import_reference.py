@@ -164,7 +164,8 @@ def test_import_metadata_and_results(imported_conv):
 
 def test_import_recorders(imported_conv, ref):
     from joint_vae_tpu.save_load.recorders import LossRecorder, find_record
-    rec_dir = os.path.join(imported_conv.dst, 'samples', '2')
+    # zero-padded epoch dir: the layout engines/dictify/ft resolve
+    rec_dir = os.path.join(imported_conv.dst, 'samples', '{:04d}'.format(2))
     path = find_record(rec_dir, 'mnist')
     assert path is not None and path.endswith('.jvr')
     ours = LossRecorder.load(path)
