@@ -8,7 +8,9 @@ The reference persists a job as (ref cvae.py:2650-2675):
     ood.json            OOD results        {epoch: {set: {method: {...}}}}
     history.json        per-epoch training history
     state.pth           torch state_dict
-    optimizer.pth       torch optimizer state (NOT imported; moments restart)
+    optimizer.pth       torch optimizer state (adam moments / sgd momentum
+                        buffers transplanted into optimizer.npz, so a
+                        resumed fine-tune continues the moment estimates)
     samples/<epoch>/record-<set>.pth   LossRecorder dumps
                         (ref utils/save_load/recorders.py:108-176)
 
@@ -296,6 +298,116 @@ def map_reference_state(sd: Dict[str, np.ndarray], params,
     return out, stats, sigma
 
 
+# -- optimizer state ----------------------------------------------------------
+
+_BUFFER_SUFFIXES = ('running_mean', 'running_var', 'num_batches_tracked')
+
+
+def load_reference_optimizer(path: str) -> Dict[str, Any]:
+    """optimizer.pth -> torch Optimizer.state_dict() with tensors as
+    ndarrays ({'state': {idx: {field: array}}, 'param_groups': [...]})."""
+    import torch
+    try:
+        raw = torch.load(path, map_location='cpu', weights_only=False)
+    except (ModuleNotFoundError, AttributeError):
+        _inject_reference_stubs()
+        raw = torch.load(path, map_location='cpu', weights_only=False)
+
+    def conv(v):
+        if hasattr(v, 'detach'):
+            return v.detach().cpu().numpy()
+        if isinstance(v, dict):
+            return {k: conv(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)):
+            return type(v)(conv(x) for x in v)
+        return v
+    return conv(raw)
+
+
+def map_reference_optimizer(opt_sd: Dict[str, Any], sd: Dict[str, np.ndarray],
+                            params, batch_stats, opt_state_template):
+    """torch optimizer state -> our optax opt_state (moments transplanted).
+
+    torch keys optimizer state by parameter *index* into the iterable the
+    optimizer was built from — the reference passes ``self.parameters()``
+    unfiltered (ref cvae.py:399), whose order is the state_dict order
+    restricted to parameters (buffers excluded).  Each moment tensor is
+    elementwise-aligned with its parameter, so the exact weight-mapping
+    transposes apply: we rebuild a pseudo-state_dict per moment field and
+    push it through :func:`map_reference_state`.
+
+    Returns the grafted opt_state (template structure, imported Adam
+    mu/nu/count or SGD momentum traces), or None when there is nothing to
+    import (fresh optimizer / stateless SGD).
+    """
+    import optax
+
+    torch_state = {int(k): v for k, v in (opt_sd.get('state') or {}).items()}
+    if not torch_state:
+        return None
+    idx_order = [i for g in (opt_sd.get('param_groups') or [])
+                 for i in g.get('params', [])]
+    pnames = [k for k in sd if not k.endswith(_BUFFER_SUFFIXES)]
+    if len(idx_order) != len(pnames):
+        raise ImportError_(
+            'optimizer tracks {} params vs {} state_dict parameters'
+            .format(len(idx_order), len(pnames)))
+    name_of = dict(zip(idx_order, pnames))
+
+    sample = next(iter(torch_state.values()))
+    fields = [f for f in ('exp_avg', 'exp_avg_sq', 'momentum_buffer')
+              if f in sample]
+    if 'max_exp_avg_sq' in sample:
+        logging.warning('amsgrad max_exp_avg_sq not imported '
+                        '(our adam chain has no amsgrad)')
+    if not fields:
+        return None
+
+    flat_params = flatten_pytree(params)
+
+    def _moment_tree(field):
+        pseudo = dict(sd)            # buffers keep real values (grouping cue)
+        for i, name in name_of.items():
+            st = torch_state.get(i)
+            v = st.get(field) if st else None
+            pseudo[name] = (np.asarray(v, np.float32) if v is not None
+                            else np.zeros_like(sd[name], dtype=np.float32))
+        flat_m, _, _ = map_reference_state(pseudo, params, batch_stats)
+        full = {k: np.zeros(np.shape(v), np.float32)
+                for k, v in flat_params.items()}
+        full.update({k: np.asarray(v, np.float32)
+                     for k, v in flat_m.items()})
+        tree, _, _ = unflatten_into(params, full)
+        return tree
+
+    moments = {f: _moment_tree(f) for f in fields}
+    steps = [int(np.asarray(st['step']).item())
+             for st in torch_state.values() if 'step' in st]
+    count = np.asarray(max(steps) if steps else 0, np.int32)
+
+    def graft(state):
+        if isinstance(state, optax.ScaleByAdamState):
+            if 'exp_avg' not in moments:
+                return state
+            return state._replace(count=count,
+                                  mu=moments['exp_avg'],
+                                  nu=moments['exp_avg_sq'])
+        if isinstance(state, optax.TraceState):
+            if 'momentum_buffer' not in moments:
+                return state
+            return state._replace(trace=moments['momentum_buffer'])
+        if hasattr(state, 'inner_state'):             # InjectHyperparamsState
+            return state._replace(inner_state=graft(state.inner_state))
+        if isinstance(state, tuple):
+            children = tuple(graft(s) for s in state)
+            if hasattr(state, '_fields'):
+                return type(state)(*children)
+            return children
+        return state
+
+    return graft(opt_state_template)
+
+
 # -- recorders ----------------------------------------------------------------
 
 def import_recorder(pth_path: str, dst_path: str):
@@ -400,9 +512,25 @@ def import_reference_job(src: str, dst: str,
         save_checkpoint(os.path.join(dst, 'state.npz'), model_tree)
         logging.info('state.pth imported: %d tensors mapped onto %s',
                      len(mapped), dst)
-    if os.path.exists(os.path.join(src, 'optimizer.pth')):
-        logging.warning('optimizer.pth not imported: optimizer moments '
-                        'restart at zero on resume')
+
+        opt_path = os.path.join(src, 'optimizer.pth')
+        if os.path.exists(opt_path):
+            try:
+                opt_state = map_reference_optimizer(
+                    load_reference_optimizer(opt_path), sd, params,
+                    job.state.batch_stats, job.state.opt_state)
+            except ImportError_ as e:
+                logging.warning('optimizer.pth not imported (%s): moments '
+                                'restart at zero on resume', e)
+            else:
+                if opt_state is not None:
+                    save_checkpoint(os.path.join(dst, 'optimizer.npz'),
+                                    opt_state)
+                    logging.info('optimizer.pth imported: adam moments '
+                                 'continue on resume')
+    elif os.path.exists(os.path.join(src, 'optimizer.pth')):
+        logging.warning('optimizer.pth not imported (no state.pth): '
+                        'moments restart at zero on resume')
 
     if import_recorders:
         _import_sample_dirs(src, dst, epochs)

@@ -247,3 +247,146 @@ def test_import_cli_scan(ref, tmp_path, capsys):
     dst = os.path.join(jobs, 'mnist', 'archX', 'opt', '12')
     job = load_job(dst, ghost=True)
     assert job.job_number == 12
+
+
+def _find_adam_states(opt_state):
+    import optax
+    found = []
+
+    def walk(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            found.append(s)
+        elif hasattr(s, 'inner_state'):
+            walk(s.inner_state)
+        elif isinstance(s, tuple):
+            for c in s:
+                walk(c)
+    walk(opt_state)
+    return found
+
+
+def test_import_optimizer_state(ref, tmp_path):
+    """optimizer.pth import: torch Adam moments land in optimizer.npz and
+    a resumed step continues the reference's trajectory (ref cvae.py:
+    2671-2673 save / 2843-2847 load)."""
+    import optax
+    from joint_vae_tpu.train.optimizers import build_optimizer
+
+    torch.manual_seed(7)
+    net = ref.Net(IN_SHAPE, C, type='cvae', features=None,
+                  encoder=[16], latent_dim=K, decoder=[16],
+                  classifier=[8], latent_sampling=1, test_latent_sampling=3,
+                  beta=0.0, gamma=10., sigma={'value': 0.5},
+                  output_activation='sigmoid',
+                  prior={'distribution': 'gaussian', 'num_priors': C,
+                         'init_mean': 1.0, 'learned_means': True},
+                  optimizer={'optim_type': 'adam', 'lr': 1e-3})
+    rng = np.random.default_rng(3)
+    net.train()
+    for _ in range(3):
+        x = torch.tensor(rng.uniform(0, 1, (6,) + IN_SHAPE)
+                         .astype(np.float32))
+        y = torch.tensor(rng.integers(0, C, 6))
+        _, _, losses, _ = net.evaluate(x, y, with_beta=True)
+        net.optimizer.zero_grad()
+        losses['total'].mean().backward()
+        net.optimizer.step()
+    net.eval()
+    src = _save_reference_job(net, str(tmp_path / 'src' / '5'),
+                              with_recorder=False, ref_mod=ref)
+    dst = str(tmp_path / 'jobs' / '5')
+    import_reference_job(src, dst)
+    assert os.path.exists(os.path.join(dst, 'optimizer.npz'))
+    job = load_job(dst)
+
+    adam, = _find_adam_states(job.state.opt_state)
+    assert int(adam.count) == 3
+
+    # moments match the torch state under the hand-derived index mapping
+    # (independent of the importer's own name walk)
+    names = [n for n, _ in net.named_parameters()]
+    tstate = net.optimizer.state_dict()['state']
+    i_mean = names.index('encoder.dense_mean.weight')
+    np.testing.assert_allclose(
+        np.asarray(adam.mu['encoder']['dense_mean']['kernel']),
+        tstate[i_mean]['exp_avg'].numpy().T, rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(
+        np.asarray(adam.nu['encoder']['dense_mean']['kernel']),
+        tstate[i_mean]['exp_avg_sq'].numpy().T, rtol=1e-6, atol=1e-8)
+    i_prior = names.index('encoder.prior.mean')
+    np.testing.assert_allclose(np.asarray(adam.mu['prior']['mean']),
+                               tstate[i_prior]['exp_avg'].numpy(),
+                               rtol=1e-6, atol=1e-8)
+
+    # one more identical step on both sides continues the same trajectory
+    x = rng.uniform(0, 1, (6,) + IN_SHAPE).astype(np.float32)
+    y = rng.integers(0, C, 6)
+    net.train()
+    _, _, losses, _ = net.evaluate(torch.tensor(x), torch.tensor(y),
+                                   with_beta=True)
+    net.optimizer.zero_grad()
+    losses['total'].mean().backward()
+    net.optimizer.step()
+
+    state = job.state
+    tx = build_optimizer(job.opt_cfg)
+
+    def loss_fn(p):
+        out = evaluate(job.model, {'params': p}, jnp.asarray(x),
+                       jnp.asarray(y), rng=jax.random.PRNGKey(5),
+                       sigma_state=state.sigma_state, train=True,
+                       with_beta=True)
+        return out.losses['total'].mean()
+
+    g = jax.grad(loss_fn)(state.params)
+    updates, _ = tx.update(g, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    np.testing.assert_allclose(
+        np.asarray(new_params['encoder']['dense_mean']['kernel']),
+        net.encoder.dense_mean.weight.detach().numpy().T,
+        rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(new_params['prior']['mean']),
+        net.encoder.prior.mean.detach().numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_import_optimizer_state_conv(ref, tmp_path):
+    """Conv+BN moment mapping: kernels transpose OIHW->HWIO like the
+    weights; BatchNorm scale/bias moments route through the BN branch."""
+    torch.manual_seed(9)
+    net = _conv_net(ref, optimizer={'optim_type': 'adam', 'lr': 1e-3})
+    rng = np.random.default_rng(5)
+    net.train()
+    for _ in range(2):
+        x = torch.tensor(rng.uniform(0, 1, (6,) + IN_SHAPE)
+                         .astype(np.float32))
+        y = torch.tensor(rng.integers(0, C, 6))
+        _, _, losses, _ = net.evaluate(x, y, with_beta=True)
+        net.optimizer.zero_grad()
+        losses['total'].mean().backward()
+        net.optimizer.step()
+    net.eval()
+    src = _save_reference_job(net, str(tmp_path / 'src' / '6'),
+                              with_recorder=False, ref_mod=ref)
+    dst = str(tmp_path / 'jobs' / '6')
+    import_reference_job(src, dst)
+    job = load_job(dst)
+    adam, = _find_adam_states(job.state.opt_state)
+    assert int(adam.count) == 2
+
+    names = [n for n, _ in net.named_parameters()]
+    tstate = net.optimizer.state_dict()['state']
+    i_conv = names.index('features.0.weight')        # first features conv
+    np.testing.assert_allclose(
+        np.asarray(adam.mu['features_stack']['conv_0']['kernel']),
+        tstate[i_conv]['exp_avg'].numpy().transpose(2, 3, 1, 0),
+        rtol=1e-6, atol=1e-8)
+    i_bn = names.index('features.1.weight')          # its BatchNorm scale
+    np.testing.assert_allclose(
+        np.asarray(adam.mu['features_stack']['bn_0']['scale']),
+        tstate[i_bn]['exp_avg'].numpy(), rtol=1e-6, atol=1e-8)
+    # learned sigma is a bare parameter at the net root
+    i_sig = names.index('sigma')
+    np.testing.assert_allclose(
+        np.asarray(adam.mu['sigma_param']),
+        tstate[i_sig]['exp_avg'].numpy(), rtol=1e-6, atol=1e-8)
