@@ -390,3 +390,55 @@ def test_import_optimizer_state_conv(ref, tmp_path):
     np.testing.assert_allclose(
         np.asarray(adam.mu['sigma_param']),
         tstate[i_sig]['exp_avg'].numpy(), rtol=1e-6, atol=1e-8)
+
+
+def test_import_optimizer_state_sgd_momentum(ref, tmp_path):
+    """SGD momentum buffers transplant into the optax TraceState."""
+    import optax
+    torch.manual_seed(3)
+    net = ref.Net(IN_SHAPE, C, type='cvae', features=None,
+                  encoder=[16], latent_dim=K, decoder=[16],
+                  classifier=[8], latent_sampling=1, test_latent_sampling=3,
+                  beta=0.0, gamma=10., sigma={'value': 0.5},
+                  output_activation='sigmoid',
+                  prior={'distribution': 'gaussian', 'num_priors': C,
+                         'init_mean': 1.0, 'learned_means': True},
+                  optimizer={'optim_type': 'sgd', 'lr': 1e-2,
+                             'momentum': 0.9})
+    rng = np.random.default_rng(8)
+    net.train()
+    for _ in range(2):
+        x = torch.tensor(rng.uniform(0, 1, (6,) + IN_SHAPE)
+                         .astype(np.float32))
+        y = torch.tensor(rng.integers(0, C, 6))
+        _, _, losses, _ = net.evaluate(x, y, with_beta=True)
+        net.optimizer.zero_grad()
+        losses['total'].mean().backward()
+        net.optimizer.step()
+    net.eval()
+    src = _save_reference_job(net, str(tmp_path / 'src' / '8'),
+                              with_recorder=False, ref_mod=ref)
+    dst = str(tmp_path / 'jobs' / '8')
+    import_reference_job(src, dst)
+    assert os.path.exists(os.path.join(dst, 'optimizer.npz'))
+    job = load_job(dst)
+
+    traces = []
+
+    def walk(s):
+        if isinstance(s, optax.TraceState):
+            traces.append(s)
+        elif hasattr(s, 'inner_state'):
+            walk(s.inner_state)
+        elif isinstance(s, tuple):
+            for c in s:
+                walk(c)
+    walk(job.state.opt_state)
+    trace, = traces
+
+    names = [n for n, _ in net.named_parameters()]
+    tstate = net.optimizer.state_dict()['state']
+    i_mean = names.index('encoder.dense_mean.weight')
+    np.testing.assert_allclose(
+        np.asarray(trace.trace['encoder']['dense_mean']['kernel']),
+        tstate[i_mean]['momentum_buffer'].numpy().T, rtol=1e-6, atol=1e-8)
