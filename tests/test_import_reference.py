@@ -88,12 +88,14 @@ def _save_reference_job(net, dir_name, epochs=2, with_recorder=True,
     return dir_name
 
 
-def _compare_losses(net, job, rtol=5e-4, atol=5e-4):
+def _compare_losses(net, job, y=None, rtol=5e-4, atol=5e-4):
     x = np.random.default_rng(42).uniform(
         0, 1, (5,) + IN_SHAPE).astype(np.float32)
     with torch.no_grad():
-        x_r, logits, losses, _ = net.evaluate(torch.tensor(x))
-    out = evaluate(job.model, job.state.variables, jnp.asarray(x), None,
+        x_r, logits, losses, _ = net.evaluate(
+            torch.tensor(x), y=torch.tensor(y) if y is not None else None)
+    out = evaluate(job.model, job.state.variables, jnp.asarray(x),
+                   jnp.asarray(y) if y is not None else None,
                    rng=jax.random.PRNGKey(1),
                    sigma_state=job.state.sigma_state, train=False)
     compared = []
@@ -442,3 +444,37 @@ def test_import_optimizer_state_sgd_momentum(ref, tmp_path):
     np.testing.assert_allclose(
         np.asarray(trace.trace['encoder']['dense_mean']['kernel']),
         tstate[i_mean]['momentum_buffer'].numpy().T, rtol=1e-6, atol=1e-8)
+
+
+@pytest.mark.parametrize('type_,kw,y', [
+    ('vae', dict(gamma=0.,
+                 prior={'distribution': 'gaussian', 'num_priors': 1}), None),
+    ('jvae', dict(gamma=1., y_is_coded=True,
+                  prior={'distribution': 'gaussian', 'num_priors': 1}),
+     [0, 1, 2, 3, 1]),
+    ('xvae', dict(gamma=0., y_is_coded=True,
+                  prior={'distribution': 'gaussian', 'num_priors': C,
+                         'init_mean': 1.0, 'learned_means': True}),
+     [0, 1, 2, 3, 1]),
+    ('vib', dict(gamma=1000.,
+                 prior={'distribution': 'gaussian', 'num_priors': 1}), None),
+])
+def test_import_all_types(ref, tmp_path, type_, kw, y):
+    """The importer round-trips every model type's saved ctor kwargs
+    (params.json written by the reference's save(), ref cvae.py:2650-2675)
+    through CVNetConfig.from_dict — cvae is covered by the fixtures above.
+    jvae/xvae compare labeled (the reference's label-free coded path
+    crashes on featureless models, see test_evaluate_vs_reference)."""
+    torch.manual_seed(13)
+    net = ref.Net(IN_SHAPE, C, type=type_, features=None, encoder=[16],
+                  latent_dim=K, decoder=[16], classifier=[8],
+                  latent_sampling=1, test_latent_sampling=3, beta=0.0,
+                  sigma={'value': 0.5}, output_activation='sigmoid', **kw)
+    src = _save_reference_job(net, str(tmp_path / 'src' / '2'),
+                              with_recorder=False)
+    dst = str(tmp_path / 'jobs' / '2')
+    import_reference_job(src, dst)
+    job = load_job(dst)
+    assert job.model_cfg.type == type_
+    _compare_losses(net, job, y=np.asarray(y, np.int64)
+                    if y is not None else None)
