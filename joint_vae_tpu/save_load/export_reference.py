@@ -382,6 +382,40 @@ def export_recorder(native_path: str, dst_path: str, ref_recorders) -> bool:
     return True
 
 
+def export_sample_recorder(npz_path: str, dst_path: str,
+                           ref_recorders) -> bool:
+    """Native sample-<set>.npz -> reference samples-<set>.pth.
+
+    The native SampleRecorder is a flat keyed store; the reference splits
+    sample-axis tensors from auxiliaries (recorders.py:372-399).  Keys whose
+    leading dim matches the modal sample count become ``_tensors``; the rest
+    (prior centroids etc.) ride as ``_aux``."""
+    import torch
+    from .recorders import SampleRecorder
+
+    rec = SampleRecorder.load(npz_path)
+    arrays = {k: np.array(rec.get(k)) for k in rec.keys()}
+    if not arrays:
+        return False
+    lengths = [v.shape[0] for v in arrays.values() if v.ndim]
+    n = max(set(lengths), key=lengths.count) if lengths else 0
+    tensors = {k: torch.as_tensor(v) for k, v in arrays.items()
+               if v.ndim and v.shape[0] == n}
+    aux = {k: torch.as_tensor(v) for k, v in arrays.items()
+           if k not in tensors}
+    if not tensors:
+        return False
+    r = ref_recorders.SampleRecorder(n, 1, device='cpu', **tensors)
+    r._tensors = tensors
+    r._recorded_batches = 1
+    r.last_batch_size = n
+    if aux:
+        r.add_auxiliary(**aux)
+    os.makedirs(os.path.dirname(dst_path), exist_ok=True)
+    r.save(dst_path, cut=True)
+    return True
+
+
 def _export_sample_dirs(src: str, dst: str, ref_recorders) -> int:
     """samples/<0-padded epoch>/record-*.jvr -> samples/<bare int>/*.pth,
     with the newest epoch duplicated into samples/last (the dir the
@@ -398,32 +432,45 @@ def _export_sample_dirs(src: str, dst: str, ref_recorders) -> int:
         sub_out = str(int(sub)) if sub.isdigit() else sub
         if sub.isdigit():
             numbered.append((int(sub), sub_path))
-        for f in sorted(os.listdir(sub_path)):
-            m = re.match(r'record-(?P<set>.+)\.(jvr|npz)\Z', f)
-            if not m:
-                continue
-            dst_file = os.path.join(dst, 'samples', sub_out,
+        out_dir = os.path.join(dst, 'samples', sub_out)
+        n += _export_record_files(sub_path, out_dir, ref_recorders)
+        # one nesting level: WIM pre-tuning snapshots live under
+        # samples/<epoch>/init/ (ref ft/job.py:302-313)
+        for nested in sorted(os.listdir(sub_path)):
+            nested_path = os.path.join(sub_path, nested)
+            if os.path.isdir(nested_path):
+                n += _export_record_files(
+                    nested_path, os.path.join(out_dir, nested),
+                    ref_recorders)
+    if numbered:
+        _, newest = max(numbered)
+        _export_record_files(newest, os.path.join(dst, 'samples', 'last'),
+                             ref_recorders)
+    return n
+
+
+def _export_record_files(src_dir: str, out_dir: str, ref_recorders) -> int:
+    n = 0
+    for f in sorted(os.listdir(src_dir)):
+        m = re.match(r'record-(?P<set>.+)\.(jvr|npz)\Z', f)
+        if m:
+            dst_file = os.path.join(out_dir,
                                     'record-{}.pth'.format(m.group('set')))
             try:
-                n += export_recorder(os.path.join(sub_path, f), dst_file,
+                n += export_recorder(os.path.join(src_dir, f), dst_file,
                                      ref_recorders)
             except Exception as e:
                 logging.warning('recorder %s not exported: %s', f, e)
-    if numbered:
-        _, newest = max(numbered)
-        last_dir = os.path.join(dst, 'samples', 'last')
-        for f in sorted(os.listdir(newest)):
-            m = re.match(r'record-(?P<set>.+)\.(jvr|npz)\Z', f)
-            if not m:
-                continue
+            continue
+        m = re.match(r'sample-(?P<set>.+)\.npz\Z', f)
+        if m:
+            dst_file = os.path.join(out_dir,
+                                    'samples-{}.pth'.format(m.group('set')))
             try:
-                export_recorder(
-                    os.path.join(newest, f),
-                    os.path.join(last_dir,
-                                 'record-{}.pth'.format(m.group('set'))),
-                    ref_recorders)
+                n += export_sample_recorder(os.path.join(src_dir, f),
+                                            dst_file, ref_recorders)
             except Exception as e:
-                logging.warning('recorder %s not exported to last: %s', f, e)
+                logging.warning('sample recorder %s not exported: %s', f, e)
     return n
 
 

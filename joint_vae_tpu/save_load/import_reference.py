@@ -430,6 +430,22 @@ def import_recorder(pth_path: str, dst_path: str):
     rec.save(dst_path)
 
 
+def import_sample_recorder(pth_path: str, dst_path: str):
+    """samples-<set>.pth (torch.save of SampleRecorder.__dict__, sample
+    axis 0, ref recorders.py:372-399) -> native sample-<set>.npz.  Aux
+    entries (prior centroids etc.) become plain keys — the native
+    SampleRecorder is a flat keyed store (save_load/recorders.py:283)."""
+    import torch
+    from .recorders import SampleRecorder
+    d = torch.load(pth_path, map_location='cpu', weights_only=False)
+    rec = SampleRecorder()
+    for src in (d.get('_tensors') or {}), (d.get('_aux') or {}):
+        for k, v in src.items():
+            rec.append_batch(**{k: v.detach().cpu().numpy()
+                                if hasattr(v, 'detach') else np.asarray(v)})
+    rec.save(dst_path)
+
+
 # -- the importer -------------------------------------------------------------
 
 def import_reference_job(src: str, dst: str,
@@ -570,12 +586,31 @@ def _import_sample_dirs(src: str, dst: str, epochs: int):
         else:
             sub_out = sub
         out_dir = os.path.join(dst, 'samples', sub_out)
-        for f in sorted(os.listdir(sub_path)):
-            m = re.match(r'record-(?P<set>.+)\.pth\Z', f)
-            if not m:
-                continue
+        _import_record_files(sub_path, out_dir)
+        # one nesting level: WIM pre-tuning snapshots live under
+        # samples/<epoch>/init/ (ref ft/job.py:302-313)
+        for nested in sorted(os.listdir(sub_path)):
+            nested_path = os.path.join(sub_path, nested)
+            if os.path.isdir(nested_path):
+                _import_record_files(nested_path,
+                                     os.path.join(out_dir, nested))
+
+
+def _import_record_files(src_dir: str, out_dir: str):
+    for f in sorted(os.listdir(src_dir)):
+        m = re.match(r'record-(?P<set>.+)\.pth\Z', f)
+        if m:
             dst_file = os.path.join(out_dir, record_filename(m.group('set')))
             try:
-                import_recorder(os.path.join(sub_path, f), dst_file)
+                import_recorder(os.path.join(src_dir, f), dst_file)
             except Exception as e:
                 logging.warning('recorder %s not imported: %s', f, e)
+            continue
+        m = re.match(r'samples-(?P<set>.+)\.pth\Z', f)
+        if m:
+            dst_file = os.path.join(out_dir,
+                                    'sample-{}.npz'.format(m.group('set')))
+            try:
+                import_sample_recorder(os.path.join(src_dir, f), dst_file)
+            except Exception as e:
+                logging.warning('sample recorder %s not imported: %s', f, e)

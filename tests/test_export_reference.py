@@ -339,6 +339,56 @@ def test_export_all_types(ref, tmp_path, type_, kw, y):
                     if y is not None else None)
 
 
+def test_export_sample_recorders_and_init_nesting(ref, tmp_path):
+    """sample-<set>.npz SampleRecorders export to the reference's
+    samples-<set>.pth (tensors + aux split, ref recorders.py:372-399), WIM
+    init/ snapshot dirs survive one nesting level (ref ft/job.py:302-313),
+    and the import direction round-trips both."""
+    from joint_vae_tpu.save_load.recorders import SampleRecorder
+
+    job = _randomized_job(_conv_cfg(), seed=6, job_number=3)
+    src = _save_native_job(job, str(tmp_path / 'src' / '3'),
+                           with_recorder=False)
+    edir = os.path.join(src, 'samples', '0002')
+    srec = SampleRecorder()
+    rng = np.random.default_rng(5)
+    srec.append_batch(mu=rng.normal(size=(20, K)).astype(np.float32),
+                      y=rng.integers(0, C, 20))
+    srec.append_batch(centroids=rng.normal(size=(C, K)).astype(np.float32))
+    srec.save(os.path.join(edir, 'sample-mnist.npz'))
+    init_rec = LossRecorder(10)
+    init_rec.append_batch(kl=rng.normal(size=(C, 10)).astype(np.float32))
+    init_rec.save(os.path.join(edir, 'init', 'record-mnist.jvr'))
+
+    dst = str(tmp_path / 'ref-jobs' / '3')
+    export_to_reference_job(src, dst)
+
+    theirs = ref.Recorder.load(
+        os.path.join(dst, 'samples', '2', 'samples-mnist.pth'))
+    np.testing.assert_array_equal(theirs._tensors['mu'].numpy(),
+                                  srec.get('mu'))
+    np.testing.assert_array_equal(theirs._tensors['y'].numpy(),
+                                  srec.get('y'))
+    np.testing.assert_array_equal(theirs._aux['centroids'].numpy(),
+                                  srec.get('centroids'))
+    init_back = ref.Recorder.load(
+        os.path.join(dst, 'samples', '2', 'init', 'record-mnist.pth'))
+    np.testing.assert_array_equal(init_back['kl'].numpy(),
+                                  init_rec.get('kl'))
+
+    back = str(tmp_path / 'back' / '3')
+    import_reference_job(dst, back)
+    r2 = SampleRecorder.load(
+        os.path.join(back, 'samples', '0002', 'sample-mnist.npz'))
+    for k in ('mu', 'y', 'centroids'):
+        np.testing.assert_array_equal(r2.get(k), srec.get(k), err_msg=k)
+    from joint_vae_tpu.save_load.recorders import find_record
+    p = find_record(os.path.join(back, 'samples', '0002', 'init'), 'mnist')
+    assert p is not None
+    np.testing.assert_array_equal(LossRecorder.load(p).get('kl'),
+                                  init_rec.get('kl'))
+
+
 def test_export_rejects_resnet_features(tmp_path):
     cfg = CVNetConfig(input_shape=(3, 32, 32), num_labels=C, type='cvae',
                       features='resnet18', encoder=(16,), latent_dim=K,
