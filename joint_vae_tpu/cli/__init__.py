@@ -35,3 +35,50 @@ def apply_platform(args):
     # wait (JVT_COMPILE_CACHE=0 disables; utils/device.py)
     from ..utils.device import enable_compilation_cache
     enable_compilation_cache()
+
+
+def find_job_dirs(root):
+    """Every directory under root holding a params.json (a job dir) —
+    shared by the import/export --scan walkers."""
+    import os
+    for dirpath, dirnames, filenames in os.walk(root):
+        if 'params.json' in filenames:
+            dirnames[:] = []                # job dirs don't nest
+            yield dirpath
+
+
+def convert_job_batch(sources, rel_root, out_root, convert, dry_run):
+    """Shared --scan batch loop for the import/export CLIs: relative-layout
+    preservation, basename-collision uniquification, per-job error
+    isolation (a corrupt job must not abort the rest of the batch).
+
+    ``convert(src, dst)`` does the work; returns (done, failed)."""
+    import logging
+    import os
+    done, failed = 0, 0
+    taken = set()
+    for src in sources:
+        src = os.path.abspath(src)
+        if rel_root and src.startswith(rel_root + os.sep):
+            rel = os.path.relpath(src, rel_root)
+        else:
+            rel = os.path.basename(src.rstrip(os.sep))
+        # two explicit sources may share a basename (e.g. .../mnist/.../7
+        # and .../cifar/.../7) — never let the second overwrite the first
+        base, n = rel, 1
+        while rel in taken:
+            rel = '{}-{}'.format(base, n)
+            n += 1
+        taken.add(rel)
+        dst = os.path.join(out_root, rel)
+        if dry_run:
+            print('{} -> {}'.format(src, dst))
+            continue
+        try:
+            convert(src, dst)
+            done += 1
+        except Exception as e:
+            logging.error('%s not converted: %s: %s',
+                          src, type(e).__name__, e)
+            failed += 1
+    return done, failed

@@ -11,23 +11,16 @@ JVT_REFERENCE (it defines the torch checkpoint formats being written).
 """
 
 import argparse
-import logging
 import os
 import sys
 
 from ..save_load.export_reference import (export_to_reference_job,
-                                          ExportError_,
                                           default_reference_path)
 from ..utils.print_log import set_log
-from . import add_platform_arg, apply_platform
+from . import (add_platform_arg, apply_platform, find_job_dirs,
+               convert_job_batch)
 
-
-def find_native_jobs(root: str):
-    """Every directory under root holding a params.json (a job dir)."""
-    for dirpath, dirnames, filenames in os.walk(root):
-        if 'params.json' in filenames:
-            dirnames[:] = []                # job dirs don't nest
-            yield dirpath
+find_native_jobs = find_job_dirs
 
 
 def main(argv=None):
@@ -65,32 +58,14 @@ def main(argv=None):
     if not sources:
         p.error('no sources (pass job dirs or --scan a jobs root)')
 
-    done, failed = 0, 0
-    taken = set()
-    for src in sources:
-        src = os.path.abspath(src)
-        if rel_root and src.startswith(rel_root + os.sep):
-            rel = os.path.relpath(src, rel_root)
-        else:
-            rel = os.path.basename(src.rstrip(os.sep))
-        base, n = rel, 1
-        while rel in taken:
-            rel = '{}-{}'.format(base, n)
-            n += 1
-        taken.add(rel)
-        dst = os.path.join(args.out, rel)
-        if args.dry_run:
-            print('{} -> {}'.format(src, dst))
-            continue
-        try:
-            export_to_reference_job(src, dst, reference_path=args.reference,
-                                    export_recorders=args.recorders,
-                                    export_optimizer=args.optimizer)
-            print('exported {} -> {}'.format(src, dst))
-            done += 1
-        except (ExportError_, FileNotFoundError, ValueError) as e:
-            logging.error('%s not exported: %s', src, e)
-            failed += 1
+    def convert(src, dst):
+        export_to_reference_job(src, dst, reference_path=args.reference,
+                                export_recorders=args.recorders,
+                                export_optimizer=args.optimizer)
+        print('exported {} -> {}'.format(src, dst))
+
+    done, failed = convert_job_batch(sources, rel_root, args.out,
+                                     convert, args.dry_run)
     if not args.dry_run:
         print('{} exported, {} failed'.format(done, failed))
     return 1 if failed and not done else 0

@@ -12,21 +12,15 @@ the test/sample/ft CLIs (see save_load/import_reference.py).
 """
 
 import argparse
-import logging
 import os
 import sys
 
-from ..save_load.import_reference import import_reference_job, ImportError_
+from ..save_load.import_reference import import_reference_job
 from ..utils.print_log import set_log
-from . import add_platform_arg, apply_platform
+from . import (add_platform_arg, apply_platform, find_job_dirs,
+               convert_job_batch)
 
-
-def find_reference_jobs(root: str):
-    """Every directory under root holding a params.json (a job dir)."""
-    for dirpath, dirnames, filenames in os.walk(root):
-        if 'params.json' in filenames:
-            dirnames[:] = []                # job dirs don't nest
-            yield dirpath
+find_reference_jobs = find_job_dirs
 
 
 def main(argv=None):
@@ -61,33 +55,13 @@ def main(argv=None):
     if args.job_number is not None and len(sources) > 1:
         p.error('--job-number only applies to a single source')
 
-    done, failed = 0, 0
-    taken = set()
-    for src in sources:
-        src = os.path.abspath(src)
-        if rel_root and src.startswith(rel_root + os.sep):
-            rel = os.path.relpath(src, rel_root)
-        else:
-            rel = os.path.basename(src.rstrip(os.sep))
-        # two explicit sources may share a basename (e.g. .../mnist/.../7
-        # and .../cifar/.../7) — never let the second overwrite the first
-        base, n = rel, 1
-        while rel in taken:
-            rel = '{}-{}'.format(base, n)
-            n += 1
-        taken.add(rel)
-        dst = os.path.join(args.job_dir, rel)
-        if args.dry_run:
-            print('{} -> {}'.format(src, dst))
-            continue
-        try:
-            import_reference_job(src, dst, job_number=args.job_number,
-                                 import_recorders=args.recorders)
-            print('imported {} -> {}'.format(src, dst))
-            done += 1
-        except (ImportError_, FileNotFoundError, ValueError) as e:
-            logging.error('%s not imported: %s', src, e)
-            failed += 1
+    def convert(src, dst):
+        import_reference_job(src, dst, job_number=args.job_number,
+                             import_recorders=args.recorders)
+        print('imported {} -> {}'.format(src, dst))
+
+    done, failed = convert_job_batch(sources, rel_root, args.job_dir,
+                                     convert, args.dry_run)
     if not args.dry_run:
         print('{} imported, {} failed'.format(done, failed))
     return 1 if failed and not done else 0

@@ -48,7 +48,8 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from .checkpoint import load_json, save_json, flatten_pytree
-from .import_reference import map_reference_state, ImportError_
+from .import_reference import (map_reference_state, ImportError_,
+                               _BUFFER_SUFFIXES)
 from .jobs import Job, load_job
 from .recorders import LossRecorder
 
@@ -275,9 +276,6 @@ def export_state_dict(job: Job, template_sd) -> Tuple[Dict[str, Any],
 
 # -- optimizer state ----------------------------------------------------------
 
-_BUFFER_SUFFIXES = ('running_mean', 'running_var', 'num_batches_tracked')
-
-
 def _find_moments(opt_state):
     """Locate adam mu/nu/count or sgd momentum trace inside our optax tree."""
     import optax
@@ -397,8 +395,13 @@ def export_sample_recorder(npz_path: str, dst_path: str,
     arrays = {k: np.array(rec.get(k)) for k in rec.keys()}
     if not arrays:
         return False
+    # deterministic split: the sample count is the most common leading dim,
+    # largest on a tie (samples usually outnumber aux rows).  A collision
+    # (an aux array whose length equals the sample count) is not decidable
+    # from the flat store and lands in _tensors.
     lengths = [v.shape[0] for v in arrays.values() if v.ndim]
-    n = max(set(lengths), key=lengths.count) if lengths else 0
+    n = (max(sorted(set(lengths)), key=lambda L: (lengths.count(L), L))
+         if lengths else 0)
     tensors = {k: torch.as_tensor(v) for k, v in arrays.items()
                if v.ndim and v.shape[0] == n}
     aux = {k: torch.as_tensor(v) for k, v in arrays.items()

@@ -162,7 +162,7 @@ def _map_conv_group(ref_entries: List[Dict[str, np.ndarray]],
     weight_names = _sorted_names(ours, ('conv', 'deconv'))
     dense_names = ['dense'] if 'dense' in ours else []
     bn_names = _sorted_names(ours, ('bn',))
-    wi = bi = 0
+    wi = bi = di = 0
     for entry in ref_entries:
         if 'running_mean' in entry:
             if bi >= len(bn_names):
@@ -185,13 +185,19 @@ def _map_conv_group(ref_entries: List[Dict[str, np.ndarray]],
                 out['{}/{}/bias'.format(path, n)] = entry['bias']
             wi += 1
         elif 'weight' in entry and entry['weight'].ndim == 2:
-            if not dense_names:
+            if di >= len(dense_names):
                 raise ImportError_('{}: unexpected torch Linear'.format(path))
             out['{}/dense/kernel'.format(path)] = _linear(entry['weight'])
             out['{}/dense/bias'.format(path)] = entry['bias']
-    if wi != len(weight_names):
-        raise ImportError_('{}: mapped {}/{} conv layers'.format(
-            path, wi, len(weight_names)))
+            di += 1
+    # every native layer must be fed — a partial map would silently leave
+    # fresh-init leaves behind (the module contract: reject, not wrong)
+    for got, want, kind in ((wi, len(weight_names), 'conv'),
+                            (bi, len(bn_names), 'batch-norm'),
+                            (di, len(dense_names), 'dense')):
+        if got != want:
+            raise ImportError_('{}: mapped {}/{} {} layers'.format(
+                path, got, want, kind))
 
 
 def _map_dense_seq(ref_entries: List[Dict[str, np.ndarray]],

@@ -67,11 +67,11 @@ def main():
             dt = time.perf_counter() - t0
             assert np.isfinite(fin)
             ips = batch * NB * reps / dt
-            name = variant or 'canonical'
+            name = 'canonical' if variant == VARIANTS[0] else variant
             key = '{}@{}'.format(name, batch)
             results[key] = round(ips, 1)
-            # parity vs canonical at the same batch
-            if variant == '':
+            # parity vs the first (all-f32 canonical) variant per batch
+            if variant == VARIANTS[0]:
                 base_scores[batch] = host
             else:
                 rel = {}

@@ -38,9 +38,8 @@ C, K = 100, 128
 
 
 def _stub_torchvision():
-    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), 'tests'))
-    from test_import_reference import _stub_torchvision as stub
+    from joint_vae_tpu.save_load.export_reference import (
+        _stub_torchvision as stub)
     stub()
 
 
@@ -118,7 +117,8 @@ def run_ours(batch, steps, warmup):
     x = jnp.asarray(rng.uniform(0, 1, (batch,) + IN_SHAPE).astype(np.float32))
     y = jnp.asarray(rng.integers(0, C, batch).astype(np.int32))
     state = job.state
-    for _ in range(warmup):
+    # always compile + sync once before timing (warmup may be 0)
+    for _ in range(max(warmup, 1)):
         state, metrics = step(state, x, y)
     float(metrics['total'])
     t0 = time.perf_counter()

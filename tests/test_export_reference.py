@@ -389,6 +389,28 @@ def test_export_sample_recorders_and_init_nesting(ref, tmp_path):
                                   init_rec.get('kl'))
 
 
+def test_export_sample_recorder_tie_break(ref, tmp_path):
+    """The tensors/aux split is deterministic on a count tie: the larger
+    leading dim wins (samples outnumber aux rows)."""
+    from joint_vae_tpu.save_load.recorders import SampleRecorder
+    from joint_vae_tpu.save_load.export_reference import (
+        export_sample_recorder, reference_modules)
+    rec = SampleRecorder()
+    rng = np.random.default_rng(2)
+    rec.append_batch(mu=rng.normal(size=(8, 3)).astype(np.float32),
+                     y=rng.integers(0, 4, 8))
+    rec.append_batch(centroids=rng.normal(size=(4, 3)).astype(np.float32),
+                     alternate=rng.normal(size=(4, 3)).astype(np.float32))
+    p = str(tmp_path / 'sample-x.npz')
+    rec.save(p)
+    dst = str(tmp_path / 'samples-x.pth')
+    _, ref_recorders = reference_modules()
+    assert export_sample_recorder(p, dst, ref_recorders)
+    r = ref.Recorder.load(dst)
+    assert set(r._tensors) == {'mu', 'y'}
+    assert set(r._aux) == {'centroids', 'alternate'}
+
+
 def test_export_rejects_resnet_features(tmp_path):
     cfg = CVNetConfig(input_shape=(3, 32, 32), num_labels=C, type='cvae',
                       features='resnet18', encoder=(16,), latent_dim=K,
