@@ -274,6 +274,10 @@ def _job_main(args, dflt):
     if prior_kw['distribution'] in ('tilted', 'uniform'):
         prior_kw['tau'] = dflt('wim-tau', 25.0)
         prior_kw.pop('init_mean')
+    # the seed rides in ft_params (ref wim.json carries it too,
+    # ft/__main__.py:171) so the prior is re-derivable even without
+    # wim_prior.npz
+    prior_kw['seed'] = args.seed
     wim.set_alternate_prior(key=jax.random.PRNGKey(args.seed), **prior_kw)
 
     dataset = job.training_parameters.get('set')

@@ -28,14 +28,60 @@ from ..train.optimizers import build_optimizer
 from .wim import WIMJob, wim_measures, is_wim_method, WIM_OOD_METHODS_PER_TYPE
 
 
+WIM_PRIOR_FILE = 'wim_prior.npz'
+
+
+def save_wim_prior(wim: WIMJob, job_dir: str):
+    """Persist the frozen alternate-prior arrays next to state.npz.
+
+    The reference reconstructs its alternate prior from the torch seed in
+    wim.json (ref ft/__main__.py:171, priors.py:66-71); storing the arrays
+    makes a reloaded native (or imported reference) WIM job score '@'
+    methods with the *same* prior it was tuned against, not a re-seeded
+    one."""
+    if wim.alternate_prior_params is None:
+        return
+    np.savez(os.path.join(job_dir, WIM_PRIOR_FILE),
+             **{k: np.asarray(v) for k, v in
+                wim.alternate_prior_params.items()})
+
+
 def load_wim_job(job_dir: str, key=None, **alternate_prior) -> WIMJob:
     """Load a trained plain job for WIM tuning: lenient state load + OOD
-    results reset (ref FTJob.load, ft/job.py:121-169)."""
+    results reset (ref FTJob.load, ft/job.py:121-169).
+
+    An already-finetuned WIM job (train_params 'wim' section, ref
+    wim.json) reloads its alternate prior: arrays from wim_prior.npz when
+    present, else re-derived from the persisted seed."""
     job = load_job(job_dir, strict=False, key=key)
-    job.ood_results = {}
     wim = WIMJob(job=job)
+    saved = dict(job.training_parameters.get('wim') or {})
     if alternate_prior:
+        job.ood_results = {}
         wim.set_alternate_prior(key=key, **alternate_prior)
+    elif saved.get('distribution'):
+        from ..ops.priors import build_prior_config
+        known = ('dim', 'distribution', 'num_priors', 'init_mean',
+                 'mean_shift', 'var_dim', 'tau', 'learned_means',
+                 'freeze_means')
+        p = {k: saved[k] for k in known if saved.get(k) is not None}
+        p.setdefault('dim', job.model_cfg.latent_dim)
+        dim = p.pop('dim')
+        dist = p.pop('distribution')
+        wim.alternate_prior_cfg = build_prior_config(dim, dist, **p)
+        wim.ft_params = saved
+        prior_path = os.path.join(job_dir, WIM_PRIOR_FILE)
+        if os.path.exists(prior_path):
+            with np.load(prior_path) as z:
+                wim.alternate_prior_params = {k: jnp.asarray(z[k])
+                                              for k in z.files}
+        else:
+            from ..ops.priors import init_prior_params
+            seed = int(saved.get('seed', 0))
+            wim.alternate_prior_params = init_prior_params(
+                wim.alternate_prior_cfg, jax.random.PRNGKey(seed))
+    else:
+        job.ood_results = {}
     return wim
 
 
@@ -287,4 +333,5 @@ def finetune(wim: WIMJob,
                              logits=losses_['logits'].T, **extra)
             rec.save(os.path.join(sdir, record_filename(set_name)))
         save_job(job, save_dir)
+        save_wim_prior(wim, save_dir)
     return wim

@@ -517,6 +517,20 @@ def export_to_reference_job(src: str, dst: str,
         tp['optimizer'].setdefault('betas', list(job.opt_cfg.betas))
     save_json(export_train_params(tp, ref_net_cls),
               os.path.join(dst, 'train_params.json'))
+    wim_tp = job.training_parameters.get('wim')
+    if isinstance(wim_tp, dict) and wim_tp.get('distribution'):
+        # reference WIM jobs keep ft params in wim.json, fed verbatim to
+        # build_prior on reload (ref ft/job.py:142-145, ft/wim.py:95-105) —
+        # prior keys only; the moving-set metadata would TypeError there.
+        # Deviation: the reference re-derives the prior ARRAYS from the
+        # torch seed (priors.py:66-71), so '@' scores after a reference
+        # reload use its own seeded prior, not this job's exact arrays.
+        prior_keys = ('dim', 'distribution', 'num_priors', 'init_mean',
+                      'mean_shift', 'var_dim', 'tau', 'learned_means',
+                      'freeze_means', 'seed')
+        save_json({k: wim_tp[k] for k in prior_keys if wim_tp.get(k)
+                   is not None},
+                  os.path.join(dst, 'wim.json'))
     for name in ('test.json', 'ood.json'):
         p = os.path.join(src, name)
         if os.path.exists(p):

@@ -492,6 +492,14 @@ def import_reference_job(src: str, dst: str,
     save_json(dict(cfg.architecture, job_number=job_number),
               os.path.join(dst, 'params.json'))
     training_parameters.setdefault('from_reference', os.path.abspath(src))
+    wim_json = os.path.join(src, 'wim.json')
+    if os.path.exists(wim_json):
+        # reference WIM jobs keep ft params in wim.json (ref ft/wim.py:18,
+        # ft/job.py:154-159); natively they live in train_params['wim']
+        # (dictify's wim_* keys) — merged, reference values winning
+        merged_wim = dict(training_parameters.get('wim') or {})
+        merged_wim.update(load_json(wim_json))
+        training_parameters['wim'] = merged_wim
     save_json(training_parameters, os.path.join(dst, 'train_params.json'))
     for name in ('test.json', 'ood.json', 'history.json'):
         p = os.path.join(src, name)
@@ -534,6 +542,19 @@ def import_reference_job(src: str, dst: str,
         save_checkpoint(os.path.join(dst, 'state.npz'), model_tree)
         logging.info('state.pth imported: %d tensors mapped onto %s',
                      len(mapped), dst)
+
+        # WIM alternate prior: the reference registers it as a module, so
+        # its (frozen, torch-seeded) arrays ride in state.pth — import them
+        # so '@' scores use the prior the job was tuned against, not a
+        # re-derived one (ft/job.py load_wim_job reads wim_prior.npz)
+        alt = {our: sd.get('_alternate_prior.' + ref)
+               for ref, our in (('mean', 'mean'),
+                                ('_var_parameter', 'var_param'))}
+        if all(v is not None for v in alt.values()):
+            np.savez(os.path.join(dst, 'wim_prior.npz'),
+                     **{k: np.asarray(v, np.float32)
+                        for k, v in alt.items()})
+            logging.info('alternate WIM prior imported from state.pth')
 
         opt_path = os.path.join(src, 'optimizer.pth')
         if os.path.exists(opt_path):

@@ -411,6 +411,39 @@ def test_export_sample_recorder_tie_break(ref, tmp_path):
     assert set(r._aux) == {'centroids', 'alternate'}
 
 
+def test_export_wim_job(ref, tmp_path):
+    """A native WIM job exports a reference-compatible wim.json (prior keys
+    only — its load_post_hook feeds them to build_prior, ref ft/wim.py:
+    208-213) and the reference's own WIMJob.load consumes the result."""
+    import json
+    sys.path.insert(0, '/root/reference')
+    try:
+        from ft.wim import WIMJob as RefWIM
+    finally:
+        sys.path.remove('/root/reference')
+
+    job = _randomized_job(_conv_cfg(), seed=7, job_number=4)
+    job.training_parameters['wim'] = {
+        'dim': K, 'distribution': 'gaussian', 'num_priors': 1,
+        'init_mean': 3.0, 'seed': 5,
+        'sets': ['fashion'], 'mix': 0.5, 'padding_dataset': None}
+    src = _save_native_job(job, str(tmp_path / 'src' / '4'),
+                           with_recorder=False)
+    dst = str(tmp_path / 'ref-jobs' / '4')
+    export_to_reference_job(src, dst)
+
+    wj = json.load(open(os.path.join(dst, 'wim.json')))
+    assert wj == {'dim': K, 'distribution': 'gaussian', 'num_priors': 1,
+                  'init_mean': 3.0, 'seed': 5}
+    assert RefWIM.is_wim(dst)
+    net = RefWIM.load(dst, load_state=True)
+    assert net._alternate_prior is not None
+    assert net._alternate_prior.num_priors == 1
+    # the state itself still round-trips under the WIM loader
+    with net.no_estimated_labels():
+        _compare_losses(net, job)
+
+
 def test_export_rejects_resnet_features(tmp_path):
     cfg = CVNetConfig(input_shape=(3, 32, 32), num_labels=C, type='cvae',
                       features='resnet18', encoder=(16,), latent_dim=K,

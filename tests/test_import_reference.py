@@ -478,3 +478,115 @@ def test_import_all_types(ref, tmp_path, type_, kw, y):
     assert job.model_cfg.type == type_
     _compare_losses(net, job, y=np.asarray(y, np.int64)
                     if y is not None else None)
+
+
+@pytest.fixture(scope='module')
+def ref_wim(ref):
+    sys.path.insert(0, '/root/reference')
+    try:
+        from ft.wim import WIMJob as RefWIM
+    finally:
+        sys.path.remove('/root/reference')
+    return RefWIM
+
+
+def test_import_wim_job(ref, ref_wim, tmp_path):
+    """A reference WIM job (wim.json + _alternate_prior.* in state.pth,
+    ref ft/wim.py:18, ft/job.py:154-159) imports as a native WIM job:
+    load_wim_job reloads the exact alternate-prior arrays (wim_prior.npz),
+    and the '@'-twin losses reproduce the reference's."""
+    torch.manual_seed(19)
+    net = ref_wim(IN_SHAPE, C, type='cvae', features=None,
+                  encoder=[16], latent_dim=K, decoder=[16],
+                  classifier=[8], latent_sampling=1, test_latent_sampling=3,
+                  beta=0.0, gamma=100., sigma={'value': 0.5},
+                  output_activation='sigmoid',
+                  prior={'distribution': 'gaussian', 'num_priors': C,
+                         'init_mean': 1.0, 'learned_means': True})
+    net.eval()
+    net.set_alternate_prior(dim=K, distribution='gaussian', num_priors=1,
+                            init_mean=3.0, seed=123)
+    src = str(tmp_path / 'src' / '11')
+    net.trained = 2
+    net.train_history['epochs'] = 2
+    net.save(src, except_state=False)
+    assert os.path.exists(os.path.join(src, 'wim.json'))
+
+    dst = str(tmp_path / 'jobs' / '11')
+    import_reference_job(src, dst)
+    assert os.path.exists(os.path.join(dst, 'wim_prior.npz'))
+
+    from joint_vae_tpu.ft.job import load_wim_job
+    wim = load_wim_job(dst)
+    assert wim.alternate_prior_cfg is not None
+    assert wim.alternate_prior_cfg.distribution == 'gaussian'
+    alt = net._alternate_prior
+    np.testing.assert_array_equal(
+        np.asarray(wim.alternate_prior_params['mean']),
+        alt.mean.detach().numpy())
+    np.testing.assert_array_equal(
+        np.asarray(wim.alternate_prior_params['var_param']),
+        alt._var_parameter.detach().numpy())
+
+    # '@'-twin parity on the imported weights + imported alternate prior
+    import jax.numpy as jnp
+    x = np.random.default_rng(4).uniform(
+        0, 1, (5,) + IN_SHAPE).astype(np.float32)
+    with torch.no_grad():
+        with net.no_estimated_labels(), net.evaluate_on_both_priors():
+            _, _, ref_losses, _ = net.evaluate(torch.tensor(x))
+    st = wim.job.state
+    _, _, ours, _ = wim.evaluate_on_both_priors(
+        st.variables, jnp.asarray(x), rng=jax.random.PRNGKey(1),
+        sigma_state=st.sigma_state)
+    for k in ('kl@', 'zdist@'):
+        np.testing.assert_allclose(np.asarray(ours[k]),
+                                   ref_losses[k].numpy(),
+                                   rtol=5e-4, atol=5e-4, err_msg=k)
+
+
+def test_native_wim_prior_persistence(tmp_path):
+    """save_wim_prior/load_wim_job round-trip the frozen alternate prior so
+    a reloaded native WIM job scores '@' methods with the prior it was
+    tuned against."""
+    import jax.numpy as jnp
+    from joint_vae_tpu.models.cvnet import CVNetConfig
+    from joint_vae_tpu.ops.priors import build_prior_config
+    from joint_vae_tpu.ops.sigma import SigmaConfig
+    from joint_vae_tpu.save_load.jobs import new_job, save_job
+    from joint_vae_tpu.train.optimizers import OptimizerConfig
+    from joint_vae_tpu.ft.wim import WIMJob
+    from joint_vae_tpu.ft.job import load_wim_job, save_wim_prior
+
+    cfg = CVNetConfig(
+        input_shape=IN_SHAPE, num_labels=C, type='cvae',
+        encoder=(16,), latent_dim=K, decoder=(16,), classifier=(8,),
+        latent_sampling=1, test_latent_sampling=3, beta=0.0, gamma=100.,
+        sigma=SigmaConfig(value=0.5), output_activation='sigmoid',
+        prior=build_prior_config(K, 'gaussian', num_priors=C,
+                                 init_mean=1.0, learned_means=True))
+    job = new_job(cfg, OptimizerConfig(), key=jax.random.PRNGKey(2))
+    wim = WIMJob(job=job)
+    wim.set_alternate_prior(key=jax.random.PRNGKey(77),
+                            distribution='gaussian', num_priors=1,
+                            init_mean=3.0, seed=77)
+    job.training_parameters['wim'] = dict(wim.ft_params)
+    job.ood_results = {2: {'fashion': {'kl': {'auc': 0.9}}}}
+    d = str(tmp_path / 'wimjob')
+    save_job(job, d)
+    save_wim_prior(wim, d)
+
+    wim2 = load_wim_job(d)
+    # already-WIM reload keeps results (ref FTJob.load 'already a ft' path)
+    assert wim2.job.ood_results
+    for k in ('mean', 'var_param'):
+        np.testing.assert_array_equal(
+            np.asarray(wim2.alternate_prior_params[k]),
+            np.asarray(wim.alternate_prior_params[k]), err_msg=k)
+
+    # without the npz the seeded re-derivation reproduces the same arrays
+    os.remove(os.path.join(d, 'wim_prior.npz'))
+    wim3 = load_wim_job(d)
+    np.testing.assert_allclose(
+        np.asarray(wim3.alternate_prior_params['mean']),
+        np.asarray(wim.alternate_prior_params['mean']), rtol=1e-6)
