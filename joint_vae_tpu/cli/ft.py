@@ -64,8 +64,12 @@ def _run_poscod(args, job, dflt):
         print('poscod llr vs {}: auroc {:.2%}'.format(n, float(r['auc'])))
     if job.saved_dir:
         from ..save_load.jobs import save_job
+        from ..ft.poscod import save_poscod_head
         job.training_parameters['poscod'] = {'epochs': int(dflt('epochs', 5))}
-        save_job(job, job.saved_dir, save_state=False)
+        # with state: the poscod job is a NEW job dir (frozen net + head)
+        # and must reload standalone (load_poscod_job)
+        save_job(job, job.saved_dir)
+        save_poscod_head(pc, job.saved_dir)
     return 0
 
 

@@ -7,6 +7,7 @@ resulting score is the log-likelihood ratio head output ('llr' method).
 """
 
 import dataclasses
+import os
 from typing import Dict, Optional
 
 import jax
@@ -16,9 +17,32 @@ import optax
 
 from ..data.loaders import ArrayDataset, DataLoader
 from ..models.evaluate import evaluate
-from ..save_load.jobs import Job
+from ..save_load.jobs import Job, load_job
 
 OOD_METHODS = ['llr']
+
+#: trained head weights next to state.npz — without them a reloaded poscod
+#: job could not re-score 'llr' on new data (ref keeps the head inside
+#: state.pth as ood_head.1.*, ft/poscod.py:38-42)
+POSCOD_HEAD_FILE = 'poscod_head.npz'
+
+
+def save_poscod_head(pc: 'PoscodJob', job_dir: str):
+    if pc.head is None:
+        return
+    np.savez(os.path.join(job_dir, POSCOD_HEAD_FILE),
+             w=np.asarray(pc.head['w']), b=np.asarray(pc.head['b']))
+
+
+def load_poscod_job(job_dir: str, key=None) -> 'PoscodJob':
+    """Reload a poscod job: the llr head comes back from poscod_head.npz
+    when present (ref PoscodJob.load reloads ood_head from state.pth)."""
+    pc = PoscodJob(job=load_job(job_dir, key=key))
+    path = os.path.join(job_dir, POSCOD_HEAD_FILE)
+    if os.path.exists(path):
+        with np.load(path) as z:
+            pc.head = {'w': jnp.asarray(z['w']), 'b': jnp.asarray(z['b'])}
+    return pc
 
 
 @dataclasses.dataclass

@@ -531,6 +531,11 @@ def export_to_reference_job(src: str, dst: str,
         save_json({k: wim_tp[k] for k in prior_keys if wim_tp.get(k)
                    is not None},
                   os.path.join(dst, 'wim.json'))
+    poscod_tp = job.training_parameters.get('poscod')
+    if isinstance(poscod_tp, dict):
+        # marks the dir as a poscod job (ref PoscodJob.is_poscod,
+        # ft/poscod.py:48); the llr head itself rides in state.pth below
+        save_json(poscod_tp, os.path.join(dst, 'poscod.json'))
     for name in ('test.json', 'ood.json'):
         p = os.path.join(src, name)
         if os.path.exists(p):
@@ -560,6 +565,18 @@ def export_to_reference_job(src: str, dst: str,
             sd, missing = export_state_dict(job, template)
         except ImportError_ as e:
             raise ExportError_('weight mapping failed: {}'.format(e))
+        head_path = os.path.join(src, 'poscod_head.npz')
+        if os.path.exists(head_path):
+            # reference PoscodJob keeps the llr head inside state.pth
+            # (ood_head.1.*; param_a is a vestigial learned scalar,
+            # ref ft/poscod.py:38-43) — include them so its strict
+            # load_state_dict succeeds with the trained head
+            with np.load(head_path) as z:
+                sd['ood_head.1.weight'] = torch.as_tensor(
+                    np.array(z['w'], np.float32).reshape(1, -1))
+                sd['ood_head.1.bias'] = torch.as_tensor(
+                    np.array(z['b'], np.float32).reshape(1))
+            sd.setdefault('param_a', torch.tensor([0.5]))
         torch.save(sd, os.path.join(dst, 'state.pth'))
         logging.info('state.npz exported: %d tensors (%d left at init)',
                      len(sd), len(missing))

@@ -492,14 +492,15 @@ def import_reference_job(src: str, dst: str,
     save_json(dict(cfg.architecture, job_number=job_number),
               os.path.join(dst, 'params.json'))
     training_parameters.setdefault('from_reference', os.path.abspath(src))
-    wim_json = os.path.join(src, 'wim.json')
-    if os.path.exists(wim_json):
-        # reference WIM jobs keep ft params in wim.json (ref ft/wim.py:18,
-        # ft/job.py:154-159); natively they live in train_params['wim']
-        # (dictify's wim_* keys) — merged, reference values winning
-        merged_wim = dict(training_parameters.get('wim') or {})
-        merged_wim.update(load_json(wim_json))
-        training_parameters['wim'] = merged_wim
+    # reference ft jobs keep their params in a sidecar json (wim.json /
+    # poscod.json, ref ft/wim.py:18, ft/poscod.py:23); natively they live
+    # in train_params['wim'/'poscod'] — merged, reference values winning
+    for ft_file, tp_key in (('wim.json', 'wim'), ('poscod.json', 'poscod')):
+        p = os.path.join(src, ft_file)
+        if os.path.exists(p):
+            merged_ft = dict(training_parameters.get(tp_key) or {})
+            merged_ft.update(load_json(p))
+            training_parameters[tp_key] = merged_ft
     save_json(training_parameters, os.path.join(dst, 'train_params.json'))
     for name in ('test.json', 'ood.json', 'history.json'):
         p = os.path.join(src, name)
@@ -555,6 +556,15 @@ def import_reference_job(src: str, dst: str,
                      **{k: np.asarray(v, np.float32)
                         for k, v in alt.items()})
             logging.info('alternate WIM prior imported from state.pth')
+
+        # poscod llr head: Dropout+Linear(K->1) at ood_head.1.*
+        # (ref ft/poscod.py:38-42) -> our {'w': (K,), 'b': ()} head
+        hw, hb = sd.get('ood_head.1.weight'), sd.get('ood_head.1.bias')
+        if hw is not None and hb is not None:
+            np.savez(os.path.join(dst, 'poscod_head.npz'),
+                     w=np.asarray(hw, np.float32).reshape(-1),
+                     b=np.asarray(hb, np.float32).reshape(()))
+            logging.info('poscod llr head imported from state.pth')
 
         opt_path = os.path.join(src, 'optimizer.pth')
         if os.path.exists(opt_path):

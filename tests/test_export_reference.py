@@ -470,3 +470,53 @@ def test_export_cli_scan(ref, tmp_path, capsys):
     dst = os.path.join(out_root, 'mnist', 'archX', 'opt', '12')
     net = ref.Net.load(dst, load_state=True)
     assert net.job_number == 12
+
+
+def test_export_poscod_job(ref, tmp_path):
+    """A native poscod job exports poscod.json + the llr head inside
+    state.pth (ood_head.1.*, ref ft/poscod.py:23,38-42) and loads under the
+    reference's own PoscodJob.load with the trained head intact."""
+    sys.path.insert(0, '/root/reference')
+    try:
+        from ft.poscod import PoscodJob as RefPoscod
+    finally:
+        sys.path.remove('/root/reference')
+    import jax.numpy as jnp
+
+    job = _randomized_job(_conv_cfg(), seed=9, job_number=6)
+    job.training_parameters['poscod'] = {'epochs': 5}
+    src = _save_native_job(job, str(tmp_path / 'src' / '6'),
+                           with_recorder=False)
+    rng = np.random.default_rng(3)
+    w = rng.normal(size=(K,)).astype(np.float32)
+    np.savez(os.path.join(src, 'poscod_head.npz'), w=w,
+             b=np.float32(0.125))
+
+    dst = str(tmp_path / 'ref-jobs' / '6')
+    export_to_reference_job(src, dst)
+    assert RefPoscod.is_poscod(dst)
+    # the reference's own PoscodJob.load is bit-rotted (load_post_hook
+    # calls the WIM-only set_alternate_prior) — validate the exported
+    # state the way its ctor + load_state_dict consume it
+    import json as _json
+    params = _json.load(open(os.path.join(dst, 'params.json')))
+    for k in ('version', 'job_number'):
+        params.pop(k, None)
+    tp = _json.load(open(os.path.join(dst, 'train_params.json')))
+    net = RefPoscod(**params, sigma=tp['sigma'], beta=tp['beta'],
+                    gamma=tp['gamma'], latent_sampling=tp['latent_sampling'])
+    sd = torch.load(os.path.join(dst, 'state.pth'), weights_only=False)
+    net.load_state_dict(sd, strict=True)
+    np.testing.assert_allclose(
+        net.ood_head[1].weight.detach().numpy().reshape(-1), w, rtol=1e-6)
+    np.testing.assert_allclose(net.ood_head[1].bias.detach().numpy(),
+                               [0.125], rtol=1e-6)
+
+    # ...and the import direction brings the head back bitwise
+    back = str(tmp_path / 'back' / '6')
+    import_reference_job(dst, back)
+    from joint_vae_tpu.ft.poscod import load_poscod_job
+    pc = load_poscod_job(back)
+    np.testing.assert_array_equal(np.asarray(pc.head['w']), w)
+    np.testing.assert_array_equal(np.asarray(pc.head['b']),
+                                  np.float32(0.125))

@@ -590,3 +590,58 @@ def test_native_wim_prior_persistence(tmp_path):
     np.testing.assert_allclose(
         np.asarray(wim3.alternate_prior_params['mean']),
         np.asarray(wim.alternate_prior_params['mean']), rtol=1e-6)
+
+
+def test_import_poscod_job(ref, tmp_path):
+    """A reference poscod job (poscod.json + ood_head.1.* in state.pth,
+    ref ft/poscod.py:23,38-42) imports with its trained llr head, and
+    load_poscod_job re-scores with the imported weights."""
+    sys.path.insert(0, '/root/reference')
+    try:
+        from ft.poscod import PoscodJob as RefPoscod
+    finally:
+        sys.path.remove('/root/reference')
+    torch.manual_seed(23)
+    net = RefPoscod(IN_SHAPE, C, type='cvae', features=None,
+                    encoder=[16], latent_dim=K, decoder=[16],
+                    classifier=[8], latent_sampling=1,
+                    test_latent_sampling=3, beta=0.0, gamma=100.,
+                    sigma={'value': 0.5}, output_activation='sigmoid',
+                    prior={'distribution': 'gaussian', 'num_priors': C,
+                           'init_mean': 1.0, 'learned_means': True})
+    net.eval()
+    with torch.no_grad():
+        net.ood_head[1].weight.copy_(torch.randn(1, K))
+        net.ood_head[1].bias.copy_(torch.tensor([0.25]))
+    net.ft_params = {'epochs': 5}
+    net.trained = 2
+    net.train_history['epochs'] = 2
+    # the reference's own FTJob.save is bit-rotted for poscod (it enters
+    # the WIM-only original_prior context) — save via the base CVNet.save,
+    # which is what writes state.pth anyway, + the poscod.json sidecar
+    ref.Net.save(net, str(tmp_path / 'src' / '13'))
+    import utils.save_load as ref_sl
+    ref_sl.save_json(net.ft_params, str(tmp_path / 'src' / '13'),
+                     'poscod.json')
+
+    dst = str(tmp_path / 'jobs' / '13')
+    import_reference_job(str(tmp_path / 'src' / '13'), dst)
+    assert os.path.exists(os.path.join(dst, 'poscod_head.npz'))
+
+    from joint_vae_tpu.ft.poscod import load_poscod_job
+    pc = load_poscod_job(dst)
+    assert pc.head is not None
+    np.testing.assert_array_equal(
+        np.asarray(pc.head['w']),
+        net.ood_head[1].weight.detach().numpy().reshape(-1))
+    np.testing.assert_array_equal(np.asarray(pc.head['b']),
+                                  np.float32(0.25))
+    assert pc.job.training_parameters['poscod'] == {'epochs': 5}
+
+    # llr re-scoring runs on the imported head (head math: mu @ w + b)
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    x = np.random.default_rng(9).uniform(
+        0, 1, (8,) + IN_SHAPE).astype(np.float32)
+    ds = ArrayDataset(x, np.zeros(8, np.int64), name='probe')
+    scores = pc.llr_scores(ds, batch_size=4)
+    assert scores.shape == (8,) and np.all(np.isfinite(scores))
