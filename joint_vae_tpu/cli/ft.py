@@ -55,8 +55,10 @@ def _run_poscod(args, job, dflt):
         s = pc.llr_scores(ood, args.test_batch_size)
         r = roc_curve(jnp.asarray(ind_scores), jnp.asarray(s),
                       kept_tpr=DEFAULT_KEPT_TPR)
+        # 'n' is the OOD sample count — the reuse tier compares it against
+        # the oodset size (evals/engines.py n_wanted; ref cvae.py:1886)
         job.ood_results[epoch].setdefault(n, {})['llr'] = {
-            'epochs': epoch, 'n': int(len(ind_scores)),
+            'epochs': epoch, 'n': int(len(s)),
             'mean': float(np.mean(s)), 'std': float(np.std(s)),
             'auc': float(r['auc']),
             'tpr': [float(t) for t in DEFAULT_KEPT_TPR],

@@ -60,10 +60,11 @@ def load_wim_job(job_dir: str, key=None, **alternate_prior) -> WIMJob:
         job.ood_results = {}
         wim.set_alternate_prior(key=key, **alternate_prior)
     elif saved.get('distribution'):
-        from ..ops.priors import build_prior_config
-        known = ('dim', 'distribution', 'num_priors', 'init_mean',
-                 'mean_shift', 'var_dim', 'tau', 'learned_means',
-                 'freeze_means')
+        import dataclasses
+        from ..ops.priors import build_prior_config, PriorConfig
+        # every PriorConfig field (incl. force_conditional) — a hand list
+        # here silently dropped fields as the config grew
+        known = tuple(f.name for f in dataclasses.fields(PriorConfig))
         p = {k: saved[k] for k in known if saved.get(k) is not None}
         p.setdefault('dim', job.model_cfg.latent_dim)
         dim = p.pop('dim')
@@ -77,7 +78,7 @@ def load_wim_job(job_dir: str, key=None, **alternate_prior) -> WIMJob:
                                               for k in z.files}
         else:
             from ..ops.priors import init_prior_params
-            seed = int(saved.get('seed', 0))
+            seed = int(saved.get('seed') or 0)    # tolerate seed: null
             wim.alternate_prior_params = init_prior_params(
                 wim.alternate_prior_cfg, jax.random.PRNGKey(seed))
     else:

@@ -518,24 +518,36 @@ def export_to_reference_job(src: str, dst: str,
     save_json(export_train_params(tp, ref_net_cls),
               os.path.join(dst, 'train_params.json'))
     wim_tp = job.training_parameters.get('wim')
-    if isinstance(wim_tp, dict) and wim_tp.get('distribution'):
-        # reference WIM jobs keep ft params in wim.json, fed verbatim to
-        # build_prior on reload (ref ft/job.py:142-145, ft/wim.py:95-105) —
-        # prior keys only; the moving-set metadata would TypeError there.
+    is_wim = isinstance(wim_tp, dict) and wim_tp.get('distribution')
+    if is_wim:
+        # reference WIM jobs keep ft params in wim.json, fed to build_prior
+        # on reload after its load_post_hook pops the moving-set metadata
+        # (ref ft/wim.py:208-213, ft/job.py:142-145) — keep the prior keys
+        # (PriorConfig fields; build_prior itself discards tau-for-gaussian
+        # etc., priors.py:41-52) plus exactly the keys that hook pops.
         # Deviation: the reference re-derives the prior ARRAYS from the
         # torch seed (priors.py:66-71), so '@' scores after a reference
         # reload use its own seeded prior, not this job's exact arrays.
-        prior_keys = ('dim', 'distribution', 'num_priors', 'init_mean',
-                      'mean_shift', 'var_dim', 'tau', 'learned_means',
-                      'freeze_means', 'seed')
-        save_json({k: wim_tp[k] for k in prior_keys if wim_tp.get(k)
-                   is not None},
+        import dataclasses as _dc
+        from ..ops.priors import PriorConfig
+        allowed = ({f.name for f in _dc.fields(PriorConfig)}
+                   | {'sets', 'alpha', 'train_size', 'moving_size',
+                      'padding', 'mix_padding', 'padding_sets', 'from',
+                      'mix', 'hash', 'array_size'})
+        save_json({k: v for k, v in wim_tp.items()
+                   if k in allowed and v is not None},
                   os.path.join(dst, 'wim.json'))
     poscod_tp = job.training_parameters.get('poscod')
     if isinstance(poscod_tp, dict):
-        # marks the dir as a poscod job (ref PoscodJob.is_poscod,
-        # ft/poscod.py:48); the llr head itself rides in state.pth below
-        save_json(poscod_tp, os.path.join(dst, 'poscod.json'))
+        if os.path.exists(os.path.join(src, 'poscod_head.npz')):
+            # marks the dir as a poscod job (ref PoscodJob.is_poscod,
+            # ft/poscod.py:48); the llr head itself rides in state.pth below
+            save_json(poscod_tp, os.path.join(dst, 'poscod.json'))
+        else:
+            # without the head tensors a poscod.json dir cannot load on
+            # the reference side — export as a plain job instead
+            logging.warning('poscod params present but no poscod_head.npz: '
+                            'exported as a plain job (no poscod.json)')
     for name in ('test.json', 'ood.json'):
         p = os.path.join(src, name)
         if os.path.exists(p):
@@ -577,6 +589,16 @@ def export_to_reference_job(src: str, dst: str,
                 sd['ood_head.1.bias'] = torch.as_tensor(
                     np.array(z['b'], np.float32).reshape(1))
             sd.setdefault('param_a', torch.tensor([0.5]))
+        if is_wim:
+            # the reference WIMJob registers the original prior under
+            # _original_prior (an alias of encoder.prior, ft/wim.py:28),
+            # so its state_dict carries both spellings — without them its
+            # load raises MissingKeys and the fallback path WIPES the
+            # job's ood_results (ref ft/job.py:126-138)
+            for field in ('mean', '_var_parameter'):
+                enc = sd.get('encoder.prior.' + field)
+                if enc is not None:
+                    sd.setdefault('_original_prior.' + field, enc.clone())
         torch.save(sd, os.path.join(dst, 'state.pth'))
         logging.info('state.npz exported: %d tensors (%d left at init)',
                      len(sd), len(missing))

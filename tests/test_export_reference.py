@@ -433,12 +433,18 @@ def test_export_wim_job(ref, tmp_path):
     export_to_reference_job(src, dst)
 
     wj = json.load(open(os.path.join(dst, 'wim.json')))
+    # prior keys + the moving-set metadata the reference's load_post_hook
+    # pops (ft/wim.py:208-213); padding_dataset is native-only and dropped
     assert wj == {'dim': K, 'distribution': 'gaussian', 'num_priors': 1,
-                  'init_mean': 3.0, 'seed': 5}
+                  'init_mean': 3.0, 'seed': 5, 'sets': ['fashion'],
+                  'mix': 0.5}
     assert RefWIM.is_wim(dst)
     net = RefWIM.load(dst, load_state=True)
     assert net._alternate_prior is not None
     assert net._alternate_prior.num_priors == 1
+    # _original_prior.* rode along, so the load took the intact (non-
+    # MissingKeys) path and KEPT the job's ood results (ft/job.py:126-138)
+    assert net.ood_results, 'ood_results wiped: MissingKeys fallback hit'
     # the state itself still round-trips under the WIM loader
     with net.no_estimated_labels():
         _compare_losses(net, job)
