@@ -250,12 +250,20 @@ def map_reference_state(sd: Dict[str, np.ndarray], params,
         our_projs = params.get('encoder', {}).get('dense_projs', {})
         _map_dense_seq(projs, _sorted_names(our_projs, ('dense',)), out,
                        'encoder/dense_projs')
+        our_enc = params.get('encoder', {})
         for head in ('dense_mean', 'dense_log_var'):
             if head + '.weight' in enc:
+                if head not in our_enc:
+                    # the reference builds dense_log_var even under forced
+                    # variance, where forward never reads it (ref
+                    # layers.py:390-391) — vestigial, skip
+                    logging.debug('encoder.%s has no native counterpart '
+                                  '(vestigial head), skipped', head)
+                    continue
                 out['encoder/{}/kernel'.format(head)] = _linear(
                     enc[head + '.weight'])
                 out['encoder/{}/bias'.format(head)] = enc[head + '.bias']
-        if 'sigma.weight' in enc:                       # coded-sigma head
+        if 'sigma.weight' in enc and 'sigma' in our_enc:  # coded-sigma head
             out['encoder/sigma/kernel'] = _linear(enc['sigma.weight'])
             out['encoder/sigma/bias'] = enc['sigma.bias']
         if 'prior.mean' in enc:
