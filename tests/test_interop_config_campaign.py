@@ -9,8 +9,8 @@ ARCHITECTURE (features/upsampler/encoder/decoder/classifier/prior/sigma)
 is the section's own.  Sections whose reference ctor is bit-rotted
 upstream (list upsamplers / unnamed 'conv' features TypeError in its own
 build_de_conv_layers) are excluded: fashion-vgg16, mnist-5A, autoencoder,
-cifar-ola, dai-iclr20; imagenet needs the absent imagenet21k registry
-entry; vgg-baseline is degenerate upstream (28px mnist through vgg11's
+cifar-ola, dai-iclr20; imagenet names a dataset (imagenet21k) absent from
+the reference's own sets.ini too; vgg-baseline is degenerate upstream (28px mnist through vgg11's
 five pools leaves a 0-size encoder input — torch silently builds
 zero-element Linears, i.e. a constant encoder).
 """
