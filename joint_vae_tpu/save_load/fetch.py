@@ -139,8 +139,17 @@ def needed_remote_files(job_dir: str, kinds=('state', 'records')) -> List[str]:
     (ref fetch.py:303-384)."""
     out = []
     for d in collect_models(job_dir):
-        if 'state' in kinds and not os.path.exists(os.path.join(d, 'state.npz')):
-            out.append(os.path.join(d, 'state.npz'))
+        if 'state' in kinds:
+            if not os.path.exists(os.path.join(d, 'state.npz')):
+                out.append(os.path.join(d, 'state.npz'))
+            # ft sidecar arrays travel with the state: the frozen WIM
+            # alternate prior / poscod llr head (ft/job.py, ft/poscod.py)
+            tp_path = os.path.join(d, 'train_params.json')
+            tp = load_json(tp_path) if os.path.exists(tp_path) else {}
+            for key, fname in (('wim', 'wim_prior.npz'),
+                               ('poscod', 'poscod_head.npz')):
+                if tp.get(key) and not os.path.exists(os.path.join(d, fname)):
+                    out.append(os.path.join(d, fname))
         if 'records' in kinds:
             samples = os.path.join(d, 'samples')
             if not os.path.isdir(samples):

@@ -55,9 +55,12 @@ RSYNC_PROFILES = {
     # ref rsync-jobs.sh filter profiles
     'results': ['--include=*/', '--include=*.json', '--include=*.out',
                 '--exclude=*'],
+    # the ft sidecar arrays (wim_prior/poscod_head) ride with records:
+    # rates recomputation needs them (ft/job.py, ft/poscod.py)
     'records': ['--include=*/', '--include=*.json', '--include=record-*.npz',
-                '--include=record-*.jvr', '--exclude=*.npz',
-                '--exclude=*.jvr', '--exclude=*'],
+                '--include=record-*.jvr', '--include=sample-*.npz',
+                '--include=wim_prior.npz', '--include=poscod_head.npz',
+                '--exclude=*.npz', '--exclude=*.jvr', '--exclude=*'],
     'full': [],
 }
 

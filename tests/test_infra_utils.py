@@ -128,3 +128,10 @@ def test_set_log_file_and_needed_remote_files(tmp_path):
     needs = needed_remote_files(str(tmp_path / 'jobs'))
     assert any('state.npz' in n for n in needs)
     assert any(n.endswith('samples/') for n in needs)
+
+    # ft sidecar arrays travel with the state tier
+    (d / 'train_params.json').write_text(
+        '{"wim": {"distribution": "gaussian"}, "poscod": {"epochs": 5}}')
+    needs = needed_remote_files(str(tmp_path / 'jobs'))
+    assert any(n.endswith('wim_prior.npz') for n in needs)
+    assert any(n.endswith('poscod_head.npz') for n in needs)
