@@ -68,7 +68,8 @@ def main(argv=None):
                                      convert, args.dry_run)
     if not args.dry_run:
         print('{} exported, {} failed'.format(done, failed))
-    return 1 if failed and not done else 0
+    # any failure is a nonzero exit (same rationale as cli/import_ref.py)
+    return 1 if failed else 0
 
 
 if __name__ == '__main__':

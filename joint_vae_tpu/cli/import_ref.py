@@ -64,7 +64,9 @@ def main(argv=None):
                                      convert, args.dry_run)
     if not args.dry_run:
         print('{} imported, {} failed'.format(done, failed))
-    return 1 if failed and not done else 0
+    # any failure is a nonzero exit: scripted batch conversions must not
+    # silently lose jobs behind a 0 status (round-3 advisor)
+    return 1 if failed else 0
 
 
 if __name__ == '__main__':

@@ -464,8 +464,11 @@ def main(argv=None):
         texify_test_results_df(df, tex_file=tex, tab_file=tab,
                                best_in_group=args.best)
         if agg is not None and args.results_file:
+            # saved aggregates follow the saved main table: aggregate the
+            # FULL frame, not the -e display-pruned one (round-3 advisor)
             texify_test_results_df(
-                agg, tex_file=(base + '-agg.tex' if args.latex else None),
+                agg_results(df),
+                tex_file=(base + '-agg.tex' if args.latex else None),
                 tab_file=base + '-agg.tab', best_in_group=False)
     return 0
 

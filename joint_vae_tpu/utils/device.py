@@ -23,12 +23,13 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     counterpart — torch has no AOT compile to cache).
 
     Resolution order: explicit ``path`` > ``JVT_COMPILE_CACHE`` env var >
-    ``~/.cache/joint_vae_tpu/xla``.  ``JVT_COMPILE_CACHE=0`` (or ``off``)
-    disables.  Returns the directory in use, or None when disabled or the
+    ``~/.cache/joint_vae_tpu/xla``.  ``JVT_COMPILE_CACHE=0`` (or any of the
+    usual falsy spellings: off/false/no/none, case-insensitive) disables.  Returns the directory in use, or None when disabled or the
     backend/filesystem refuses (never fatal — the cache is an optimization).
     """
     p = path if path is not None else os.environ.get('JVT_COMPILE_CACHE')
-    if p in ('0', 'off'):
+    if p is not None and p.strip().lower() in ('0', 'off', 'false', 'no',
+                                               'none', 'disable', 'disabled'):
         return None
     if not p:
         p = os.path.join(os.path.expanduser('~'), '.cache',
