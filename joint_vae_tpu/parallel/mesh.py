@@ -99,6 +99,31 @@ def state_shardings(mesh: Mesh, state):
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
+def put_tree(tree, shardings):
+    """device_put a host-replicated pytree onto (possibly cross-process)
+    shardings.
+
+    Single-process: plain jax.device_put.  Multi-process: device_put's
+    replicated-host path runs a per-leaf cross-process assert_equal
+    collective, which is both a collective per leaf and WRONG for NaN
+    initializers (NaN != NaN trips it) — use make_array_from_callback
+    instead: each process slices its own addressable shards from its host
+    copy, no verification collective (the caller guarantees replication;
+    every process built the same state from the same seed/checkpoint)."""
+    if jax.process_count() == 1:
+        return jax.device_put(tree, shardings)
+
+    def put(leaf, sh):
+        if leaf is None:
+            return None
+        host = np.asarray(leaf)
+        return jax.make_array_from_callback(host.shape, sh,
+                                            lambda idx: host[idx])
+
+    return jax.tree_util.tree_map(put, tree, shardings,
+                                  is_leaf=lambda x: x is None)
+
+
 def distributed_init(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):

@@ -45,6 +45,29 @@ def global_batch(mesh: Mesh, x_local: np.ndarray, y_local: np.ndarray
     return gx, gy
 
 
+def aligned_global_batch(mesh: Mesh, x: np.ndarray, y: np.ndarray
+                         ) -> Tuple[jax.Array, jax.Array]:
+    """Assemble a global batch from a host copy of the FULL global batch.
+
+    Every process iterates the same full-dataset loader (identical seed →
+    identical permutation → identical global batches) and ships only its
+    contiguous slice; the resulting data order is bit-identical to a
+    single-process run with the same loader, which makes multi-process
+    trajectories directly comparable to single-process ones
+    (tests/test_multiprocess.py).  Whole-array datasets are host-resident
+    per process anyway, so the full-batch host copy costs nothing extra;
+    pod-scale per-shard feeding (each process reading only its slice of the
+    dataset) is ``sharded_loader`` below."""
+    pc, pi = jax.process_count(), jax.process_index()
+    if pc == 1:
+        return global_batch(mesh, x, y)
+    n = x.shape[0]
+    assert n % pc == 0, (n, pc)
+    per = n // pc
+    return global_batch(mesh, x[pi * per:(pi + 1) * per],
+                        y[pi * per:(pi + 1) * per])
+
+
 def sharded_loader(mesh: Mesh, dataset: ArrayDataset, global_batch_size: int,
                    seed: int = 0, shuffle: bool = True,
                    data_augmentation=()) -> Iterator[Tuple[jax.Array, jax.Array]]:

@@ -19,6 +19,8 @@ import numpy as np
 def save_json(d: Dict[str, Any], path: str, indent: int = 1):
     """Atomic JSON write (ref utils/save_load/misc.py:32-38 retries on
     corrupt files; we avoid corruption instead with rename)."""
+    if not is_write_process():
+        return
     os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or '.', suffix='.tmp')
     try:
@@ -78,15 +80,33 @@ def _path_str(path) -> str:
 
 
 def flatten_pytree(tree) -> Dict[str, np.ndarray]:
-    """Pytree -> {path: ndarray}, skipping non-array leaves."""
+    """Pytree -> {path: ndarray}, skipping non-array leaves.
+
+    Multi-process: leaves sharded across process boundaries are gathered
+    with a collective (every process must call this — it participates in
+    the all-gather even if only host 0 ends up writing the file)."""
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     out = {}
+    gather = None
     for path, leaf in flat:
         if leaf is None:
             continue
-        arr = np.asarray(leaf)
+        if (isinstance(leaf, jax.Array) and not leaf.is_fully_addressable
+                and not leaf.is_fully_replicated):
+            if gather is None:
+                from jax.experimental import multihost_utils
+                gather = multihost_utils.process_allgather
+            arr = np.asarray(gather(leaf, tiled=True))
+        else:
+            arr = np.asarray(leaf)
         out[_path_str(path)] = arr
     return out
+
+
+def is_write_process() -> bool:
+    """Multi-process runs write checkpoints/JSONs from host 0 only (the
+    collective gathers in flatten_pytree still run on every process)."""
+    return jax.process_index() == 0
 
 
 def unflatten_into(template, arrays: Dict[str, np.ndarray]):
@@ -120,9 +140,17 @@ def unflatten_into(template, arrays: Dict[str, np.ndarray]):
 
 
 def save_checkpoint(path: str, tree):
-    """Save a pytree to a .npz (atomic)."""
-    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
+    """Save a pytree to a .npz (atomic).
+
+    Multi-process: every process participates in the flatten (it gathers
+    cross-process shards collectively) but only host 0 touches the file —
+    concurrent writers racing os.replace on a shared filesystem would
+    corrupt the archive.  Per-process shard files without the gather:
+    sharded_checkpoint.save_checkpoint_sharded."""
     arrays = flatten_pytree(tree)
+    if not is_write_process():
+        return
+    os.makedirs(os.path.dirname(path) or '.', exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path) or '.', suffix='.tmp')
     os.close(fd)
     try:

@@ -80,7 +80,15 @@ def new_job(model_cfg: CVNetConfig, opt_cfg: OptimizerConfig = None,
     return job
 
 
-def save_job(job: Job, job_dir: str, save_state: bool = True):
+def save_job(job: Job, job_dir: str, save_state: bool = True,
+             sharded: Optional[bool] = None, checkpointer=None):
+    """Persist the job directory.
+
+    ``sharded``: write per-process ``state.shards/`` + ``optimizer.shards/``
+    instead of gathered npz archives (sharded_checkpoint.py) — the pod-scale
+    path; defaults to JVT_SHARDED_CKPT or automatically whenever more than
+    one process is running.  ``checkpointer``: an AsyncCheckpointer — array
+    serialization overlaps the caller's next epoch (sharded saves only)."""
     os.makedirs(job_dir, exist_ok=True)
     arch = dict(job.model_cfg.architecture)
     arch['job_number'] = job.job_number
@@ -89,6 +97,10 @@ def save_job(job: Job, job_dir: str, save_state: bool = True):
     save_json(job.testing, os.path.join(job_dir, 'test.json'))
     save_json(job.ood_results, os.path.join(job_dir, 'ood.json'))
     save_json(job.train_history, os.path.join(job_dir, 'history.json'))
+    if sharded is None:
+        sharded = (os.environ.get('JVT_SHARDED_CKPT', '') not in
+                   ('', '0', 'off', 'false', 'no')
+                   or jax.process_count() > 1)
     if save_state and job.state is not None:
         st = job.state
         model_tree = {'params': st.params, 'batch_stats': st.batch_stats,
@@ -96,9 +108,29 @@ def save_job(job: Job, job_dir: str, save_state: bool = True):
                                       'rmse': st.sigma_state.rmse},
                       'counters': {'epoch': st.epoch, 'step': st.step},
                       'rng': st.rng}
-        save_checkpoint(os.path.join(job_dir, 'state.npz'), model_tree)
-        save_checkpoint(os.path.join(job_dir, 'optimizer.npz'), st.opt_state)
+        if sharded:
+            from .sharded_checkpoint import save_checkpoint_sharded
+            save_checkpoint_sharded(os.path.join(job_dir, 'state.shards'),
+                                    model_tree, checkpointer=checkpointer,
+                                    sync=checkpointer is None)
+            save_checkpoint_sharded(os.path.join(job_dir, 'optimizer.shards'),
+                                    st.opt_state, checkpointer=checkpointer,
+                                    sync=checkpointer is None)
+        else:
+            save_checkpoint(os.path.join(job_dir, 'state.npz'), model_tree)
+            save_checkpoint(os.path.join(job_dir, 'optimizer.npz'), st.opt_state)
     job.saved_dir = job_dir
+
+
+def _load_arrays(job_dir: str, stem: str):
+    """Checkpoint arrays for ``stem`` — the gathered npz if present,
+    otherwise the per-process shard directory (sharded_checkpoint.py),
+    stitched back to global arrays (restores onto any mesh shape)."""
+    npz = os.path.join(job_dir, stem + '.npz')
+    if os.path.exists(npz):
+        return load_checkpoint(npz)
+    from .sharded_checkpoint import load_checkpoint_sharded
+    return load_checkpoint_sharded(os.path.join(job_dir, stem + '.shards'))
 
 
 def load_job(job_dir: str, load_state: bool = True, ghost: bool = False,
@@ -139,7 +171,7 @@ def load_job(job_dir: str, load_state: bool = True, ghost: bool = False,
     key = key if key is not None else jax.random.PRNGKey(0)
     state = create_train_state(CVNet(model_cfg), key, opt_cfg)
     if load_state:
-        arrays = load_checkpoint(os.path.join(job_dir, 'state.npz'))
+        arrays = _load_arrays(job_dir, 'state')
         params, missing, extra = unflatten_into(
             state.params, {k[len('params/'):]: v for k, v in arrays.items()
                            if k.startswith('params/')})
@@ -167,9 +199,9 @@ def load_job(job_dir: str, load_state: bool = True, ghost: bool = False,
             # restarting from the fresh init key
             saved_rng = jax.numpy.asarray(arrays['rng'], jax.numpy.uint32)
             state = state.replace(rng=saved_rng.reshape(state.rng.shape))
-        opt_path = os.path.join(job_dir, 'optimizer.npz')
-        if os.path.exists(opt_path):
-            oarrays = load_checkpoint(opt_path)
+        if (os.path.exists(os.path.join(job_dir, 'optimizer.npz'))
+                or os.path.isdir(os.path.join(job_dir, 'optimizer.shards'))):
+            oarrays = _load_arrays(job_dir, 'optimizer')
             opt_state, _, _ = unflatten_into(state.opt_state, oarrays)
             state = state.replace(opt_state=opt_state)
         job.state = state

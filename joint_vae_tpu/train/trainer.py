@@ -117,18 +117,38 @@ def train_model(job: Job,
                                donate=True, frozen_modules=frozen)
     state = job.state
 
+    multiprocess = jax.process_count() > 1
+    if multiprocess:
+        # state is sharded over a mesh spanning processes; the eval engines
+        # feed single-device and cannot consume it — multi-process runs are
+        # train-only (evaluate from the saved checkpoint afterwards)
+        if mesh is None:
+            raise ValueError('multi-process training needs an explicit mesh')
+        if testset is not None or oodsets or validation:
+            raise NotImplementedError(
+                'in-training evaluation is single-process only; run '
+                'multi-process training with testset=None and evaluate '
+                'from the checkpoint')
     if mesh is not None:
-        from ..parallel.mesh import state_shardings, batch_sharding
-        state = jax.device_put(state, state_shardings(mesh, state))
+        from ..parallel.mesh import state_shardings, batch_sharding, put_tree
+        state = put_tree(state, state_shardings(mesh, state))
         x_sh = batch_sharding(mesh, 1 + len(cfg.input_shape))
         y_sh = batch_sharding(mesh, 1)
 
-        def put_batch(x, y):
-            # device_put on the host array ships each shard once (an
-            # intermediate jnp.asarray would commit the whole batch to the
-            # default device first, then reshard)
-            return (jax.device_put(np.asarray(x), x_sh),
-                    jax.device_put(np.asarray(y), y_sh))
+        if multiprocess:
+            from ..parallel.sharded_data import aligned_global_batch
+
+            def put_batch(x, y):
+                # every process runs the same full-dataset loader; each
+                # ships its slice of the global batch (parallel/sharded_data)
+                return aligned_global_batch(mesh, np.asarray(x), np.asarray(y))
+        else:
+            def put_batch(x, y):
+                # device_put on the host array ships each shard once (an
+                # intermediate jnp.asarray would commit the whole batch to
+                # the default device first, then reshard)
+                return (jax.device_put(np.asarray(x), x_sh),
+                        jax.device_put(np.asarray(y), y_sh))
     else:
         def put_batch(x, y):
             return jnp.asarray(x), jnp.asarray(y)

@@ -1,0 +1,79 @@
+"""Worker process for tests/test_multiprocess.py.
+
+Launched N times (JAX_PLATFORMS=cpu, 2 virtual devices each) with a
+localhost coordinator; builds the global mesh through the framework's own
+``distributed_init``, trains a real job with ``train_model`` over a
+cross-process ('data' x 'model') mesh, and saves the job directory
+(host-0 JSONs + per-process shard checkpoints).
+
+Usage: python mp_worker.py <process_id> <num_processes> <port> <outdir>
+"""
+
+import json
+import os
+import sys
+
+
+def make_dataset(n=128, seed=0):
+    import numpy as np
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    rng = np.random.default_rng(seed)
+    y = rng.integers(0, 4, n).astype(np.int32)
+    base = np.linspace(0.2, 0.8, 4)[y][:, None, None, None]
+    x = np.clip(base + 0.05 * rng.standard_normal((n, 1, 6, 6)),
+                0, 1).astype(np.float32)
+    return ArrayDataset(x, y, 'blobs')
+
+
+def make_job():
+    import jax
+    from joint_vae_tpu.models.cvnet import CVNetConfig
+    from joint_vae_tpu.ops.priors import PriorConfig
+    from joint_vae_tpu.ops.sigma import SigmaConfig
+    from joint_vae_tpu.save_load.jobs import new_job
+    from joint_vae_tpu.train.optimizers import OptimizerConfig
+    cfg = CVNetConfig(input_shape=(1, 6, 6), num_labels=4, type='cvae',
+                      encoder=(16,), decoder=(16,), classifier=(8,),
+                      latent_dim=8, latent_sampling=1, gamma=10.0, beta=1e-2,
+                      sigma=SigmaConfig(value=0.3),
+                      prior=PriorConfig(dim=8, num_priors=4, init_mean=1.0,
+                                        learned_means=True))
+    job = new_job(cfg, OptimizerConfig(lr=3e-3), key=jax.random.PRNGKey(0))
+    job.training_parameters['set'] = 'blobs'
+    return job
+
+
+def run(outdir: str, epochs: int = 2):
+    import jax
+    from joint_vae_tpu.parallel.mesh import make_mesh
+    from joint_vae_tpu.train.trainer import train_model
+    from joint_vae_tpu.utils.print_log import EpochOutput
+
+    job = make_job()
+    mesh = make_mesh(4, model_axis=2)
+    train_model(job, make_dataset(), None, None, epochs=epochs,
+                batch_size=16, final_test=False, final_ood=False,
+                outputs=EpochOutput(stdout=False), mesh=mesh,
+                save_dir=os.path.join(outdir, 'job'))
+    traj = {str(e): job.train_history[e]['train_loss']
+            for e in range(1, epochs + 1)}
+    if jax.process_index() == 0:
+        with open(os.path.join(outdir, 'traj.json'), 'w') as f:
+            json.dump(traj, f)
+    return traj
+
+
+def main():
+    pid, n, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
+                            sys.argv[3], sys.argv[4])
+    from joint_vae_tpu.parallel.mesh import distributed_init
+    pc, pi = distributed_init(coordinator_address='localhost:' + port,
+                              num_processes=n, process_id=pid)
+    assert (pc, pi) == (n, pid), (pc, pi)
+    import jax
+    assert jax.device_count() == 2 * n, jax.device_count()
+    run(outdir)
+
+
+if __name__ == '__main__':
+    main()

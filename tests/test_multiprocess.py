@@ -1,0 +1,146 @@
+"""True multi-process jax.distributed execution (VERDICT r3 item 1).
+
+Spawns 2 real Python processes (2 virtual CPU devices each, localhost
+coordinator) that train one job over a cross-process 4-device
+('data' x 'model'=2) mesh via ``train_model``, write a sharded checkpoint
+(per-process shard files, host-0 JSONs), then compares against the SAME
+training run in this process on a single-process 4-device mesh:
+
+- the loss trajectory must match (the aligned loader reproduces the exact
+  single-process data order; only collective reduction order may differ),
+- the restored params from the 2-process sharded checkpoint must match the
+  single-process run's, and must restore onto a different mesh shape.
+
+This is the one multi-chip correctness axis the 8-virtual-device dryrun
+cannot cover: process-boundary sharding, host-0-only writes, coordinator
+setup (parallel/mesh.py::distributed_init, sharded_data.py,
+sharded_checkpoint.py).
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+REPO = os.path.dirname(HERE)
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(('localhost', 0))
+        return s.getsockname()[1]
+
+
+def _spawn_workers(n, outdir, timeout=600):
+    port = str(_free_port())
+    env = {k: v for k, v in os.environ.items()
+           if k not in ('PALLAS_AXON_POOL_IPS', 'JAX_PLATFORMS', 'XLA_FLAGS')}
+    env.update(JAX_PLATFORMS='cpu',
+               XLA_FLAGS='--xla_force_host_platform_device_count=2',
+               PYTHONPATH=REPO + os.pathsep + env.get('PYTHONPATH', ''))
+    procs = [subprocess.Popen(
+        [sys.executable, os.path.join(HERE, 'mp_worker.py'),
+         str(i), str(n), port, outdir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(n)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=timeout)
+            outs.append(out)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, 'worker {} failed:\n{}'.format(i, out)
+    return outs
+
+
+@pytest.fixture(scope='module')
+def mp_run(tmp_path_factory):
+    outdir = str(tmp_path_factory.mktemp('mp'))
+    _spawn_workers(2, outdir)
+    return outdir
+
+
+def _single_process_run(tmp_path, epochs=2):
+    import jax
+    from joint_vae_tpu.parallel.mesh import make_mesh
+    from joint_vae_tpu.train.trainer import train_model
+    from joint_vae_tpu.utils.print_log import EpochOutput
+    from tests.mp_worker import make_dataset, make_job
+
+    job = make_job()
+    mesh = make_mesh(4, model_axis=2)
+    train_model(job, make_dataset(), None, None, epochs=epochs,
+                batch_size=16, final_test=False, final_ood=False,
+                outputs=EpochOutput(stdout=False), mesh=mesh,
+                save_dir=os.path.join(str(tmp_path), 'job'))
+    return job
+
+
+def test_multiprocess_trajectory_matches_single_process(mp_run, tmp_path):
+    with open(os.path.join(mp_run, 'traj.json')) as f:
+        mp_traj = json.load(f)
+    job = _single_process_run(tmp_path)
+    for e in (1, 2):
+        sp = job.train_history[e]['train_loss']
+        mp = mp_traj[str(e)]
+        assert set(sp) == set(mp)
+        for k in sp:
+            np.testing.assert_allclose(mp[k], sp[k], rtol=1e-5, err_msg=k)
+
+
+def test_multiprocess_checkpoint_is_sharded_and_restores(mp_run, tmp_path):
+    """The 2-process job dir has host-0 JSONs + one shard file per process;
+    it restores in THIS (single) process onto a different mesh and matches
+    the single-process run's params."""
+    from joint_vae_tpu.save_load.checkpoint import flatten_pytree
+    from joint_vae_tpu.save_load.jobs import load_job
+    from joint_vae_tpu.save_load.sharded_checkpoint import (
+        is_sharded_checkpoint, load_checkpoint_sharded)
+
+    job_dir = os.path.join(mp_run, 'job')
+    for stem in ('state', 'optimizer'):
+        d = os.path.join(job_dir, stem + '.shards')
+        assert is_sharded_checkpoint(d), d
+        for p in range(2):
+            assert os.path.exists(os.path.join(d, 'shard-%d.npz' % p))
+    # stitched arrays == single-process run's state (same data order, same
+    # init; collective order may round differently in the last ulp)
+    arrays = load_checkpoint_sharded(os.path.join(job_dir, 'state.shards'))
+    ref = flatten_pytree(_single_process_run(tmp_path).state.params)
+    for k, v in ref.items():
+        got = arrays['params/' + k]
+        np.testing.assert_allclose(got, v, rtol=3e-5, atol=1e-7, err_msg=k)
+
+    # restore-on-different-mesh: plain load_job + pure-DP continuation
+    job2 = load_job(job_dir)
+    assert job2.trained == 2
+    import jax
+    from joint_vae_tpu.parallel.mesh import make_mesh
+    from joint_vae_tpu.train.trainer import train_model
+    from joint_vae_tpu.utils.print_log import EpochOutput
+    from tests.mp_worker import make_dataset
+    train_model(job2, make_dataset(), None, None, epochs=3, batch_size=16,
+                final_test=False, final_ood=False,
+                outputs=EpochOutput(stdout=False), mesh=make_mesh(8))
+    assert job2.trained == 3
+    assert np.isfinite(job2.train_history[3]['train_loss']['total'])
+
+
+def test_multiprocess_json_written_once(mp_run):
+    """history.json exists exactly once (host 0), valid JSON with 2 epochs."""
+    p = os.path.join(mp_run, 'job', 'history.json')
+    assert os.path.exists(p)
+    with open(p) as f:
+        hist = json.load(f)
+    assert hist['epochs'] == 2

@@ -41,7 +41,9 @@ def test_import_scan_isolates_corrupt_jobs(tmp_path, capsys):
                '--platform', 'cpu'])
     out = capsys.readouterr().out
     assert '1 imported, 1 failed' in out
-    assert rc == 0                      # partial success is not a failure
+    # partial failure exits nonzero so scripted conversions can't silently
+    # lose jobs (round-3 advisor finding; the good job still imported)
+    assert rc == 1
     assert os.path.exists(os.path.join(jobs, 'mnist', 'arch', 'opt', '3',
                                        'params.json'))
     assert not os.path.exists(os.path.join(jobs, 'mnist', 'arch', 'opt',
