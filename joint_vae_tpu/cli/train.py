@@ -132,7 +132,8 @@ def main(argv=None):
             logging.debug('skipping oodset %s: %s', n, e)
 
     # sanity forward pass (ref train.py:307-318)
-    x = jax.numpy.asarray(trainset.data[:4])
+    from ..data.loaders import to_float
+    x = jax.numpy.asarray(to_float(trainset.data[:4]))
     y = jax.numpy.asarray(trainset.targets[:4])
     out = evaluate(job.model, job.state.variables, x, y,
                    rng=jax.random.PRNGKey(0),

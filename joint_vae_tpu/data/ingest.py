@@ -1,0 +1,180 @@
+"""Scalable ImageFolder ingestion: one-time parallel decode into a uint8
+memmap cache.
+
+The reference streams ImageFolder trees per batch through torchvision
+workers (ref utils/torch_load.py:250-294) and re-pays JPEG decode every
+epoch.  Whole-array ingestion (this framework's model) must not pay the
+opposite cost — a single-threaded float32 decode of the full tree on every
+run (~16 GB host RAM + hours for imagenet1k@64px).  Instead:
+
+- first touch decodes the tree ONCE with a multiprocessing pool straight
+  into ``<root>/.jvt_cache/<tag>-<C>x<H>x<W>-<hash>.u8`` (uint8, 4x smaller
+  than float32; workers write disjoint slices of the same memmap, so peak
+  RSS stays at a few decode buffers regardless of dataset size);
+- subsequent runs open the cache as a read-only ``np.memmap`` in
+  milliseconds; batches normalize to float32 [0,1] lazily per batch
+  (loaders.to_float / the DeviceDataset normalizes in-step on device);
+- the cache key hashes every file's (relative path, size, mtime_ns) plus
+  the target shape — touching the tree invalidates it.
+
+The labels and a meta JSON live next to the .u8; the meta file is written
+last (atomic rename), so a crashed ingest never presents a complete cache.
+"""
+
+import json
+import logging
+import multiprocessing
+import os
+import tempfile
+import zlib
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+EXTS = ('.jpg', '.jpeg', '.png', '.bmp')
+
+
+def list_folder(base: str, allowed: Optional[Sequence[str]] = None):
+    """-> (sorted class names, [(path, label)]) for root/<class>/*.img."""
+    classes = sorted(d for d in os.listdir(base)
+                     if os.path.isdir(os.path.join(base, d))
+                     and not d.startswith('.'))    # skip .jvt_cache itself
+    if allowed:
+        allowed = set(allowed)
+        classes = [c for c in classes if c in allowed]
+    files: List[Tuple[str, int]] = []
+    for yi, cname in enumerate(classes):
+        cdir = os.path.join(base, cname)
+        for fn in sorted(os.listdir(cdir)):
+            if fn.lower().endswith(EXTS):
+                files.append((os.path.join(cdir, fn), yi))
+    return classes, files
+
+
+def _cache_key(base: str, files, shape) -> str:
+    crc = zlib.crc32(repr(tuple(shape)).encode())
+    for path, label in files:
+        st = os.stat(path)
+        rec = '{}|{}|{}|{}'.format(os.path.relpath(path, base), label,
+                                   st.st_size, st.st_mtime_ns)
+        crc = zlib.crc32(rec.encode(), crc)
+    return '{:08x}'.format(crc)
+
+
+def _cache_dir(base: str) -> str:
+    d = os.path.join(base, '.jvt_cache')
+    try:
+        os.makedirs(d, exist_ok=True)
+        probe = os.path.join(d, '.probe')
+        with open(probe, 'w'):
+            pass
+        os.unlink(probe)
+        return d
+    except OSError:
+        alt = os.path.join(os.path.expanduser('~'), '.cache', 'jvt_ingest')
+        os.makedirs(alt, exist_ok=True)
+        return alt
+
+
+def _decode_one(path: str, shape) -> np.ndarray:
+    from PIL import Image
+    c, h, w = shape
+    img = Image.open(path).convert('RGB' if c == 3 else 'L').resize((w, h))
+    arr = np.asarray(img, np.uint8)
+    if arr.ndim == 2:
+        arr = arr[None]
+    else:
+        arr = arr.transpose(2, 0, 1)
+    return arr
+
+
+# worker globals (initialized per pool process; fork-safe and cheap)
+_W = {}
+
+
+def _worker_init(mm_path, n, shape):
+    _W['mm'] = np.memmap(mm_path, dtype=np.uint8, mode='r+',
+                         shape=(n,) + tuple(shape))
+    _W['shape'] = tuple(shape)
+
+
+def _worker_decode(args):
+    start, paths = args
+    mm = _W['mm']
+    for j, p in enumerate(paths):
+        try:
+            mm[start + j] = _decode_one(p, _W['shape'])
+        except Exception as e:       # keep the slot zeroed, report
+            return start + j, '{}: {}'.format(p, e)
+    mm.flush()
+    return len(paths), None
+
+
+def ingest_image_folder(base: str, shape,
+                        allowed: Optional[Sequence[str]] = None,
+                        workers: Optional[int] = None,
+                        chunk: int = 256):
+    """-> (uint8 memmap (N, C, H, W), labels int32, classes) or None.
+
+    Decodes once into the cache (parallel, bounded RSS), then memmaps.
+    ``JVT_INGEST_WORKERS`` overrides the pool size; the pool is skipped
+    entirely for single-worker runs (1-core hosts) where fork overhead
+    would only hurt.
+    """
+    classes, files = list_folder(base, allowed)
+    if not files:
+        return None
+    c, h, w = shape
+    key = _cache_key(base, files, shape)
+    cdir = _cache_dir(base)
+    tag = '{}-{}x{}x{}-{}'.format(
+        os.path.basename(os.path.normpath(base)) or 'data', c, h, w, key)
+    mm_path = os.path.join(cdir, tag + '.u8')
+    y_path = os.path.join(cdir, tag + '.y.npy')
+    meta_path = os.path.join(cdir, tag + '.json')
+
+    n = len(files)
+    labels = np.asarray([lb for _, lb in files], np.int32)
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get('n') == n:
+            x = np.memmap(mm_path, dtype=np.uint8, mode='r',
+                          shape=(n, c, h, w))
+            return x, np.load(y_path), classes
+
+    # cold path: decode everything once, in parallel, into the memmap
+    workers = workers or int(os.environ.get('JVT_INGEST_WORKERS', 0)) \
+        or (os.cpu_count() or 1)
+    with open(mm_path, 'wb') as f:
+        f.truncate(n * c * h * w)
+    jobs = [(i, [p for p, _ in files[i:i + chunk]])
+            for i in range(0, n, chunk)]
+    errors = []
+    if workers > 1 and n > chunk:
+        ctx = multiprocessing.get_context('fork')
+        with ctx.Pool(workers, initializer=_worker_init,
+                      initargs=(mm_path, n, shape)) as pool:
+            for _, err in pool.imap_unordered(_worker_decode, jobs):
+                if err:
+                    errors.append(err)
+    else:
+        _worker_init(mm_path, n, shape)
+        for job in jobs:
+            _, err = _worker_decode(job)
+            if err:
+                errors.append(err)
+        _W.clear()
+    if errors:
+        os.unlink(mm_path)
+        raise RuntimeError('ingest failed on {} file(s), e.g. {}'.format(
+            len(errors), errors[0]))
+    np.save(y_path, labels)
+    fd, tmp = tempfile.mkstemp(dir=cdir, suffix='.tmp')
+    with os.fdopen(fd, 'w') as f:
+        json.dump({'n': n, 'shape': [c, h, w], 'classes': classes,
+                   'base': os.path.abspath(base)}, f)
+    os.replace(tmp, meta_path)
+    logging.info('ingested %d images from %s into %s', n, base, mm_path)
+    x = np.memmap(mm_path, dtype=np.uint8, mode='r', shape=(n, c, h, w))
+    return x, labels, classes

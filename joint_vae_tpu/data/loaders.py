@@ -30,15 +30,34 @@ from .registry import (dataset_properties, get_heldout_classes_by_name,
 DATA_DIR = os.environ.get('JVT_DATA_DIR', './data')
 
 
+def to_float(x: np.ndarray) -> np.ndarray:
+    """uint8 image arrays -> float32 in [0,1]; float passes through.
+
+    The uint8 path exists for memmap-cached ImageFolder ingests
+    (data/ingest.py): batches convert lazily at the loader boundary so the
+    full dataset never materializes as float32 (4x the bytes)."""
+    x = np.asarray(x)
+    if x.dtype == np.uint8:
+        return x.astype(np.float32) * np.float32(1.0 / 255.0)
+    return x
+
+
 class ArrayDataset:
-    """In-memory dataset: data (N, C, H, W) float32 in [0,1], targets (N,)."""
+    """In-memory dataset: data (N, C, H, W) float32 in [0,1], targets (N,).
+
+    ``data`` may also be uint8 (0..255) — kept as-is (including np.memmap
+    backing from the ingest cache, so a 100k-image folder costs pages, not
+    RAM); item/batch access converts to float32 [0,1] lazily."""
 
     def __init__(self, data: np.ndarray, targets: np.ndarray, name: str,
                  classes: Optional[List[str]] = None,
                  transformer: str = 'default', heldout: Sequence[int] = (),
                  synthetic: bool = False, same_size: Sequence[str] = ()):
         assert data.ndim == 4
-        self.data = np.ascontiguousarray(data, np.float32)
+        if data.dtype == np.uint8:
+            self.data = data        # no copy: may be a read-only memmap
+        else:
+            self.data = np.ascontiguousarray(data, np.float32)
         self.targets = np.ascontiguousarray(targets, np.int32)
         self.name = name
         self.classes = classes
@@ -51,7 +70,7 @@ class ArrayDataset:
         return self.data.shape[0]
 
     def __getitem__(self, i):
-        return self.data[i], self.targets[i]
+        return to_float(self.data[i]), self.targets[i]
 
     @property
     def shape(self):
@@ -126,14 +145,21 @@ def _load_image_folder(root: str, shape, split: str,
                        class_file: Optional[str] = None):
     """ImageFolder reader (ref ImageFolderWithClassesInFile,
     utils/torch_load.py:250-294): root/<split>/<class>/*.img, optionally
-    restricted to class ids listed in a txt file (imagenet1k/20/2)."""
+    restricted to class ids listed in a txt file (imagenet1k/20/2).
+
+    Decode goes through the uint8 memmap ingest cache (data/ingest.py):
+    first touch decodes the tree once with a worker pool; later runs open
+    the cache in milliseconds and stream uint8 pages — no float32
+    whole-tree copy ever exists (the reference's torchvision streaming
+    never pays one either).  JVT_INGEST_CACHE=0 restores the direct
+    in-process decode (still uint8)."""
     base = os.path.join(root, split)
     if not os.path.isdir(base):
         base = root
     if not os.path.isdir(base):
         return None
     try:
-        from PIL import Image
+        import PIL  # noqa: F401 — decode dependency of the ingest path
     except ImportError:
         return None
     allowed = None
@@ -141,31 +167,18 @@ def _load_image_folder(root: str, shape, split: str,
         with open(class_file) as f:
             allowed = [l.split()[0] for l in f
                        if l.strip() and not l.startswith('#')]
-    classes = sorted(d for d in os.listdir(base)
-                     if os.path.isdir(os.path.join(base, d)))
-    if allowed:
-        classes = [c for c in classes if c in allowed]
-    if not classes:
+    from .ingest import ingest_image_folder, list_folder, _decode_one
+    if os.environ.get('JVT_INGEST_CACHE', '1') in ('0', 'off', 'false', 'no'):
+        classes, files = list_folder(base, allowed)
+        if not files:
+            return None
+        xs = np.stack([_decode_one(p, shape) for p, _ in files])
+        return xs, np.asarray([lb for _, lb in files], np.int32)
+    got = ingest_image_folder(base, shape, allowed)
+    if got is None:
         return None
-    xs, ys = [], []
-    c0, h, w = shape
-    for yi, cname in enumerate(classes):
-        cdir = os.path.join(base, cname)
-        for fn in sorted(os.listdir(cdir)):
-            if not fn.lower().endswith(('.jpg', '.jpeg', '.png', '.bmp')):
-                continue
-            img = Image.open(os.path.join(cdir, fn)).convert(
-                'RGB' if c0 == 3 else 'L').resize((w, h))
-            arr = np.asarray(img, np.float32) / 255.0
-            if arr.ndim == 2:
-                arr = arr[None]
-            else:
-                arr = arr.transpose(2, 0, 1)
-            xs.append(arr)
-            ys.append(yi)
-    if not xs:
-        return None
-    return np.stack(xs), np.asarray(ys, np.int32)
+    x, y, _classes = got
+    return x, y
 
 
 def _load_npz(root: str, name: str, split: str):
@@ -611,7 +624,7 @@ def get_batch(dataset: ArrayDataset, batch_size: int = 100, seed=None,
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(dataset), size=min(batch_size, len(dataset)),
                      replace=False)
-    return dataset.data[idx], dataset.targets[idx]
+    return to_float(dataset.data[idx]), dataset.targets[idx]
 
 
 class DataLoader:
@@ -638,6 +651,10 @@ class DataLoader:
         if use_native in ('auto', True, 'always') and len(dataset):
             supported = all(a.startswith(('flip', 'hflip', 'crop'))
                             for a in self.augmentation)
+            # the native batcher pins a contiguous copy of the data; for a
+            # memmap-cached ingest that would defeat the bounded-RSS design
+            if isinstance(dataset.data, np.memmap):
+                supported = False
             if supported:
                 try:
                     from .native import NativeBatcher, available
@@ -675,7 +692,7 @@ class DataLoader:
         stop = (n // bs) * bs if self.drop_last else n
         for i in range(0, stop, bs):
             idx = order[i:i + bs]
-            x = self.dataset.data[idx]
+            x = to_float(self.dataset.data[idx])
             y = self.dataset.targets[idx]
             if self.augmentation:
                 x = self._augment(x, rng)

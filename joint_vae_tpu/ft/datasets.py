@@ -19,7 +19,16 @@ from typing import Dict, Optional, Sequence
 
 import numpy as np
 
-from ..data.loaders import ArrayDataset, get_dataset
+from ..data.loaders import ArrayDataset, get_dataset, to_float
+
+
+def _same_dtype(parts):
+    """Mixture components may mix uint8 (ingest-cached) and float32 sets;
+    concatenating raw would let numpy promote 0..255 uint8 next to 0..1
+    floats — normalize everything to float32 [0,1] when dtypes differ."""
+    if len({p.dtype for p in parts}) > 1:
+        return [to_float(p) for p in parts]
+    return list(parts)
 
 
 class SubSampledDataset(ArrayDataset):
@@ -108,7 +117,7 @@ class MixtureDataset(ArrayDataset):
             self._components[n] = sub
             parts.append(sub.data)
             labels.append(np.full(len(sub), i, np.int32))
-        data = (np.concatenate(parts) if parts
+        data = (np.concatenate(_same_dtype(parts)) if parts
                 else np.zeros((0, 1, 1, 1), np.float32))
         y = np.concatenate(labels) if labels else np.zeros((0,), np.int32)
         rng = np.random.default_rng((seed, 17))
@@ -127,7 +136,7 @@ class MixtureDataset(ArrayDataset):
         parts = [c.data for c in self._components.values()]
         labels = [np.full(len(c), self.component_names.index(n), np.int32)
                   for n, c in self._components.items()]
-        data = (np.concatenate(parts) if parts
+        data = (np.concatenate(_same_dtype(parts)) if parts
                 else np.zeros((0, 1, 1, 1), np.float32))
         y = np.concatenate(labels) if labels else np.zeros((0,), np.int32)
         rng = np.random.default_rng((self._seed, 17))

@@ -37,16 +37,21 @@ class DeviceDataset:
     def __init__(self, dataset: ArrayDataset, sharding=None,
                  dtype=jnp.float32, storage: str = 'auto'):
         data = np.asarray(dataset.data)
-        if storage == 'auto':
-            q = np.round(data * 255.0)
-            eightbit = (data.size and float(data.min()) >= 0.0
-                        and float(data.max()) <= 1.0
-                        and float(np.abs(q / 255.0 - data).max()) < 1e-6)
-            storage = 'uint8' if eightbit else 'float'
-        if storage == 'uint8':
-            x = jnp.asarray(np.round(data * 255.0).astype(np.uint8))
+        if data.dtype == np.uint8:
+            # ingest-cache datasets are already uint8 (0..255) — upload
+            # as-is, the step normalizes (data/ingest.py)
+            x = jnp.asarray(data)
         else:
-            x = jnp.asarray(data, dtype)
+            if storage == 'auto':
+                q = np.round(data * 255.0)
+                eightbit = (data.size and float(data.min()) >= 0.0
+                            and float(data.max()) <= 1.0
+                            and float(np.abs(q / 255.0 - data).max()) < 1e-6)
+                storage = 'uint8' if eightbit else 'float'
+            if storage == 'uint8':
+                x = jnp.asarray(np.round(data * 255.0).astype(np.uint8))
+            else:
+                x = jnp.asarray(data, dtype)
         y = jnp.asarray(dataset.targets, jnp.int32)
         if sharding is not None:
             x = jax.device_put(x, sharding)
