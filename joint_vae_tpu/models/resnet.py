@@ -1,10 +1,14 @@
 """ResNet feature extractors (ref ResOrDenseNetFeatures,
 module/vae_layers/conv.py:247-272).
 
-The reference wraps torchvision's *pretrained* resnet/densenet trunks.  This
-sandbox has no pretrained weights, so these are from-scratch flax ResNets
-with the same output contract: features of shape (C_out, 1, 1) after global
-average pooling.  Weights can be transferred from another job via
+The reference wraps torchvision's *pretrained* resnet/densenet trunks.
+ResNetFeatures is structurally torchvision-faithful (stem + BasicBlock
+layers + avg pool), so pretrained weights arriving inside reference jobs'
+state.pth transplant exactly through the importer
+(save_load/import_reference.py::_map_resnet_features) — no network egress
+needed.  DenseNetFeatures keeps this repo's from-scratch layout (same
+output contract: (C_out, 1, 1) after global average pooling); weights can
+also be transferred from another job via
 ``save_load.transfer.transfer_pretrained``.
 """
 
@@ -27,6 +31,11 @@ DENSENET_LAYERS = {
 
 
 class _BasicBlock(nn.Module):
+    """Two 3x3 convs + identity/projection shortcut — the torchvision
+    BasicBlock layout exactly (conv1/bn1/relu/conv2/bn2, downsample =
+    1x1 conv + BN when shape changes), so reference-trained torchvision
+    trunk weights map onto Conv_0/BatchNorm_0/Conv_1/BatchNorm_1/
+    Conv_2/BatchNorm_2 one-to-one (save_load/import_reference.py)."""
     features: int
     stride: int = 1
     dtype: jnp.dtype = jnp.float32
@@ -108,7 +117,14 @@ class DenseNetFeatures(nn.Module):
 
 
 class ResNetFeatures(nn.Module):
-    """(..., 3, H, W) -> (..., 512, 1, 1) feature maps."""
+    """(..., 3, H, W) -> (..., width*8, 1, 1) feature maps.
+
+    Structurally identical to torchvision's resnet18/34 trunk as the
+    reference wraps it (ResOrDenseNetFeatures keeps children()[:-1], i.e.
+    conv7x7/2 + bn + relu + maxpool3x3/2, layer1..4 of BasicBlocks, global
+    avg pool; ref module/vae_layers/conv.py:247-272) — so ImageNet-
+    pretrained weights sitting in reference jobs' state.pth transplant
+    exactly (save_load/import_reference.py::_map_resnet_features)."""
     arch: str = 'resnet18'
     width: int = 64
     dtype: jnp.dtype = jnp.float32
@@ -124,10 +140,13 @@ class ResNetFeatures(nn.Module):
         c, h, w = x.shape[-3:]
         x = x.reshape((-1, c, h, w)).transpose(0, 2, 3, 1)  # NHWC
         x = x.astype(self.dtype)
-        x = nn.Conv(self.width, (3, 3), padding=[(1, 1), (1, 1)],
+        # torchvision stem: conv 7x7/2 pad 3, bn, relu, maxpool 3x3/2 pad 1
+        x = nn.Conv(self.width, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype)(x)
         x = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(x)
         x = nn.relu(x)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                        padding=((1, 1), (1, 1)))
         f = self.width
         for i, n in enumerate(blocks):
             for j in range(n):

@@ -77,34 +77,33 @@ def default_reference_path() -> Optional[str]:
 
 def _stub_torchvision():
     """Satisfy the reference's torchvision imports when the real package is
-    absent (it is only touched for resnet/densenet features, which are not
-    exportable anyway)."""
-    if 'torchvision' in sys.modules:
-        return
-    try:
-        import torchvision                               # noqa: F401
-        return
-    except ImportError:
-        pass
+    absent.  resnet18/34 get faithful plain-torch implementations
+    (tv_resnet.py) so resnet-featured templates build for real; everything
+    else is a dummy (densenet trunks stay non-exportable)."""
+    if 'torchvision' not in sys.modules:
+        try:
+            import torchvision                           # noqa: F401
+        except ImportError:
+            class _Dummy:
+                def __init__(self, *a, **k):
+                    pass
 
-    class _Dummy:
-        def __init__(self, *a, **k):
-            pass
+            def _ga(name):
+                if name.startswith('__'):
+                    raise AttributeError(name)
+                return _Dummy
 
-    def _ga(name):
-        if name.startswith('__'):
-            raise AttributeError(name)
-        return _Dummy
-
-    tv = types.ModuleType('torchvision')
-    for sub in ('models', 'transforms', 'datasets', 'utils'):
-        m = types.ModuleType('torchvision.' + sub)
-        m.__getattr__ = _ga
-        setattr(tv, sub, m)
-        sys.modules['torchvision.' + sub] = m
-    tv.utils.save_image = lambda *a, **k: None
-    tv.__path__ = []
-    sys.modules['torchvision'] = tv
+            tv = types.ModuleType('torchvision')
+            for sub in ('models', 'transforms', 'datasets', 'utils'):
+                m = types.ModuleType('torchvision.' + sub)
+                m.__getattr__ = _ga
+                setattr(tv, sub, m)
+                sys.modules['torchvision.' + sub] = m
+            tv.utils.save_image = lambda *a, **k: None
+            tv.__path__ = []
+            sys.modules['torchvision'] = tv
+    from . import tv_resnet
+    tv_resnet.install()
 
 
 _REF_CACHE: Dict[str, Tuple[Any, Any]] = {}
@@ -495,10 +494,12 @@ def export_to_reference_job(src: str, dst: str,
 
     job = load_job(src, ghost=True)
     features = job.model_cfg.features or ''
-    if features.startswith(('resnet', 'densenet')):
+    if features.startswith('densenet'):
         raise ExportError_(
             'from-scratch flax {} features have no torchvision counterpart '
-            'and cannot be exported (docs/PARITY.md)'.format(features))
+            'and cannot be exported (docs/PARITY.md); resnet trunks export '
+            'fine (models/resnet.py is torchvision-faithful)'
+            .format(features))
 
     arch = load_json(os.path.join(src, 'params.json'))
     os.makedirs(dst, exist_ok=True)

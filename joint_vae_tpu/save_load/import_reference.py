@@ -40,9 +40,14 @@ interleave), so groups are walked by *weight-bearing entries in index
 order* and zipped against our static layer names (conv_i/deconv_i/bn_i/
 dense_i), which follow the same construction order.
 
-Not importable (clear error): torchvision resnet/densenet feature
-extractors — our ResNet/DenseNet features are from-scratch flax modules
-with different parameterization (documented deviation, docs/PARITY.md).
+torchvision resnet18/34 trunks (reference `--features resnet*` jobs, ref
+module/vae_layers/conv.py:247-272) import exactly: models/resnet.py is
+structurally torchvision-faithful, so conv1/bn1/layerL.B.{conv,bn,
+downsample} map onto Conv_0/BatchNorm_0/_BasicBlock_k one-to-one —
+including the ImageNet-pretrained running stats sitting in state.pth
+(_map_resnet_features).  Densenet trunks stay not-importable (clear
+error): our DenseNetFeatures keeps a different from-scratch layout
+(documented deviation, docs/PARITY.md).
 """
 
 import logging
@@ -155,6 +160,70 @@ class ImportError_(RuntimeError):
     pass
 
 
+# a torchvision trunk wrapped by ResOrDenseNetFeatures (nn.Sequential of
+# model.children()[:-1], ref module/vae_layers/conv.py:247-272) keys resnet
+# blocks as features.<layer_seq_idx>.<block>.conv1.weight
+_RESNET_BLOCK = re.compile(r'^features\.(\d+)\.(\d+)\.(.+)$')
+
+
+def _map_resnet_features(sd: Dict[str, np.ndarray], params,
+                         out: Dict[str, np.ndarray],
+                         stats: Dict[str, np.ndarray]):
+    """torchvision resnet trunk -> our ResNetFeatures (models/resnet.py).
+
+    Reference Sequential children: 0=conv1, 1=bn1, (2=relu, 3=maxpool),
+    4..7=layer1..4 of BasicBlocks, 8=avgpool.  Ours: Conv_0/BatchNorm_0
+    stem + _BasicBlock_k in the same construction order with
+    conv1->Conv_0, bn1->BatchNorm_0, conv2->Conv_1, bn2->BatchNorm_1,
+    downsample.(0,1)->(Conv_2, BatchNorm_2)."""
+    ours = params.get('features_stack')
+    if ours is None:
+        raise ImportError_('reference job carries a resnet trunk but the '
+                           'rebuilt native model has no features_stack')
+    path = 'features_stack'
+    if 'features.0.weight' not in sd or 'features.1.running_mean' not in sd:
+        raise ImportError_('resnet trunk: stem conv/bn keys missing')
+    out['{}/Conv_0/kernel'.format(path)] = _conv(sd['features.0.weight'])
+    out['{}/BatchNorm_0/scale'.format(path)] = sd['features.1.weight']
+    out['{}/BatchNorm_0/bias'.format(path)] = sd['features.1.bias']
+    stats['{}/BatchNorm_0/mean'.format(path)] = sd['features.1.running_mean']
+    stats['{}/BatchNorm_0/var'.format(path)] = sd['features.1.running_var']
+
+    blocks: Dict[Tuple[int, int], Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        m = _RESNET_BLOCK.match(k)
+        if m:
+            blocks.setdefault((int(m.group(1)), int(m.group(2))),
+                              {})[m.group(3)] = v
+    our_blocks = _sorted_names(ours, ('_BasicBlock',))
+    if len(blocks) != len(our_blocks):
+        raise ImportError_('resnet trunk: {} torch BasicBlocks vs {} native'
+                           .format(len(blocks), len(our_blocks)))
+    field_map = (('conv1', 'Conv_0', _conv), ('conv2', 'Conv_1', _conv),
+                 ('downsample.0', 'Conv_2', _conv))
+    bn_map = (('bn1', 'BatchNorm_0'), ('bn2', 'BatchNorm_1'),
+              ('downsample.1', 'BatchNorm_2'))
+    for (key, name) in zip(sorted(blocks), our_blocks):
+        entry = blocks[key]
+        bpath = '{}/{}'.format(path, name)
+        has_down = 'Conv_2' in ours[name]
+        if has_down != ('downsample.0.weight' in entry):
+            raise ImportError_('resnet trunk: downsample mismatch at {} '
+                               '(torch block {})'.format(name, key))
+        for t, f, cv in field_map:
+            if t + '.weight' in entry:
+                out['{}/{}/kernel'.format(bpath, f)] = cv(
+                    entry[t + '.weight'])
+        for t, f in bn_map:
+            if t + '.weight' in entry:
+                out['{}/{}/scale'.format(bpath, f)] = entry[t + '.weight']
+                out['{}/{}/bias'.format(bpath, f)] = entry[t + '.bias']
+                stats['{}/{}/mean'.format(bpath, f)] = entry[
+                    t + '.running_mean']
+                stats['{}/{}/var'.format(bpath, f)] = entry[
+                    t + '.running_var']
+
+
 def _map_conv_group(ref_entries: List[Dict[str, np.ndarray]],
                     ours: Dict[str, Any], out: Dict[str, np.ndarray],
                     stats: Dict[str, np.ndarray], path: str):
@@ -221,15 +290,20 @@ def map_reference_state(sd: Dict[str, np.ndarray], params,
     out: Dict[str, np.ndarray] = {}
     stats: Dict[str, np.ndarray] = {}
 
-    if any(k.startswith('features.model.') for k in sd):
+    resnet_trunk = any(_RESNET_BLOCK.match(k) and k.endswith('conv1.weight')
+                       for k in sd)
+    if any('denseblock' in k or 'norm5' in k for k in sd):
         raise ImportError_(
-            'torchvision resnet/densenet features are not importable: our '
-            'ResNet/DenseNet features are from-scratch flax modules with a '
+            'torchvision densenet features are not importable: our '
+            'DenseNetFeatures is a from-scratch flax module with a '
             'different parameterization (docs/PARITY.md)')
+    if resnet_trunk:
+        _map_resnet_features(sd, params, out, stats)
 
     # features / imager conv stacks
-    for ref_name, our_name in (('features', 'features_stack'),
-                               ('imager', 'imager')):
+    for ref_name, our_name in ((('features', 'features_stack'),)
+                               if not resnet_trunk else ()) + (
+                               ('imager', 'imager'),):
         g = _group(sd, ref_name)
         if not g or our_name not in params:
             continue

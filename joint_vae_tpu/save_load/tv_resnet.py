@@ -1,0 +1,93 @@
+"""Faithful plain-torch resnet18/34 for the interop torchvision stub.
+
+The reference wraps ``torchvision.models.resnet18(pretrained=...)`` and
+keeps ``children()[:-1]`` (ref module/vae_layers/conv.py:247-272).  The
+import/export oracles and the exporter's template construction need that
+path to work when real torchvision is absent, so this module implements
+the torchvision resnet module graph — same attribute order (conv1, bn1,
+relu, maxpool, layer1..4, avgpool, fc), same state_dict key names, same
+shapes — written from the architecture spec (He 2015 / torchvision docs),
+not copied.  ``pretrained=True`` is accepted but random-initialized:
+interop only needs weight-transplant parity, the values are arbitrary
+(real pretrained weights arrive inside reference jobs' state.pth and take
+this exact key layout; with real torchvision installed the stub is never
+engaged and the genuine pretrained trunk is used).
+"""
+
+import torch
+import torch.nn as nn
+
+
+class BasicBlock(nn.Module):
+    expansion = 1
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
+        super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 3, stride, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(planes, planes, 3, 1, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.bn2(self.conv2(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    def __init__(self, layers, num_classes=1000):
+        super().__init__()
+        self.inplanes = 64
+        self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
+        self.bn1 = nn.BatchNorm2d(64)
+        self.relu = nn.ReLU(inplace=True)
+        self.maxpool = nn.MaxPool2d(3, 2, 1)
+        self.layer1 = self._make_layer(64, layers[0])
+        self.layer2 = self._make_layer(128, layers[1], stride=2)
+        self.layer3 = self._make_layer(256, layers[2], stride=2)
+        self.layer4 = self._make_layer(512, layers[3], stride=2)
+        self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
+        self.fc = nn.Linear(512, num_classes)
+
+    def _make_layer(self, planes, blocks, stride=1):
+        downsample = None
+        if stride != 1 or self.inplanes != planes:
+            downsample = nn.Sequential(
+                nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
+                nn.BatchNorm2d(planes))
+        mods = [BasicBlock(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes
+        mods += [BasicBlock(planes, planes) for _ in range(1, blocks)]
+        return nn.Sequential(*mods)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        for layer in (self.layer1, self.layer2, self.layer3, self.layer4):
+            x = layer(x)
+        x = torch.flatten(self.avgpool(x), 1)
+        return self.fc(x)
+
+
+def resnet18(pretrained=False, **kw):     # noqa: U100 — torchvision signature
+    return ResNet([2, 2, 2, 2])
+
+
+def resnet34(pretrained=False, **kw):     # noqa: U100
+    return ResNet([3, 4, 6, 3])
+
+
+def install():
+    """Attach the faithful factories to the torchvision STUB's models
+    module (instance attributes win over the stub's __getattr__).  A real
+    torchvision (it has a __file__) is left untouched — its genuine
+    pretrained trunks are strictly better."""
+    import sys
+    m = sys.modules.get('torchvision.models')
+    if m is not None and getattr(m, '__file__', None) is None:
+        m.resnet18 = resnet18
+        m.resnet34 = resnet34

@@ -450,14 +450,16 @@ def test_export_wim_job(ref, tmp_path):
         _compare_losses(net, job)
 
 
-def test_export_rejects_resnet_features(tmp_path):
+def test_export_rejects_densenet_features(tmp_path):
+    """resnet trunks export (tests/test_import_resnet.py); densenet trunks
+    keep the clear rejection (from-scratch layout, docs/PARITY.md)."""
     cfg = CVNetConfig(input_shape=(3, 32, 32), num_labels=C, type='cvae',
-                      features='resnet18', encoder=(16,), latent_dim=K,
+                      features='densenet-tiny', encoder=(16,), latent_dim=K,
                       decoder=(16,), classifier=(8,), latent_sampling=1,
                       beta=0.0, gamma=1.)
     job = new_job(cfg, OptimizerConfig(), key=None, job_number=1)
     save_job(job, str(tmp_path / 'src' / '1'), save_state=False)
-    with pytest.raises(ExportError_, match='resnet'):
+    with pytest.raises(ExportError_, match='densenet'):
         export_to_reference_job(str(tmp_path / 'src' / '1'),
                                 str(tmp_path / 'out' / '1'))
 

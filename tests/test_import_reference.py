@@ -227,11 +227,22 @@ def test_import_uniform_prior(ref, tmp_path):
     _compare_losses(net, job)
 
 
-def test_import_rejects_resnet_features(tmp_path):
-    """torchvision feature extractors fail loudly, not silently wrong."""
+def test_import_rejects_malformed_resnet_trunk(tmp_path):
+    """resnet trunks import (tests/test_import_resnet.py), but a trunk with
+    a missing stem or a block-count mismatch still fails loudly rather than
+    leaving fresh-init leaves behind."""
     from joint_vae_tpu.save_load.import_reference import map_reference_state
-    sd = {'features.model.conv1.weight': np.zeros((8, 3, 3, 3), np.float32)}
-    with pytest.raises(ImportError_, match='resnet'):
+    # block keys present but no stem conv/bn
+    sd = {'features.4.0.conv1.weight': np.zeros((8, 8, 3, 3), np.float32)}
+    with pytest.raises(ImportError_, match='stem'):
+        map_reference_state(sd, {'features_stack': {}}, None)
+    # stem ok, but 1 torch block vs 0 native blocks
+    sd.update({'features.0.weight': np.zeros((8, 3, 7, 7), np.float32),
+               'features.1.weight': np.zeros(8, np.float32),
+               'features.1.bias': np.zeros(8, np.float32),
+               'features.1.running_mean': np.zeros(8, np.float32),
+               'features.1.running_var': np.ones(8, np.float32)})
+    with pytest.raises(ImportError_, match='BasicBlock'):
         map_reference_state(sd, {'features_stack': {}}, None)
 
 
