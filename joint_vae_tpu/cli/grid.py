@@ -15,6 +15,7 @@ values are swept, '|'-separated groups are zipped options.
 import argparse
 import configparser
 import itertools
+import os
 import subprocess
 import sys
 from typing import Dict, List
@@ -75,22 +76,31 @@ def main(argv=None):
                    help='launch the trainings sequentially')
     p.add_argument('--extra', nargs='*', default=[],
                    help='extra args appended to every command')
+    p.add_argument('--platform', choices=['cpu', 'tpu', 'gpu'], default=None,
+                   help='forwarded to every spawned train command (and set '
+                        'as JAX_PLATFORMS in the child environment, so the '
+                        'sweep never grabs a device the caller did not ask '
+                        'for)')
     args = p.parse_args(argv)
 
     cp = configparser.ConfigParser()
     cp.read(args.grid_file)
     sections = [args.section] if args.section else cp.sections()
 
+    platform_args = ['--platform', args.platform] if args.platform else []
     commands = []
     for s in sections:
         for cmd_args in expand_grid(dict(cp[s])):
             commands.append([sys.executable, '-m', 'joint_vae_tpu.cli.train',
-                             *cmd_args, *args.extra])
+                             *cmd_args, *args.extra, *platform_args])
     for c in commands:
         print(' '.join(c))
     if args.run:
+        env = dict(os.environ)
+        if args.platform:
+            env['JAX_PLATFORMS'] = args.platform
         for c in commands:
-            r = subprocess.run(c)
+            r = subprocess.run(c, env=env)
             if r.returncode:
                 print('command failed: {}'.format(' '.join(c)),
                       file=sys.stderr)
