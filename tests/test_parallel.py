@@ -132,3 +132,35 @@ def test_sample_axis_mesh_eval_matches_unsharded():
         assert sharded['o'][m]['auc'] == plain['o'][m]['auc']
         np.testing.assert_allclose(sharded['o'][m]['mean'],
                                    plain['o'][m]['mean'], rtol=1e-6)
+
+
+def test_sample_axis_mesh_at_L128():
+    """The reference's standard eval operating point is L=128 test samples
+    (ref config.ini:28; grids to 256, grid.ini:22-24): a 4-way ('sample',)
+    shard of L=128 must produce the same OOD AUC as the unsharded engine."""
+    import dataclasses
+
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    from joint_vae_tpu.evals.engines import ood_detection_rates
+
+    job, _ = _setup()
+    cfg = dataclasses.replace(job.model_cfg, test_latent_sampling=128)
+    job = new_job(cfg, OptimizerConfig(lr=1e-3), key=jax.random.PRNGKey(0))
+
+    def synth(name, seed, n=16):
+        r = np.random.default_rng(seed)
+        return ArrayDataset(
+            r.uniform(0, 1, (n, *INPUT_SHAPE)).astype(np.float32),
+            r.integers(0, C, n).astype(np.int32), name, synthetic=True)
+
+    mesh = make_mesh(8, model_axis=1, sample_axis=4)
+    assert mesh.shape == {'data': 2, 'model': 1, 'sample': 4}
+    kw = dict(testset=synth('t', 1), oodsets=[synth('o', 2)], batch_size=8,
+              method=['elbo', 'iws'], recording=False, update_self_ood=False,
+              from_where=('compute',))
+    sharded = ood_detection_rates(job, mesh=mesh, **kw)
+    plain = ood_detection_rates(job, **kw)
+    for m in ('elbo', 'iws'):
+        assert sharded['o'][m]['auc'] == plain['o'][m]['auc']
+        np.testing.assert_allclose(sharded['o'][m]['mean'],
+                                   plain['o'][m]['mean'], rtol=1e-6)
