@@ -17,7 +17,8 @@ the '0' labels are actually ind), C heldout-moving (oracle upper bound),
 D far-moving (const).  Writes docs/POSCOD_QUALITY.json.
 
 Run on the real TPU: python scripts/poscod_quality.py (~6 min).
-CPU smoke: JVT_POSCOD_EPOCHS=2 JVT_POSCOD_FT_SIZE=512 JVT_POSCOD_EVAL_SIZE=256.
+CPU smoke: JVT_POSCOD_EPOCHS=1 JVT_POSCOD_TRAIN_SIZE=1024
+JVT_POSCOD_FT_SIZE=512 JVT_POSCOD_EVAL_SIZE=256 JVT_POSCOD_FT_EPOCHS=1.
 """
 
 import json
@@ -69,6 +70,9 @@ def main():
     ft_epochs = int(os.environ.get('JVT_POSCOD_FT_EPOCHS', 5))
     ind_name = 'shapes32-8-9'
     tr, te = get_dataset(ind_name)
+    tr_size = int(os.environ.get('JVT_POSCOD_TRAIN_SIZE', 0))
+    if tr_size:                       # CPU smoke: cap the pretrain set
+        tr = tr.subset(np.arange(min(tr_size, len(tr))))
     near = get_dataset('shapes32+8+9', splits=['test'], size=ev_size)[1]
     noise = get_dataset('uniform32', splits=['test'], size=ev_size)[1]
     far = get_dataset('const32', splits=['test'], size=ev_size)[1]
