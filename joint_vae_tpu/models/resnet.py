@@ -21,6 +21,17 @@ import jax.numpy as jnp
 RESNET_LAYERS = {
     'resnet18': (2, 2, 2, 2),
     'resnet34': (3, 4, 6, 3),
+    'resnet50': (3, 4, 6, 3),
+    'resnet101': (3, 4, 23, 3),
+    'resnet152': (3, 8, 36, 3),
+}
+
+# torchvision block expansion: BasicBlock nets output width*8 channels,
+# Bottleneck nets width*8*4 (the reference's DEFAULT trunk is resnet152,
+# ref module/vae_layers/conv.py:249)
+RESNET_EXPANSION = {
+    'resnet18': 1, 'resnet34': 1,
+    'resnet50': 4, 'resnet101': 4, 'resnet152': 4,
 }
 
 DENSENET_LAYERS = {
@@ -54,6 +65,40 @@ class _BasicBlock(nn.Module):
         if res.shape != y.shape:
             res = nn.Conv(self.features, (1, 1), (self.stride, self.stride),
                           use_bias=False, dtype=self.dtype)(res)
+            res = nn.BatchNorm(use_running_average=not train,
+                               dtype=self.dtype)(res)
+        return nn.relu(y + res)
+
+
+class _Bottleneck(nn.Module):
+    """1x1 reduce / 3x3 / 1x1 expand(4x) + shortcut — torchvision's
+    Bottleneck exactly (stride on the 3x3 conv, the post-v0.4 "ResNet B"
+    placement; downsample = 1x1 conv + BN), so resnet50/101/152 trunk
+    weights map onto Conv_0..2/BatchNorm_0..2 (+ Conv_3/BatchNorm_3 for
+    the downsample) one-to-one (save_load/import_reference.py)."""
+    features: int                     # bottleneck width; output is 4x this
+    stride: int = 1
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        y = nn.Conv(self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(self.features, (3, 3), (self.stride, self.stride),
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(y)
+        y = nn.Conv(4 * self.features, (1, 1), use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        if res.shape != y.shape:
+            res = nn.Conv(4 * self.features, (1, 1),
+                          (self.stride, self.stride), use_bias=False,
+                          dtype=self.dtype)(res)
             res = nn.BatchNorm(use_running_average=not train,
                                dtype=self.dtype)(res)
         return nn.relu(y + res)
@@ -119,10 +164,12 @@ class DenseNetFeatures(nn.Module):
 class ResNetFeatures(nn.Module):
     """(..., 3, H, W) -> (..., width*8, 1, 1) feature maps.
 
-    Structurally identical to torchvision's resnet18/34 trunk as the
+    Structurally identical to torchvision's resnet trunk as the
     reference wraps it (ResOrDenseNetFeatures keeps children()[:-1], i.e.
-    conv7x7/2 + bn + relu + maxpool3x3/2, layer1..4 of BasicBlocks, global
-    avg pool; ref module/vae_layers/conv.py:247-272) — so ImageNet-
+    conv7x7/2 + bn + relu + maxpool3x3/2, layer1..4 of BasicBlocks
+    (18/34) or Bottlenecks (50/101/152 — the reference default is
+    resnet152), global avg pool; ref module/vae_layers/conv.py:247-272)
+    — so ImageNet-
     pretrained weights sitting in reference jobs' state.pth transplant
     exactly (save_load/import_reference.py::_map_resnet_features)."""
     arch: str = 'resnet18'
@@ -131,7 +178,7 @@ class ResNetFeatures(nn.Module):
 
     @property
     def output_shape(self) -> Tuple[int, int, int]:
-        return (self.width * 8, 1, 1)
+        return (self.width * 8 * RESNET_EXPANSION[self.arch], 1, 1)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -147,11 +194,13 @@ class ResNetFeatures(nn.Module):
         x = nn.relu(x)
         x = nn.max_pool(x, (3, 3), strides=(2, 2),
                         padding=((1, 1), (1, 1)))
+        block = (_Bottleneck if RESNET_EXPANSION[self.arch] == 4
+                 else _BasicBlock)
         f = self.width
         for i, n in enumerate(blocks):
             for j in range(n):
                 stride = 2 if (j == 0 and i > 0) else 1
-                x = _BasicBlock(f, stride, self.dtype)(x, train)
+                x = block(f, stride, self.dtype)(x, train)
             f *= 2
         x = jnp.mean(x, axis=(1, 2))                         # global avg pool
         return x.reshape(lead + (x.shape[-1], 1, 1))

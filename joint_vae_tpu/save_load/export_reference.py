@@ -77,8 +77,9 @@ def default_reference_path() -> Optional[str]:
 
 def _stub_torchvision():
     """Satisfy the reference's torchvision imports when the real package is
-    absent.  resnet18/34 get faithful plain-torch implementations
-    (tv_resnet.py) so resnet-featured templates build for real; everything
+    absent.  resnet18/34/50/101/152 get faithful plain-torch
+    implementations (tv_resnet.py) so resnet-featured templates build for
+    real; everything
     else is a dummy (densenet trunks stay non-exportable)."""
     if 'torchvision' not in sys.modules:
         try:

@@ -40,10 +40,11 @@ interleave), so groups are walked by *weight-bearing entries in index
 order* and zipped against our static layer names (conv_i/deconv_i/bn_i/
 dense_i), which follow the same construction order.
 
-torchvision resnet18/34 trunks (reference `--features resnet*` jobs, ref
-module/vae_layers/conv.py:247-272) import exactly: models/resnet.py is
-structurally torchvision-faithful, so conv1/bn1/layerL.B.{conv,bn,
-downsample} map onto Conv_0/BatchNorm_0/_BasicBlock_k one-to-one —
+torchvision resnet18/34/50/101/152 trunks (reference `--features resnet*`
+jobs, ref module/vae_layers/conv.py:247-272; its default is resnet152)
+import exactly: models/resnet.py is structurally torchvision-faithful, so
+conv1/bn1/layerL.B.{conv,bn,downsample} map onto
+Conv_0/BatchNorm_0/_BasicBlock_k (or _Bottleneck_k) one-to-one —
 including the ImageNet-pretrained running stats sitting in state.pth
 (_map_resnet_features).  Densenet trunks stay not-importable (clear
 error): our DenseNetFeatures keeps a different from-scratch layout
@@ -175,7 +176,11 @@ def _map_resnet_features(sd: Dict[str, np.ndarray], params,
     4..7=layer1..4 of BasicBlocks, 8=avgpool.  Ours: Conv_0/BatchNorm_0
     stem + _BasicBlock_k in the same construction order with
     conv1->Conv_0, bn1->BatchNorm_0, conv2->Conv_1, bn2->BatchNorm_1,
-    downsample.(0,1)->(Conv_2, BatchNorm_2)."""
+    downsample.(0,1)->(Conv_2, BatchNorm_2).
+
+    Bottleneck blocks (resnet50/101/152 — the reference's default trunk
+    is resnet152) map conv1..3->Conv_0..2, bn1..3->BatchNorm_0..2,
+    downsample.(0,1)->(Conv_3, BatchNorm_3)."""
     ours = params.get('features_stack')
     if ours is None:
         raise ImportError_('reference job carries a resnet trunk but the '
@@ -195,18 +200,30 @@ def _map_resnet_features(sd: Dict[str, np.ndarray], params,
         if m:
             blocks.setdefault((int(m.group(1)), int(m.group(2))),
                               {})[m.group(3)] = v
-    our_blocks = _sorted_names(ours, ('_BasicBlock',))
+    our_blocks = _sorted_names(ours, ('_BasicBlock', '_Bottleneck'))
     if len(blocks) != len(our_blocks):
-        raise ImportError_('resnet trunk: {} torch BasicBlocks vs {} native'
+        raise ImportError_('resnet trunk: {} torch blocks vs {} native'
                            .format(len(blocks), len(our_blocks)))
-    field_map = (('conv1', 'Conv_0', _conv), ('conv2', 'Conv_1', _conv),
-                 ('downsample.0', 'Conv_2', _conv))
-    bn_map = (('bn1', 'BatchNorm_0'), ('bn2', 'BatchNorm_1'),
-              ('downsample.1', 'BatchNorm_2'))
+    basic_fields = (('conv1', 'Conv_0', _conv), ('conv2', 'Conv_1', _conv),
+                    ('downsample.0', 'Conv_2', _conv))
+    basic_bns = (('bn1', 'BatchNorm_0'), ('bn2', 'BatchNorm_1'),
+                 ('downsample.1', 'BatchNorm_2'))
+    bott_fields = (('conv1', 'Conv_0', _conv), ('conv2', 'Conv_1', _conv),
+                   ('conv3', 'Conv_2', _conv),
+                   ('downsample.0', 'Conv_3', _conv))
+    bott_bns = (('bn1', 'BatchNorm_0'), ('bn2', 'BatchNorm_1'),
+                ('bn3', 'BatchNorm_2'), ('downsample.1', 'BatchNorm_3'))
     for (key, name) in zip(sorted(blocks), our_blocks):
         entry = blocks[key]
         bpath = '{}/{}'.format(path, name)
-        has_down = 'Conv_2' in ours[name]
+        bott = 'conv3.weight' in entry
+        if bott != name.startswith('_Bottleneck'):
+            raise ImportError_('resnet trunk: block type mismatch at {} '
+                               '(torch block {})'.format(name, key))
+        field_map = bott_fields if bott else basic_fields
+        bn_map = bott_bns if bott else basic_bns
+        down_conv = 'Conv_3' if bott else 'Conv_2'
+        has_down = down_conv in ours[name]
         if has_down != ('downsample.0.weight' in entry):
             raise ImportError_('resnet trunk: downsample mismatch at {} '
                                '(torch block {})'.format(name, key))

@@ -1,4 +1,5 @@
-"""Faithful plain-torch resnet18/34 for the interop torchvision stub.
+"""Faithful plain-torch resnet18/34/50/101/152 for the interop
+torchvision stub.
 
 The reference wraps ``torchvision.models.resnet18(pretrained=...)`` and
 keeps ``children()[:-1]`` (ref module/vae_layers/conv.py:247-272).  The
@@ -39,9 +40,35 @@ class BasicBlock(nn.Module):
         return self.relu(out + identity)
 
 
-class ResNet(nn.Module):
-    def __init__(self, layers, num_classes=1000):
+class Bottleneck(nn.Module):
+    expansion = 4
+
+    def __init__(self, inplanes, planes, stride=1, downsample=None):
         super().__init__()
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = nn.BatchNorm2d(planes)
+        # stride on the 3x3 (torchvision's post-v0.4 "ResNet B" placement)
+        self.conv2 = nn.Conv2d(planes, planes, 3, stride, 1, bias=False)
+        self.bn2 = nn.BatchNorm2d(planes)
+        self.conv3 = nn.Conv2d(planes, 4 * planes, 1, bias=False)
+        self.bn3 = nn.BatchNorm2d(4 * planes)
+        self.relu = nn.ReLU(inplace=True)
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = x
+        out = self.relu(self.bn1(self.conv1(x)))
+        out = self.relu(self.bn2(self.conv2(out)))
+        out = self.bn3(self.conv3(out))
+        if self.downsample is not None:
+            identity = self.downsample(x)
+        return self.relu(out + identity)
+
+
+class ResNet(nn.Module):
+    def __init__(self, layers, num_classes=1000, block=BasicBlock):
+        super().__init__()
+        self.block = block
         self.inplanes = 64
         self.conv1 = nn.Conv2d(3, 64, 7, 2, 3, bias=False)
         self.bn1 = nn.BatchNorm2d(64)
@@ -52,17 +79,19 @@ class ResNet(nn.Module):
         self.layer3 = self._make_layer(256, layers[2], stride=2)
         self.layer4 = self._make_layer(512, layers[3], stride=2)
         self.avgpool = nn.AdaptiveAvgPool2d((1, 1))
-        self.fc = nn.Linear(512, num_classes)
+        self.fc = nn.Linear(512 * block.expansion, num_classes)
 
     def _make_layer(self, planes, blocks, stride=1):
+        block, exp = self.block, self.block.expansion
         downsample = None
-        if stride != 1 or self.inplanes != planes:
+        if stride != 1 or self.inplanes != planes * exp:
             downsample = nn.Sequential(
-                nn.Conv2d(self.inplanes, planes, 1, stride, bias=False),
-                nn.BatchNorm2d(planes))
-        mods = [BasicBlock(self.inplanes, planes, stride, downsample)]
-        self.inplanes = planes
-        mods += [BasicBlock(planes, planes) for _ in range(1, blocks)]
+                nn.Conv2d(self.inplanes, planes * exp, 1, stride,
+                          bias=False),
+                nn.BatchNorm2d(planes * exp))
+        mods = [block(self.inplanes, planes, stride, downsample)]
+        self.inplanes = planes * exp
+        mods += [block(self.inplanes, planes) for _ in range(1, blocks)]
         return nn.Sequential(*mods)
 
     def forward(self, x):
@@ -81,6 +110,18 @@ def resnet34(pretrained=False, **kw):     # noqa: U100
     return ResNet([3, 4, 6, 3])
 
 
+def resnet50(pretrained=False, **kw):     # noqa: U100
+    return ResNet([3, 4, 6, 3], block=Bottleneck)
+
+
+def resnet101(pretrained=False, **kw):    # noqa: U100
+    return ResNet([3, 4, 23, 3], block=Bottleneck)
+
+
+def resnet152(pretrained=False, **kw):    # noqa: U100
+    return ResNet([3, 8, 36, 3], block=Bottleneck)
+
+
 def install():
     """Attach the faithful factories to the torchvision STUB's models
     module (instance attributes win over the stub's __getattr__).  A real
@@ -91,3 +132,6 @@ def install():
     if m is not None and getattr(m, '__file__', None) is None:
         m.resnet18 = resnet18
         m.resnet34 = resnet34
+        m.resnet50 = resnet50
+        m.resnet101 = resnet101
+        m.resnet152 = resnet152

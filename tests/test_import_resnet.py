@@ -1,8 +1,10 @@
 """Torchvision-trunk reference jobs import (VERDICT r3 item 3).
 
-A reference CVNet built with ``--features resnet18`` (torchvision trunk,
-ref module/vae_layers/conv.py:247-272) — using the faithful plain-torch
-resnet of tests/tv_resnet.py under the torchvision stub — is saved with
+A reference CVNet built with ``--features resnet18`` / ``resnet50``
+(torchvision trunk, ref module/vae_layers/conv.py:247-272; BasicBlock and
+Bottleneck paths — the reference default resnet152 differs from 50 only
+in block counts) — using the faithful plain-torch resnet of
+save_load/tv_resnet.py under the torchvision stub — is saved with
 the REFERENCE'S OWN save() and imported.  Asserts:
 
 - the trunk's feature outputs match bitwise-tight (5e-5) between torch and
@@ -70,8 +72,8 @@ def ref():
     return types.SimpleNamespace(Net=ref_cvae.ClassificationVariationalNetwork)
 
 
-def _resnet_net(ref):
-    net = ref.Net(IN_SHAPE, C, type='cvae', features='resnet18',
+def _resnet_net(ref, arch='resnet18'):
+    net = ref.Net(IN_SHAPE, C, type='cvae', features=arch,
                   encoder=[16], latent_dim=K, decoder=[16], classifier=[8],
                   latent_sampling=1, test_latent_sampling=2,
                   beta=0.0, gamma=10., output_activation='sigmoid',
@@ -91,17 +93,20 @@ def _resnet_net(ref):
     return net
 
 
-@pytest.fixture(scope='module')
-def imported(ref, tmp_path_factory):
-    root = tmp_path_factory.mktemp('resnetjobs')
-    net = _resnet_net(ref)
+# resnet18 = BasicBlock path; resnet50 = Bottleneck path (the reference's
+# default trunk resnet152 differs from 50 only in block counts)
+@pytest.fixture(scope='module', params=['resnet18', 'resnet50'])
+def imported(ref, tmp_path_factory, request):
+    arch = request.param
+    root = tmp_path_factory.mktemp('resnetjobs-' + arch)
+    net = _resnet_net(ref, arch)
     net.trained = 1
     net.train_history['epochs'] = 1
     net.save(str(root / 'src' / '9'))
     dst = str(root / 'jobs' / '9')
     import_reference_job(str(root / 'src' / '9'), dst,
                          import_recorders=False)
-    return types.SimpleNamespace(net=net, dst=dst)
+    return types.SimpleNamespace(net=net, dst=dst, arch=arch)
 
 
 def test_trunk_features_match(imported):
@@ -111,7 +116,7 @@ def test_trunk_features_match(imported):
         0, 1, (4,) + IN_SHAPE).astype(np.float32)
     with torch.no_grad():
         want = imported.net.features(torch.tensor(x)).numpy()
-    got = ResNetFeatures(arch='resnet18').apply(
+    got = ResNetFeatures(arch=imported.arch).apply(
         {'params': job.state.params['features_stack'],
          'batch_stats': job.state.batch_stats['features_stack']},
         jnp.asarray(x), train=False)
@@ -121,7 +126,7 @@ def test_trunk_features_match(imported):
 
 def test_evaluate_losses_match(imported):
     job = load_job(imported.dst)
-    assert job.model_cfg.features == 'resnet18'
+    assert job.model_cfg.features == imported.arch
     x = np.random.default_rng(42).uniform(
         0, 1, (4,) + IN_SHAPE).astype(np.float32)
     y = np.array([0, 1, 2, 3], np.int64)
@@ -173,7 +178,8 @@ def test_export_roundtrip_resnet(imported, ref, tmp_path):
     got = net2.state_dict()
     trunk = [k for k in want if k.startswith('features.')
              and not k.endswith('num_batches_tracked')]
-    assert len(trunk) == 100      # resnet18: 20 convs + 20 BNs x 4 tensors
+    # resnet18: 20 convs + 20 BNs x 4; resnet50: 53 convs + 53 BNs x 4
+    assert len(trunk) == {'resnet18': 100, 'resnet50': 265}[imported.arch]
     for k in trunk:
         np.testing.assert_array_equal(got[k].numpy(), want[k].numpy(),
                                       err_msg=k)
