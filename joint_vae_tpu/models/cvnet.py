@@ -353,8 +353,9 @@ class CVNet(nn.Module):
                                                      **kw)
             else:
                 kw = {'growth': int(width)} if width else {}
-                self.features_stack = DenseNetFeatures(arch=arch, dtype=dtype,
-                                                       **kw)
+                self.features_stack = DenseNetFeatures(
+                    arch=arch, dtype=dtype,
+                    input_hw=tuple(cfg.input_shape[-2:]), **kw)
             self.features_name = cfg.features
             out_shape = self.features_stack.output_shape
             self.features_output_shape = out_shape

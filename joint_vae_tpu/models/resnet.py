@@ -36,8 +36,26 @@ RESNET_EXPANSION = {
 
 DENSENET_LAYERS = {
     'densenet121': (6, 12, 24, 16),
+    'densenet161': (6, 12, 36, 24),
+    'densenet169': (6, 12, 32, 32),
+    'densenet201': (6, 12, 48, 32),
     'densenet-small': (2, 4, 4, 2),
     'densenet-tiny': (1, 2),
+}
+
+# torchvision-faithful archs: (growth_rate, init_features).  These build
+# the torchvision module graph (7x7/2 stem + norm0 + maxpool, denseblocks,
+# transitions, final norm5; output is the PRE-relu norm5 map at
+# (C, h/32, w/32) — the reference keeps children()[:-1], which cuts
+# before DenseNet.forward's relu/avgpool, ref conv.py:256-272) so
+# pretrained trunk weights in reference jobs' state.pth transplant
+# exactly.  densenet-small/-tiny keep the compact from-scratch layout
+# (3x3 stem, global avg pool).
+DENSENET_TV = {
+    'densenet121': (32, 64),
+    'densenet161': (48, 96),
+    'densenet169': (32, 64),
+    'densenet201': (32, 64),
 }
 
 
@@ -122,34 +140,61 @@ class _DenseLayer(nn.Module):
 
 class DenseNetFeatures(nn.Module):
     """DenseNet-BC trunk (ref densenet feature option,
-    module/vae_layers/conv.py:247-272); from scratch, global-avg-pooled to
-    (C_out, 1, 1) like the resnet trunk."""
+    module/vae_layers/conv.py:247-272).
+
+    densenet121/161/169/201 are torchvision-faithful (see DENSENET_TV) and
+    output the pre-relu norm5 map at (C, h/32, w/32) exactly like the
+    reference's ResOrDenseNetFeatures; densenet-small/-tiny keep the
+    compact from-scratch layout (3x3 stem, global-avg-pooled to
+    (C_out, 1, 1)).  growth/init_features of 0 mean the arch default."""
     arch: str = 'densenet121'
-    growth: int = 32
-    init_features: int = 64
+    growth: int = 0
+    init_features: int = 0
+    input_hw: Tuple[int, int] = (32, 32)
     dtype: jnp.dtype = jnp.float32
+
+    def _resolved(self) -> Tuple[int, int]:
+        g0, f0 = DENSENET_TV.get(self.arch, (32, 64))
+        return (self.growth or g0, self.init_features or f0)
 
     @property
     def output_shape(self) -> Tuple[int, int, int]:
         blocks = DENSENET_LAYERS[self.arch]
-        f = self.init_features
+        growth, f = self._resolved()
         for bi, n in enumerate(blocks):
-            f += n * self.growth
+            f += n * growth
             if bi != len(blocks) - 1:
                 f = f // 2
+        if self.arch in DENSENET_TV:
+            h, w = self.input_hw
+            return (f, h // 32, w // 32)
         return (f, 1, 1)
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         blocks = DENSENET_LAYERS[self.arch]
+        growth, init_features = self._resolved()
+        tv = self.arch in DENSENET_TV
         lead = x.shape[:-3]
         c, h, w = x.shape[-3:]
         x = x.reshape((-1, c, h, w)).transpose(0, 2, 3, 1).astype(self.dtype)
-        x = nn.Conv(self.init_features, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=self.dtype)(x)
+        if tv:
+            # torchvision stem: conv0 7x7/2 pad 3, norm0, relu,
+            # pool0 3x3/2 pad 1
+            x = nn.Conv(init_features, (7, 7), (2, 2),
+                        padding=[(3, 3), (3, 3)], use_bias=False,
+                        dtype=self.dtype)(x)
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
+            x = nn.relu(x)
+            x = nn.max_pool(x, (3, 3), strides=(2, 2),
+                            padding=((1, 1), (1, 1)))
+        else:
+            x = nn.Conv(init_features, (3, 3), padding=[(1, 1), (1, 1)],
+                        use_bias=False, dtype=self.dtype)(x)
         for bi, n in enumerate(blocks):
             for _ in range(n):
-                x = _DenseLayer(self.growth, self.dtype)(x, train)
+                x = _DenseLayer(growth, self.dtype)(x, train)
             if bi != len(blocks) - 1:   # transition: halve channels + pool
                 x = nn.BatchNorm(use_running_average=not train,
                                  dtype=self.dtype)(x)
@@ -157,6 +202,13 @@ class DenseNetFeatures(nn.Module):
                 x = nn.Conv(x.shape[-1] // 2, (1, 1), use_bias=False,
                             dtype=self.dtype)(x)
                 x = nn.avg_pool(x, (2, 2), strides=(2, 2))
+        if tv:
+            # norm5, NO relu: the reference trunk is children()[:-1] of
+            # torchvision DenseNet — it cuts before forward's relu/pool
+            x = nn.BatchNorm(use_running_average=not train,
+                             dtype=self.dtype)(x)
+            x = x.transpose(0, 3, 1, 2)            # back to NCHW
+            return x.reshape(lead + x.shape[1:])
         x = jnp.mean(x, axis=(1, 2))
         return x.reshape(lead + (x.shape[-1], 1, 1))
 

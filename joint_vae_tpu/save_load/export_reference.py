@@ -32,9 +32,12 @@ flip+transpose, identities for BN/prior/sigma).  Export therefore inverts
 import bit-for-bit; tests/test_export_reference.py round-trips both ways
 and oracles ``evaluate`` losses through the reference network.
 
-Not exportable (clear error): from-scratch flax ResNet/DenseNet feature
-extractors (documented deviation, docs/PARITY.md) — the reference only
-knows torchvision parameterizations.
+Not exportable (clear error): from-scratch flax trunk variants
+(densenet-small/-tiny, non-default growth) — the reference only knows
+torchvision parameterizations.  Torchvision-faithful trunks
+(resnet18/34/50/101/152, densenet121/161/169/201) export; NOTE that a
+stock reference checkout needs its densenet routing bug fixed to load a
+densenet-trunk job (tv_resnet.route_densenet docstring, docs/PARITY.md).
 """
 
 import logging
@@ -77,10 +80,9 @@ def default_reference_path() -> Optional[str]:
 
 def _stub_torchvision():
     """Satisfy the reference's torchvision imports when the real package is
-    absent.  resnet18/34/50/101/152 get faithful plain-torch
-    implementations (tv_resnet.py) so resnet-featured templates build for
-    real; everything
-    else is a dummy (densenet trunks stay non-exportable)."""
+    absent.  resnet18/34/50/101/152 and densenet121/161/169/201 get
+    faithful plain-torch implementations (tv_resnet.py) so trunk-featured
+    templates build for real; everything else is a dummy."""
     if 'torchvision' not in sys.modules:
         try:
             import torchvision                           # noqa: F401
@@ -127,6 +129,11 @@ def reference_modules(reference_path: Optional[str] = None):
         from utils.save_load import recorders as ref_recorders
     finally:
         sys.path.remove(path)
+    # the reference's own densenet trunk routing is bit-rotted (conv.py:138
+    # routes only resnet*); fix it in-process so densenet-trunk templates
+    # build (tv_resnet.route_densenet docstring + docs/PARITY.md)
+    from .tv_resnet import route_densenet
+    route_densenet(ref_cvae)
     pair = (ref_cvae.ClassificationVariationalNetwork, ref_recorders)
     _REF_CACHE[path] = pair
     return pair
@@ -496,11 +503,13 @@ def export_to_reference_job(src: str, dst: str,
     job = load_job(src, ghost=True)
     features = job.model_cfg.features or ''
     if features.startswith('densenet'):
-        raise ExportError_(
-            'from-scratch flax {} features have no torchvision counterpart '
-            'and cannot be exported (docs/PARITY.md); resnet trunks export '
-            'fine (models/resnet.py is torchvision-faithful)'
-            .format(features))
+        from ..models.resnet import DENSENET_TV
+        if features not in DENSENET_TV:      # -small/-tiny or ':growth'
+            raise ExportError_(
+                'from-scratch flax {} features have no torchvision '
+                'counterpart and cannot be exported (docs/PARITY.md); '
+                'torchvision-faithful trunks (resnet18/34/50/101/152, '
+                'densenet121/161/169/201) export fine'.format(features))
 
     arch = load_json(os.path.join(src, 'params.json'))
     os.makedirs(dst, exist_ok=True)

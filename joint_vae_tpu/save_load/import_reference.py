@@ -46,9 +46,13 @@ import exactly: models/resnet.py is structurally torchvision-faithful, so
 conv1/bn1/layerL.B.{conv,bn,downsample} map onto
 Conv_0/BatchNorm_0/_BasicBlock_k (or _Bottleneck_k) one-to-one —
 including the ImageNet-pretrained running stats sitting in state.pth
-(_map_resnet_features).  Densenet trunks stay not-importable (clear
-error): our DenseNetFeatures keeps a different from-scratch layout
-(documented deviation, docs/PARITY.md).
+(_map_resnet_features).  Torchvision densenet121/161/169/201 trunks map
+the same way (_map_densenet_features) — noting that the reference's OWN
+densenet routing is bit-rotted (``--features densenet121`` silently builds
+a conv-DSL stack, conv.py:138-140; see tv_resnet.route_densenet), so such
+state dicts only arise from routing-fixed reference checkouts.  Custom
+from-scratch variants (densenet-small/-tiny) stay not-importable (clear
+error, docs/PARITY.md).
 """
 
 import logging
@@ -241,6 +245,80 @@ def _map_resnet_features(sd: Dict[str, np.ndarray], params,
                     t + '.running_var']
 
 
+# a torchvision densenet trunk wrapped by ResOrDenseNetFeatures has ONE
+# Sequential child (the DenseNet's `features`), so keys come as
+# features.0.denseblock<B>.denselayer<L>.<norm1|conv1|norm2|conv2>.<leaf>
+_DENSE_SUB = re.compile(
+    r'^denseblock(\d+)\.denselayer(\d+)\.(norm1|conv1|norm2|conv2)$')
+_DENSE_TRANS = re.compile(r'^transition(\d+)\.')
+
+
+def _map_densenet_features(sd: Dict[str, np.ndarray], params,
+                           out: Dict[str, np.ndarray],
+                           stats: Dict[str, np.ndarray]):
+    """torchvision densenet trunk -> our DenseNetFeatures (tv archs,
+    models/resnet.py::DENSENET_TV).
+
+    Construction-order correspondence: conv0/norm0 -> Conv_0/BatchNorm_0
+    stem, denseblockB.denselayerL.{norm1,conv1,norm2,conv2} ->
+    _DenseLayer_k/{BatchNorm_0,Conv_0,BatchNorm_1,Conv_1} (k global over
+    blocks), transitionT.{norm,conv} -> BatchNorm_T/Conv_T, norm5 ->
+    BatchNorm_<T+1>.  The custom from-scratch variants (densenet-small/
+    -tiny, non-default growth) have no torchvision counterpart and still
+    refuse (docs/PARITY.md)."""
+    ours = params.get('features_stack')
+    if ours is None:
+        raise ImportError_('reference job carries a densenet trunk but the '
+                           'rebuilt native model has no features_stack')
+    path = 'features_stack'
+    prefix = 'features.0.'
+    mods: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        if k.startswith(prefix) and '.' in k[len(prefix):]:
+            mod, leaf = k[len(prefix):].rsplit('.', 1)
+            mods.setdefault(mod, {})[leaf] = v
+
+    def bn(entry, name):
+        out['{}/{}/scale'.format(path, name)] = entry['weight']
+        out['{}/{}/bias'.format(path, name)] = entry['bias']
+        stats['{}/{}/mean'.format(path, name)] = entry['running_mean']
+        stats['{}/{}/var'.format(path, name)] = entry['running_var']
+
+    if 'conv0' not in mods or 'norm0' not in mods or 'norm5' not in mods:
+        raise ImportError_(
+            'densenet trunk: torchvision stem/norm5 keys missing — only '
+            'torchvision densenet121/161/169/201 trunks import')
+    out['{}/Conv_0/kernel'.format(path)] = _conv(mods['conv0']['weight'])
+    bn(mods['norm0'], 'BatchNorm_0')
+
+    layers: Dict[Tuple[int, int], Dict[str, Dict[str, np.ndarray]]] = {}
+    for name, entry in mods.items():
+        m = _DENSE_SUB.match(name)
+        if m:
+            layers.setdefault((int(m.group(1)), int(m.group(2))),
+                              {})[m.group(3)] = entry
+    our_layers = _sorted_names(ours, ('_DenseLayer',))
+    if len(layers) != len(our_layers):
+        raise ImportError_('densenet trunk: {} torch denselayers vs {} '
+                           'native (arch or growth mismatch)'
+                           .format(len(layers), len(our_layers)))
+    for key, lname in zip(sorted(layers), our_layers):
+        sub = layers[key]
+        for t, f in (('conv1', 'Conv_0'), ('conv2', 'Conv_1')):
+            out['{}/{}/{}/kernel'.format(path, lname, f)] = _conv(
+                sub[t]['weight'])
+        for t, f in (('norm1', 'BatchNorm_0'), ('norm2', 'BatchNorm_1')):
+            bn(sub[t], '{}/{}'.format(lname, f))
+
+    trans = sorted({int(m.group(1)) for name in mods
+                    for m in [_DENSE_TRANS.match(name)] if m})
+    for t in trans:
+        bn(mods['transition{}.norm'.format(t)], 'BatchNorm_{}'.format(t))
+        out['{}/Conv_{}/kernel'.format(path, t)] = _conv(
+            mods['transition{}.conv'.format(t)]['weight'])
+    bn(mods['norm5'], 'BatchNorm_{}'.format(len(trans) + 1))
+
+
 def _map_conv_group(ref_entries: List[Dict[str, np.ndarray]],
                     ours: Dict[str, Any], out: Dict[str, np.ndarray],
                     stats: Dict[str, np.ndarray], path: str):
@@ -309,17 +387,16 @@ def map_reference_state(sd: Dict[str, np.ndarray], params,
 
     resnet_trunk = any(_RESNET_BLOCK.match(k) and k.endswith('conv1.weight')
                        for k in sd)
-    if any('denseblock' in k or 'norm5' in k for k in sd):
-        raise ImportError_(
-            'torchvision densenet features are not importable: our '
-            'DenseNetFeatures is a from-scratch flax module with a '
-            'different parameterization (docs/PARITY.md)')
+    densenet_trunk = any('denseblock' in k or 'norm5' in k for k in sd)
     if resnet_trunk:
         _map_resnet_features(sd, params, out, stats)
+    elif densenet_trunk:
+        _map_densenet_features(sd, params, out, stats)
 
     # features / imager conv stacks
     for ref_name, our_name in ((('features', 'features_stack'),)
-                               if not resnet_trunk else ()) + (
+                               if not (resnet_trunk or densenet_trunk)
+                               else ()) + (
                                ('imager', 'imager'),):
         g = _group(sd, ref_name)
         if not g or our_name not in params:

@@ -1,5 +1,5 @@
-"""Faithful plain-torch resnet18/34/50/101/152 for the interop
-torchvision stub.
+"""Faithful plain-torch resnet18/34/50/101/152 + densenet121/161/169/201
+for the interop torchvision stub.
 
 The reference wraps ``torchvision.models.resnet18(pretrained=...)`` and
 keeps ``children()[:-1]`` (ref module/vae_layers/conv.py:247-272).  The
@@ -13,6 +13,16 @@ interop only needs weight-transplant parity, the values are arbitrary
 (real pretrained weights arrive inside reference jobs' state.pth and take
 this exact key layout; with real torchvision installed the stub is never
 engaged and the genuine pretrained trunk is used).
+
+Reference bug found here: despite the class name, ``ResOrDenseNetFeatures``
+is unreachable for densenets — ``build_de_conv_layers`` routes only names
+starting with ``resnet`` to it (ref module/vae_layers/conv.py:138-140), so
+``--features densenet121`` silently falls through to the conv-DSL parser
+and builds a wrong tiny conv stack (saved as features '32x5') even though
+the wrapper itself handles densenet output shapes (ref conv.py:268-270).
+:func:`route_densenet` fixes the routing in-process (for the exporter's
+template build and the interop oracles); stock reference checkouts need
+the same one-line fix to load exported densenet-trunk jobs (docs/PARITY.md).
 """
 
 import torch
@@ -122,6 +132,100 @@ def resnet152(pretrained=False, **kw):    # noqa: U100
     return ResNet([3, 8, 36, 3], block=Bottleneck)
 
 
+class _TVDenseLayer(nn.Module):
+    def __init__(self, in_ch, growth, bn_size=4):
+        super().__init__()
+        self.norm1 = nn.BatchNorm2d(in_ch)
+        self.relu1 = nn.ReLU(inplace=True)
+        self.conv1 = nn.Conv2d(in_ch, bn_size * growth, 1, bias=False)
+        self.norm2 = nn.BatchNorm2d(bn_size * growth)
+        self.relu2 = nn.ReLU(inplace=True)
+        self.conv2 = nn.Conv2d(bn_size * growth, growth, 3, 1, 1, bias=False)
+
+    def forward(self, x):
+        y = self.conv1(self.relu1(self.norm1(x)))
+        y = self.conv2(self.relu2(self.norm2(y)))
+        return torch.cat([x, y], 1)
+
+
+class DenseNet(nn.Module):
+    """torchvision DenseNet module graph — same feature submodule names
+    (conv0/norm0/relu0/pool0, denseblockB.denselayerL.{norm1,conv1,norm2,
+    conv2}, transitionT.{norm,relu,conv,pool}, norm5) and state_dict key
+    layout, so ``children()[:-1]`` wrapping and weight transplant behave
+    exactly like the real package."""
+
+    def __init__(self, growth, layers, init_features, num_classes=1000):
+        super().__init__()
+        from collections import OrderedDict
+        feats = OrderedDict()
+        feats['conv0'] = nn.Conv2d(3, init_features, 7, 2, 3, bias=False)
+        feats['norm0'] = nn.BatchNorm2d(init_features)
+        feats['relu0'] = nn.ReLU(inplace=True)
+        feats['pool0'] = nn.MaxPool2d(3, 2, 1)
+        ch = init_features
+        for b, n in enumerate(layers, 1):
+            feats['denseblock%d' % b] = nn.Sequential(OrderedDict(
+                ('denselayer%d' % (i + 1),
+                 _TVDenseLayer(ch + i * growth, growth))
+                for i in range(n)))
+            ch += n * growth
+            if b != len(layers):
+                feats['transition%d' % b] = nn.Sequential(OrderedDict([
+                    ('norm', nn.BatchNorm2d(ch)),
+                    ('relu', nn.ReLU(inplace=True)),
+                    ('conv', nn.Conv2d(ch, ch // 2, 1, bias=False)),
+                    ('pool', nn.AvgPool2d(2, 2))]))
+                ch //= 2
+        feats['norm5'] = nn.BatchNorm2d(ch)
+        self.features = nn.Sequential(feats)
+        self.classifier = nn.Linear(ch, num_classes)
+
+    def forward(self, x):
+        f = torch.relu(self.features(x))
+        f = nn.functional.adaptive_avg_pool2d(f, (1, 1)).flatten(1)
+        return self.classifier(f)
+
+
+def densenet121(pretrained=False, **kw):  # noqa: U100
+    return DenseNet(32, (6, 12, 24, 16), 64)
+
+
+def densenet161(pretrained=False, **kw):  # noqa: U100
+    return DenseNet(48, (6, 12, 36, 24), 96)
+
+
+def densenet169(pretrained=False, **kw):  # noqa: U100
+    return DenseNet(32, (6, 12, 32, 32), 64)
+
+
+def densenet201(pretrained=False, **kw):  # noqa: U100
+    return DenseNet(32, (6, 12, 48, 32), 64)
+
+
+def route_densenet(ref_cvae):
+    """Fix the reference's densenet trunk routing in-process (see module
+    docstring): wrap the ``build_de_conv_layers`` symbol ``cvae.py``
+    imported so ``densenet*`` feature names reach ``ResOrDenseNetFeatures``
+    as the class intends (ref conv.py:247-272) instead of the conv-DSL
+    fallthrough.  Idempotent."""
+    import sys
+    orig = ref_cvae.build_de_conv_layers
+    if getattr(orig, '_jvt_densenet_routed', False):
+        return
+
+    def routed(input_shape, layers_name, *a, **kw):
+        where = kw.get('where', 'input')
+        if where == 'input' and str(layers_name).startswith('densenet'):
+            conv_mod = sys.modules[orig.__module__]
+            return conv_mod.ResOrDenseNetFeatures(
+                model_name=layers_name, input_shape=input_shape)
+        return orig(input_shape, layers_name, *a, **kw)
+
+    routed._jvt_densenet_routed = True
+    ref_cvae.build_de_conv_layers = routed
+
+
 def install():
     """Attach the faithful factories to the torchvision STUB's models
     module (instance attributes win over the stub's __getattr__).  A real
@@ -135,3 +239,7 @@ def install():
         m.resnet50 = resnet50
         m.resnet101 = resnet101
         m.resnet152 = resnet152
+        m.densenet121 = densenet121
+        m.densenet161 = densenet161
+        m.densenet169 = densenet169
+        m.densenet201 = densenet201

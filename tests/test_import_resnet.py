@@ -1,10 +1,10 @@
 """Torchvision-trunk reference jobs import (VERDICT r3 item 3).
 
-A reference CVNet built with ``--features resnet18`` / ``resnet50``
-(torchvision trunk, ref module/vae_layers/conv.py:247-272; BasicBlock and
-Bottleneck paths — the reference default resnet152 differs from 50 only
-in block counts) — using the faithful plain-torch resnet of
-save_load/tv_resnet.py under the torchvision stub — is saved with
+A reference CVNet built with ``--features resnet18`` / ``resnet50`` /
+``densenet121`` (torchvision trunk, ref module/vae_layers/conv.py:247-272;
+BasicBlock, Bottleneck and DenseNet paths — the reference default resnet152
+differs from 50 only in block counts) — using the faithful plain-torch
+trunks of save_load/tv_resnet.py under the torchvision stub — is saved with
 the REFERENCE'S OWN save() and imported.  Asserts:
 
 - the trunk's feature outputs match bitwise-tight (5e-5) between torch and
@@ -31,9 +31,13 @@ from joint_vae_tpu.models.evaluate import evaluate
 from joint_vae_tpu.save_load.import_reference import import_reference_job
 from joint_vae_tpu.save_load.jobs import load_job
 
-IN_SHAPE = (3, 16, 16)
 C, K = 4, 6
 SKIP_KEYS = {'iws', 'total', 'dzdist'}
+
+# densenet trunks reduce spatially by 32x (stem /4 + 3 transition pools,
+# ref conv.py:266-270), so they need a 32px input to keep a 1x1 map
+IN_SHAPES = {'resnet18': (3, 16, 16), 'resnet50': (3, 16, 16),
+             'densenet121': (3, 32, 32)}
 
 
 def _stub_torchvision():
@@ -69,11 +73,15 @@ def ref():
         import cvae as ref_cvae
     finally:
         sys.path.remove('/root/reference')
+    # the reference's own densenet routing is bit-rotted (conv.py:138
+    # routes only resnet*) — fix it in-process so a densenet-trunk job
+    # can be produced/reloaded by the reference's own save()/load()
+    tv_resnet.route_densenet(ref_cvae)
     return types.SimpleNamespace(Net=ref_cvae.ClassificationVariationalNetwork)
 
 
 def _resnet_net(ref, arch='resnet18'):
-    net = ref.Net(IN_SHAPE, C, type='cvae', features=arch,
+    net = ref.Net(IN_SHAPES[arch], C, type='cvae', features=arch,
                   encoder=[16], latent_dim=K, decoder=[16], classifier=[8],
                   latent_sampling=1, test_latent_sampling=2,
                   beta=0.0, gamma=10., output_activation='sigmoid',
@@ -94,8 +102,11 @@ def _resnet_net(ref, arch='resnet18'):
 
 
 # resnet18 = BasicBlock path; resnet50 = Bottleneck path (the reference's
-# default trunk resnet152 differs from 50 only in block counts)
-@pytest.fixture(scope='module', params=['resnet18', 'resnet50'])
+# default trunk resnet152 differs from 50 only in block counts);
+# densenet121 = the DenseNet trunk path (161/169/201 differ only in
+# growth/block counts)
+@pytest.fixture(scope='module',
+                params=['resnet18', 'resnet50', 'densenet121'])
 def imported(ref, tmp_path_factory, request):
     arch = request.param
     root = tmp_path_factory.mktemp('resnetjobs-' + arch)
@@ -110,13 +121,18 @@ def imported(ref, tmp_path_factory, request):
 
 
 def test_trunk_features_match(imported):
-    from joint_vae_tpu.models.resnet import ResNetFeatures
+    from joint_vae_tpu.models.resnet import ResNetFeatures, DenseNetFeatures
     job = load_job(imported.dst)
+    in_shape = IN_SHAPES[imported.arch]
     x = np.random.default_rng(0).uniform(
-        0, 1, (4,) + IN_SHAPE).astype(np.float32)
+        0, 1, (4,) + in_shape).astype(np.float32)
     with torch.no_grad():
         want = imported.net.features(torch.tensor(x)).numpy()
-    got = ResNetFeatures(arch=imported.arch).apply(
+    if imported.arch.startswith('densenet'):
+        trunk = DenseNetFeatures(arch=imported.arch, input_hw=in_shape[1:])
+    else:
+        trunk = ResNetFeatures(arch=imported.arch)
+    got = trunk.apply(
         {'params': job.state.params['features_stack'],
          'batch_stats': job.state.batch_stats['features_stack']},
         jnp.asarray(x), train=False)
@@ -128,7 +144,7 @@ def test_evaluate_losses_match(imported):
     job = load_job(imported.dst)
     assert job.model_cfg.features == imported.arch
     x = np.random.default_rng(42).uniform(
-        0, 1, (4,) + IN_SHAPE).astype(np.float32)
+        0, 1, (4,) + IN_SHAPES[imported.arch]).astype(np.float32)
     y = np.array([0, 1, 2, 3], np.int64)
     with torch.no_grad():
         _, _, losses, _ = imported.net.evaluate(torch.tensor(x),
@@ -178,17 +194,24 @@ def test_export_roundtrip_resnet(imported, ref, tmp_path):
     got = net2.state_dict()
     trunk = [k for k in want if k.startswith('features.')
              and not k.endswith('num_batches_tracked')]
-    # resnet18: 20 convs + 20 BNs x 4; resnet50: 53 convs + 53 BNs x 4
-    assert len(trunk) == {'resnet18': 100, 'resnet50': 265}[imported.arch]
+    # resnet18: 20 convs + 20 BNs x 4; resnet50: 53 convs + 53 BNs x 4;
+    # densenet121: conv0 + norm0 + 58 layers x (2 conv + 2 BN x 4)
+    #              + 3 transitions x (conv + BN x 4) + norm5
+    assert len(trunk) == {'resnet18': 100, 'resnet50': 265,
+                          'densenet121': 604}[imported.arch]
     for k in trunk:
         np.testing.assert_array_equal(got[k].numpy(), want[k].numpy(),
                                       err_msg=k)
 
 
-def test_densenet_trunk_still_rejected():
+def test_densenet_trunk_malformed_rejected():
+    """A densenet trunk missing the torchvision stem/norm5 keys (a custom
+    parameterization) still refuses with a clear error."""
     from joint_vae_tpu.save_load.import_reference import (
-        ImportError_, map_reference_state)
+        ImportError_, _map_densenet_features, map_reference_state)
     sd = {'features.0.denseblock1.denselayer1.conv1.weight':
           np.zeros((4, 4, 1, 1), np.float32)}
-    with pytest.raises(ImportError_, match='densenet'):
+    with pytest.raises(ImportError_, match='features_stack'):
         map_reference_state(sd, {}, {})
+    with pytest.raises(ImportError_, match='stem/norm5'):
+        _map_densenet_features(sd, {'features_stack': {}}, {}, {})
