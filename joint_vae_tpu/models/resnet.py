@@ -6,9 +6,12 @@ ResNetFeatures is structurally torchvision-faithful (stem + BasicBlock
 layers + avg pool), so pretrained weights arriving inside reference jobs'
 state.pth transplant exactly through the importer
 (save_load/import_reference.py::_map_resnet_features) — no network egress
-needed.  DenseNetFeatures keeps this repo's from-scratch layout (same
-output contract: (C_out, 1, 1) after global average pooling); weights can
-also be transferred from another job via
+needed.  DenseNetFeatures is torchvision-faithful for the four named tv
+archs (densenet121/161/169/201: 7x7/2 stem, pre-relu norm5 output at
+(C, ~h/32, ~w/32), weight-importable via _map_densenet_features) and
+keeps the compact from-scratch layout for densenet-small/-tiny (3x3
+stem, global-avg-pooled to (C_out, 1, 1)); weights can also be
+transferred from another job via
 ``save_load.transfer.transfer_pretrained``.
 """
 
@@ -157,6 +160,17 @@ class DenseNetFeatures(nn.Module):
         g0, f0 = DENSENET_TV.get(self.arch, (32, 64))
         return (self.growth or g0, self.init_features or f0)
 
+    @staticmethod
+    def _tv_spatial(size: int, transitions: int) -> int:
+        """Exact torchvision spatial arithmetic (matches this module's own
+        forward): conv0 k7/s2/p3, pool0 k3/s2/p1, then one 2x2/2 floor
+        avg-pool per transition.  `size // 32` only when 32 | size."""
+        size = (size + 1) // 2          # conv0: (size + 2*3 - 7)//2 + 1
+        size = (size + 1) // 2          # pool0: (size + 2*1 - 3)//2 + 1
+        for _ in range(transitions):
+            size //= 2
+        return size
+
     @property
     def output_shape(self) -> Tuple[int, int, int]:
         blocks = DENSENET_LAYERS[self.arch]
@@ -166,8 +180,14 @@ class DenseNetFeatures(nn.Module):
             if bi != len(blocks) - 1:
                 f = f // 2
         if self.arch in DENSENET_TV:
-            h, w = self.input_hw
-            return (f, h // 32, w // 32)
+            h, w = (self._tv_spatial(s, len(blocks) - 1)
+                    for s in self.input_hw)
+            if h < 1 or w < 1:
+                raise ValueError(
+                    'input {}x{} is too small for the /32 torchvision '
+                    'trunk {} (needs >=29px); use densenet-small/-tiny '
+                    'for small inputs'.format(*self.input_hw, self.arch))
+            return (f, h, w)
         return (f, 1, 1)
 
     @nn.compact

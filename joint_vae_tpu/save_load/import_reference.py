@@ -278,18 +278,29 @@ def _map_densenet_features(sd: Dict[str, np.ndarray], params,
             mod, leaf = k[len(prefix):].rsplit('.', 1)
             mods.setdefault(mod, {})[leaf] = v
 
-    def bn(entry, name):
-        out['{}/{}/scale'.format(path, name)] = entry['weight']
-        out['{}/{}/bias'.format(path, name)] = entry['bias']
-        stats['{}/{}/mean'.format(path, name)] = entry['running_mean']
-        stats['{}/{}/var'.format(path, name)] = entry['running_var']
+    def leaf(entry, field, what):
+        # reject (with the reason) rather than KeyError on truncated or
+        # hand-edited trunks — the importer's contract
+        if field not in entry:
+            raise ImportError_('densenet trunk: {} missing its {} tensor'
+                               .format(what, field))
+        return entry[field]
+
+    def bn(entry, name, what='a BN'):
+        out['{}/{}/scale'.format(path, name)] = leaf(entry, 'weight', what)
+        out['{}/{}/bias'.format(path, name)] = leaf(entry, 'bias', what)
+        stats['{}/{}/mean'.format(path, name)] = leaf(
+            entry, 'running_mean', what)
+        stats['{}/{}/var'.format(path, name)] = leaf(
+            entry, 'running_var', what)
 
     if 'conv0' not in mods or 'norm0' not in mods or 'norm5' not in mods:
         raise ImportError_(
             'densenet trunk: torchvision stem/norm5 keys missing — only '
             'torchvision densenet121/161/169/201 trunks import')
-    out['{}/Conv_0/kernel'.format(path)] = _conv(mods['conv0']['weight'])
-    bn(mods['norm0'], 'BatchNorm_0')
+    out['{}/Conv_0/kernel'.format(path)] = _conv(
+        leaf(mods['conv0'], 'weight', 'conv0'))
+    bn(mods['norm0'], 'BatchNorm_0', 'norm0')
 
     layers: Dict[Tuple[int, int], Dict[str, Dict[str, np.ndarray]]] = {}
     for name, entry in mods.items():
@@ -304,19 +315,23 @@ def _map_densenet_features(sd: Dict[str, np.ndarray], params,
                            .format(len(layers), len(our_layers)))
     for key, lname in zip(sorted(layers), our_layers):
         sub = layers[key]
+        what = 'denseblock{}.denselayer{}'.format(*key)
         for t, f in (('conv1', 'Conv_0'), ('conv2', 'Conv_1')):
             out['{}/{}/{}/kernel'.format(path, lname, f)] = _conv(
-                sub[t]['weight'])
+                leaf(sub.get(t, {}), 'weight', '{}.{}'.format(what, t)))
         for t, f in (('norm1', 'BatchNorm_0'), ('norm2', 'BatchNorm_1')):
-            bn(sub[t], '{}/{}'.format(lname, f))
+            bn(sub.get(t, {}), '{}/{}'.format(lname, f),
+               '{}.{}'.format(what, t))
 
     trans = sorted({int(m.group(1)) for name in mods
                     for m in [_DENSE_TRANS.match(name)] if m})
     for t in trans:
-        bn(mods['transition{}.norm'.format(t)], 'BatchNorm_{}'.format(t))
+        bn(mods.get('transition{}.norm'.format(t), {}),
+           'BatchNorm_{}'.format(t), 'transition{}.norm'.format(t))
         out['{}/Conv_{}/kernel'.format(path, t)] = _conv(
-            mods['transition{}.conv'.format(t)]['weight'])
-    bn(mods['norm5'], 'BatchNorm_{}'.format(len(trans) + 1))
+            leaf(mods.get('transition{}.conv'.format(t), {}), 'weight',
+                 'transition{}.conv'.format(t)))
+    bn(mods['norm5'], 'BatchNorm_{}'.format(len(trans) + 1), 'norm5')
 
 
 def _map_conv_group(ref_entries: List[Dict[str, np.ndarray]],

@@ -112,24 +112,24 @@ class ResNet(nn.Module):
         return self.fc(x)
 
 
-def resnet18(pretrained=False, **kw):     # noqa: U100 — torchvision signature
-    return ResNet([2, 2, 2, 2])
+def _resnet_factory(arch):
+    # block counts/expansion come from the SAME tables the flax modules
+    # use (models/resnet.py) — one source of truth for both sides of the
+    # weight transplant
+    from ..models.resnet import RESNET_LAYERS, RESNET_EXPANSION
+
+    def factory(pretrained=False, **kw):  # noqa: U100 — torchvision signature
+        block = BasicBlock if RESNET_EXPANSION[arch] == 1 else Bottleneck
+        return ResNet(list(RESNET_LAYERS[arch]), block=block)
+    factory.__name__ = arch
+    return factory
 
 
-def resnet34(pretrained=False, **kw):     # noqa: U100
-    return ResNet([3, 4, 6, 3])
-
-
-def resnet50(pretrained=False, **kw):     # noqa: U100
-    return ResNet([3, 4, 6, 3], block=Bottleneck)
-
-
-def resnet101(pretrained=False, **kw):    # noqa: U100
-    return ResNet([3, 4, 23, 3], block=Bottleneck)
-
-
-def resnet152(pretrained=False, **kw):    # noqa: U100
-    return ResNet([3, 8, 36, 3], block=Bottleneck)
+resnet18 = _resnet_factory('resnet18')
+resnet34 = _resnet_factory('resnet34')
+resnet50 = _resnet_factory('resnet50')
+resnet101 = _resnet_factory('resnet101')
+resnet152 = _resnet_factory('resnet152')
 
 
 class _TVDenseLayer(nn.Module):
@@ -187,20 +187,20 @@ class DenseNet(nn.Module):
         return self.classifier(f)
 
 
-def densenet121(pretrained=False, **kw):  # noqa: U100
-    return DenseNet(32, (6, 12, 24, 16), 64)
+def _densenet_factory(arch):
+    from ..models.resnet import DENSENET_LAYERS, DENSENET_TV
+
+    def factory(pretrained=False, **kw):  # noqa: U100
+        growth, init_features = DENSENET_TV[arch]
+        return DenseNet(growth, DENSENET_LAYERS[arch], init_features)
+    factory.__name__ = arch
+    return factory
 
 
-def densenet161(pretrained=False, **kw):  # noqa: U100
-    return DenseNet(48, (6, 12, 36, 24), 96)
-
-
-def densenet169(pretrained=False, **kw):  # noqa: U100
-    return DenseNet(32, (6, 12, 32, 32), 64)
-
-
-def densenet201(pretrained=False, **kw):  # noqa: U100
-    return DenseNet(32, (6, 12, 48, 32), 64)
+densenet121 = _densenet_factory('densenet121')
+densenet161 = _densenet_factory('densenet161')
+densenet169 = _densenet_factory('densenet169')
+densenet201 = _densenet_factory('densenet201')
 
 
 def route_densenet(ref_cvae):

@@ -242,7 +242,7 @@ def test_import_rejects_malformed_resnet_trunk(tmp_path):
                'features.1.bias': np.zeros(8, np.float32),
                'features.1.running_mean': np.zeros(8, np.float32),
                'features.1.running_var': np.ones(8, np.float32)})
-    with pytest.raises(ImportError_, match='BasicBlock'):
+    with pytest.raises(ImportError_, match='torch blocks vs 0 native'):
         map_reference_state(sd, {'features_stack': {}}, None)
 
 

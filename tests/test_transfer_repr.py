@@ -113,6 +113,28 @@ def test_transfer_pretrained_and_freeze():
         assert np.abs(e0 - e1).max() > 0
 
 
+def test_tv_densenet_output_shape_matches_forward():
+    """output_shape uses the exact torchvision spatial arithmetic (floor
+    chain, not h//32) — must agree with this very module's forward at
+    non-multiple-of-32 sizes (round-4 review finding)."""
+    from joint_vae_tpu.models.resnet import DenseNetFeatures
+    key = jax.random.PRNGKey(0)
+    for hw in ((32, 32), (29, 29), (63, 63), (30, 40)):
+        m = DenseNetFeatures(arch='densenet121', input_hw=hw)
+        x = jnp.zeros((1, 3) + hw)
+        out, _ = jax.eval_shape(m.init_with_output, key, x)
+        assert tuple(out.shape[1:]) == m.output_shape, hw
+
+
+def test_tv_densenet_too_small_input_clear_error():
+    """<29px inputs would produce a zero-size map; output_shape (used by
+    CVNet.setup) must refuse with a clear message instead."""
+    from joint_vae_tpu.models.resnet import DenseNetFeatures
+    m = DenseNetFeatures(arch='densenet121', input_hw=(16, 16))
+    with pytest.raises(ValueError, match='too small'):
+        m.output_shape
+
+
 def test_densenet_features_in_cvnet():
     from joint_vae_tpu.models.resnet import DenseNetFeatures
     import jax.numpy as jnp
