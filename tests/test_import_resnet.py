@@ -204,6 +204,33 @@ def test_export_roundtrip_resnet(imported, ref, tmp_path):
                                       err_msg=k)
 
 
+def test_reference_densenet_routing_bug_pinned(ref):
+    """Pins the documented reference bug (docs/PARITY.md): WITHOUT the
+    route_densenet patch, the reference's own build_de_conv_layers routes
+    only resnet* names to ResOrDenseNetFeatures (ref conv.py:138-140), so
+    `--features densenet121` silently falls through to the conv-DSL parser
+    and builds a wrong tiny conv stack instead of a densenet."""
+    import cvae as ref_cvae
+    routed = ref_cvae.build_de_conv_layers
+    assert getattr(routed, '_jvt_densenet_routed', False)
+    stock = None
+    # route_densenet wraps the original symbol in its closure
+    for cell in (routed.__closure__ or ()):
+        if callable(cell.cell_contents):
+            stock = cell.cell_contents
+    assert stock is not None and not hasattr(stock, '_jvt_densenet_routed')
+    trunk = stock((3, 32, 32), 'densenet121')
+    # the stock fallthrough yields a conv-DSL Sequential whose name has
+    # been re-serialized by the parser — NOT a densenet trunk
+    assert type(trunk).__name__ != 'ResOrDenseNetFeatures'
+    assert 'denseblock' not in str(trunk)
+    assert trunk.name == '32x5'          # the silently-parsed conv
+    # the patched routing builds the real thing
+    fixed = routed((3, 32, 32), 'densenet121')
+    assert type(fixed).__name__ == 'ResOrDenseNetFeatures'
+    assert fixed.output_shape == (1024, 1, 1)
+
+
 def test_densenet_trunk_malformed_rejected():
     """A densenet trunk missing the torchvision stem/norm5 keys (a custom
     parameterization) still refuses with a clear error."""
