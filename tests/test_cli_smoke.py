@@ -205,3 +205,25 @@ def test_aggregate_record_and_mutual_info(job_dir, capsys):
     assert mi_main([rec_dir]) == 0
     out = capsys.readouterr().out
     assert 'Im[ok]' in out and 'acc' in out
+
+
+def test_train_cli_tv_densenet_trunk(tmp_path):
+    """A torchvision-arch trunk (densenet121, /32 spatial) trains through
+    the full CLI on a 32px 3-channel dataset — the e2e path behind
+    `--features densenet121` (round-4 trunk support; fast sizes)."""
+    from joint_vae_tpu.cli.train import main
+    from joint_vae_tpu.save_load.fetch import collect_models
+    d = str(tmp_path / 'jobs')
+    args = ['--dataset', 'cifar10', '--type', 'cvae',
+            '--features', 'densenet121', '--epochs', '1',
+            '--batch-size', '8', '--test-batch-size', '16',
+            '-K', '4', '--encoder', '8', '--decoder', '8',
+            '--classifier', '4', '--gamma', '10', '--sigma', '0.3',
+            '--test-latent-sampling', '2', '--dataset-size', '24',
+            '--no-final-ood', '--job-dir', d]
+    assert main(args) == 0
+    (job,) = collect_models(d)
+    import json
+    with open(os.path.join(job, 'params.json')) as f:
+        assert json.load(f)['features'] == 'densenet121'
+    assert os.path.exists(os.path.join(job, 'state.npz'))
