@@ -110,6 +110,59 @@ def _worker_decode(args):
     return len(paths), None
 
 
+def _cache_paths(base: str, files, shape):
+    c, h, w = shape
+    key = _cache_key(base, files, shape)
+    cdir = _cache_dir(base)
+    tag = '{}-{}x{}x{}-{}'.format(
+        os.path.basename(os.path.normpath(base)) or 'data', c, h, w, key)
+    return (os.path.join(cdir, tag + '.u8'),
+            os.path.join(cdir, tag + '.y.npy'),
+            os.path.join(cdir, tag + '.json'), cdir)
+
+
+def _open_cache(mm_path, y_path, meta_path, n, shape):
+    """-> (uint8 memmap, labels) if a COMPLETE warm cache exists, else None.
+
+    The meta JSON is written last (atomic), but a cache cleaner can still
+    delete the large .u8 while keeping the tiny .json — validate every
+    file (and the memmap's byte size) before trusting the cache, and treat
+    any inconsistency as a miss to re-ingest rather than crash."""
+    c, h, w = shape
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if (meta.get('n') != n
+                or os.path.getsize(mm_path) != n * c * h * w):
+            return None
+        labels = np.load(y_path)
+        if labels.shape != (n,):
+            return None
+    except (OSError, ValueError):
+        return None
+    x = np.memmap(mm_path, dtype=np.uint8, mode='r', shape=(n, c, h, w))
+    return x, labels
+
+
+def open_cached_image_folder(base: str, shape,
+                             allowed: Optional[Sequence[str]] = None):
+    """Warm-cache-only open: -> (uint8 memmap, labels, classes) or None.
+
+    Needs only os.stat over the tree (no PIL, no decode) — the path a
+    minimal worker image without PIL uses to consume a cache built
+    elsewhere (data/loaders.py::_load_image_folder)."""
+    classes, files = list_folder(base, allowed)
+    if not files:
+        return None
+    mm_path, y_path, meta_path, _ = _cache_paths(base, files, shape)
+    got = _open_cache(mm_path, y_path, meta_path, len(files), shape)
+    if got is None:
+        return None
+    return got[0], got[1], classes
+
+
 def ingest_image_folder(base: str, shape,
                         allowed: Optional[Sequence[str]] = None,
                         workers: Optional[int] = None,
@@ -125,23 +178,13 @@ def ingest_image_folder(base: str, shape,
     if not files:
         return None
     c, h, w = shape
-    key = _cache_key(base, files, shape)
-    cdir = _cache_dir(base)
-    tag = '{}-{}x{}x{}-{}'.format(
-        os.path.basename(os.path.normpath(base)) or 'data', c, h, w, key)
-    mm_path = os.path.join(cdir, tag + '.u8')
-    y_path = os.path.join(cdir, tag + '.y.npy')
-    meta_path = os.path.join(cdir, tag + '.json')
+    mm_path, y_path, meta_path, cdir = _cache_paths(base, files, shape)
 
     n = len(files)
     labels = np.asarray([lb for _, lb in files], np.int32)
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
-        if meta.get('n') == n:
-            x = np.memmap(mm_path, dtype=np.uint8, mode='r',
-                          shape=(n, c, h, w))
-            return x, np.load(y_path), classes
+    got = _open_cache(mm_path, y_path, meta_path, n, shape)
+    if got is not None:
+        return got[0], got[1], classes
 
     # cold path: decode everything once, in parallel, into the memmap
     workers = workers or int(os.environ.get('JVT_INGEST_WORKERS', 0)) \

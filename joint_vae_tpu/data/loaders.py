@@ -158,17 +158,26 @@ def _load_image_folder(root: str, shape, split: str,
         base = root
     if not os.path.isdir(base):
         return None
-    try:
-        import PIL  # noqa: F401 — decode dependency of the ingest path
-    except ImportError:
-        return None
     allowed = None
     if class_file and os.path.exists(class_file):
         with open(class_file) as f:
             allowed = [l.split()[0] for l in f
                        if l.strip() and not l.startswith('#')]
-    from .ingest import ingest_image_folder, list_folder, _decode_one
-    if os.environ.get('JVT_INGEST_CACHE', '1') in ('0', 'off', 'false', 'no'):
+    from .ingest import (ingest_image_folder, open_cached_image_folder,
+                         list_folder, _decode_one)
+    cache_on = (os.environ.get('JVT_INGEST_CACHE', '1').strip().lower()
+                not in ('0', 'off', 'false', 'no', 'none'))
+    if cache_on:
+        # the warm path needs no decoder — a minimal host without PIL can
+        # still consume a cache built elsewhere
+        got = open_cached_image_folder(base, shape, allowed)
+        if got is not None:
+            return got[0], got[1]
+    try:
+        import PIL  # noqa: F401 — decode dependency of the ingest path
+    except ImportError:
+        return None
+    if not cache_on:
         classes, files = list_folder(base, allowed)
         if not files:
             return None

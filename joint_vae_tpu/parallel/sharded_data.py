@@ -62,7 +62,12 @@ def aligned_global_batch(mesh: Mesh, x: np.ndarray, y: np.ndarray
     if pc == 1:
         return global_batch(mesh, x, y)
     n = x.shape[0]
-    assert n % pc == 0, (n, pc)
+    if n % pc:
+        raise ValueError(
+            'global batch of {} rows does not divide over {} processes — '
+            'pick a batch size that is a multiple of the process count '
+            '(the bit-identical data-order guarantee needs equal '
+            'contiguous per-process slices)'.format(n, pc))
     per = n // pc
     return global_batch(mesh, x[pi * per:(pi + 1) * per],
                         y[pi * per:(pi + 1) * per])

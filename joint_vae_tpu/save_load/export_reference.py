@@ -498,18 +498,23 @@ def export_to_reference_job(src: str, dst: str,
     if not os.path.exists(os.path.join(src, 'params.json')):
         raise FileNotFoundError('{} is not a job dir (no params.json)'
                                 .format(src))
-    ref_net_cls, ref_recorders = reference_modules(reference_path)
-
     job = load_job(src, ghost=True)
+    # gate unexportable archs BEFORE touching the reference checkout — a
+    # clear rejection must not depend on the reference being importable
     features = job.model_cfg.features or ''
-    if features.startswith('densenet'):
-        from ..models.resnet import DENSENET_TV
-        if features not in DENSENET_TV:      # -small/-tiny or ':growth'
+    if features.startswith(('resnet', 'densenet')):
+        from ..models.resnet import DENSENET_TV, RESNET_LAYERS
+        # -small/-tiny and width/growth-suffixed variants ('resnet18:16',
+        # 'densenet121:12', cvnet.py:347-352) are from-scratch-only
+        ok = (features in RESNET_LAYERS if features.startswith('resnet')
+              else features in DENSENET_TV)
+        if not ok:
             raise ExportError_(
                 'from-scratch flax {} features have no torchvision '
                 'counterpart and cannot be exported (docs/PARITY.md); '
                 'torchvision-faithful trunks (resnet18/34/50/101/152, '
                 'densenet121/161/169/201) export fine'.format(features))
+    ref_net_cls, ref_recorders = reference_modules(reference_path)
 
     arch = load_json(os.path.join(src, 'params.json'))
     os.makedirs(dst, exist_ok=True)

@@ -231,18 +231,29 @@ def _map_resnet_features(sd: Dict[str, np.ndarray], params,
         if has_down != ('downsample.0.weight' in entry):
             raise ImportError_('resnet trunk: downsample mismatch at {} '
                                '(torch block {})'.format(name, key))
+        # only the downsample pair is legitimately optional (and its
+        # presence was just cross-checked against our block above);
+        # everything else missing means a truncated/corrupt state_dict —
+        # fail loudly rather than leave fresh-init leaves behind
         for t, f, cv in field_map:
-            if t + '.weight' in entry:
-                out['{}/{}/kernel'.format(bpath, f)] = cv(
-                    entry[t + '.weight'])
+            if t + '.weight' not in entry:
+                if t.startswith('downsample'):
+                    continue
+                raise ImportError_('resnet trunk: torch block {} is '
+                                   'missing {}.weight'.format(key, t))
+            out['{}/{}/kernel'.format(bpath, f)] = cv(entry[t + '.weight'])
         for t, f in bn_map:
-            if t + '.weight' in entry:
-                out['{}/{}/scale'.format(bpath, f)] = entry[t + '.weight']
-                out['{}/{}/bias'.format(bpath, f)] = entry[t + '.bias']
-                stats['{}/{}/mean'.format(bpath, f)] = entry[
-                    t + '.running_mean']
-                stats['{}/{}/var'.format(bpath, f)] = entry[
-                    t + '.running_var']
+            if t + '.weight' not in entry:
+                if t.startswith('downsample'):
+                    continue
+                raise ImportError_('resnet trunk: torch block {} is '
+                                   'missing {}.weight'.format(key, t))
+            out['{}/{}/scale'.format(bpath, f)] = entry[t + '.weight']
+            out['{}/{}/bias'.format(bpath, f)] = entry[t + '.bias']
+            stats['{}/{}/mean'.format(bpath, f)] = entry[
+                t + '.running_mean']
+            stats['{}/{}/var'.format(bpath, f)] = entry[
+                t + '.running_var']
 
 
 # a torchvision densenet trunk wrapped by ResOrDenseNetFeatures has ONE

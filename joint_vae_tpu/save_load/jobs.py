@@ -20,6 +20,7 @@ building arrays (ref Shell load, cvae.py:2759-2785) for fast fleet queries.
 
 import dataclasses
 import os
+import shutil
 from typing import Any, Dict, Optional
 
 import jax
@@ -98,8 +99,8 @@ def save_job(job: Job, job_dir: str, save_state: bool = True,
     save_json(job.ood_results, os.path.join(job_dir, 'ood.json'))
     save_json(job.train_history, os.path.join(job_dir, 'history.json'))
     if sharded is None:
-        sharded = (os.environ.get('JVT_SHARDED_CKPT', '') not in
-                   ('', '0', 'off', 'false', 'no')
+        sharded = (os.environ.get('JVT_SHARDED_CKPT', '').strip().lower()
+                   not in ('', '0', 'off', 'false', 'no', 'none')
                    or jax.process_count() > 1)
     if save_state and job.state is not None:
         st = job.state
@@ -116,21 +117,61 @@ def save_job(job: Job, job_dir: str, save_state: bool = True,
             save_checkpoint_sharded(os.path.join(job_dir, 'optimizer.shards'),
                                     st.opt_state, checkpointer=checkpointer,
                                     sync=checkpointer is None)
+            # a job switching formats mid-life must not leave the OTHER
+            # format's older checkpoint behind (_load_arrays prefers the
+            # newest, but a stale twin is still a foot-gun on copies that
+            # drop mtimes) — retire it once the new write is durable
+            if checkpointer is not None:
+                checkpointer.submit(lambda: _drop_stale(job_dir, '.npz'))
+            else:
+                _drop_stale(job_dir, '.npz')
         else:
             save_checkpoint(os.path.join(job_dir, 'state.npz'), model_tree)
             save_checkpoint(os.path.join(job_dir, 'optimizer.npz'), st.opt_state)
+            _drop_stale(job_dir, '.shards')
     job.saved_dir = job_dir
 
 
+def _drop_stale(job_dir: str, kind: str):
+    """Remove the retired checkpoint format after a successful save of the
+    other one (host 0 only — shard files are per-process but the npz and
+    the manifest belong to the write process)."""
+    from .checkpoint import is_write_process
+    if not is_write_process():
+        return
+    for stem in ('state', 'optimizer'):
+        p = os.path.join(job_dir, stem + kind)
+        try:
+            if kind == '.shards':
+                if os.path.isdir(p):
+                    shutil.rmtree(p)
+            elif os.path.exists(p):
+                os.unlink(p)
+        except OSError:
+            pass
+
+
 def _load_arrays(job_dir: str, stem: str):
-    """Checkpoint arrays for ``stem`` — the gathered npz if present,
-    otherwise the per-process shard directory (sharded_checkpoint.py),
-    stitched back to global arrays (restores onto any mesh shape)."""
+    """Checkpoint arrays for ``stem`` — the gathered npz or the per-process
+    shard directory (sharded_checkpoint.py), stitched back to global arrays
+    (restores onto any mesh shape).  When BOTH formats exist (a job that
+    switched formats mid-life before the stale twin was retired), the newer
+    one wins — loading the older would silently resurrect pre-switch
+    weights."""
     npz = os.path.join(job_dir, stem + '.npz')
-    if os.path.exists(npz):
+    from .sharded_checkpoint import (load_checkpoint_sharded, MANIFEST,
+                                     is_sharded_checkpoint)
+    shards = os.path.join(job_dir, stem + '.shards')
+    have_npz = os.path.exists(npz)
+    have_shards = is_sharded_checkpoint(shards)
+    if have_npz and have_shards:
+        if os.path.getmtime(npz) >= os.path.getmtime(
+                os.path.join(shards, MANIFEST)):
+            return load_checkpoint(npz)
+        return load_checkpoint_sharded(shards)
+    if have_npz:
         return load_checkpoint(npz)
-    from .sharded_checkpoint import load_checkpoint_sharded
-    return load_checkpoint_sharded(os.path.join(job_dir, stem + '.shards'))
+    return load_checkpoint_sharded(shards)
 
 
 def load_job(job_dir: str, load_state: bool = True, ghost: bool = False,
