@@ -50,7 +50,9 @@ def run(outdir: str, epochs: int = 2):
     from joint_vae_tpu.utils.print_log import EpochOutput
 
     job = make_job()
-    mesh = make_mesh(4, model_axis=2)
+    # all devices across all processes: 2 per process -> ('data' x 'model'=2)
+    # spans process boundaries at any fleet size (2 procs -> 2x2, 4 -> 4x2)
+    mesh = make_mesh(jax.device_count(), model_axis=2)
     train_model(job, make_dataset(), None, None, epochs=epochs,
                 batch_size=16, final_test=False, final_ood=False,
                 outputs=EpochOutput(stdout=False), mesh=mesh,

@@ -71,7 +71,7 @@ def mp_run(tmp_path_factory):
     return outdir
 
 
-def _single_process_run(tmp_path, epochs=2):
+def _single_process_run(tmp_path, epochs=2, n_devices=4):
     import jax
     from joint_vae_tpu.parallel.mesh import make_mesh
     from joint_vae_tpu.train.trainer import train_model
@@ -79,7 +79,7 @@ def _single_process_run(tmp_path, epochs=2):
     from tests.mp_worker import make_dataset, make_job
 
     job = make_job()
-    mesh = make_mesh(4, model_axis=2)
+    mesh = make_mesh(n_devices, model_axis=2)
     train_model(job, make_dataset(), None, None, epochs=epochs,
                 batch_size=16, final_test=False, final_ood=False,
                 outputs=EpochOutput(stdout=False), mesh=mesh,
@@ -135,6 +135,27 @@ def test_multiprocess_checkpoint_is_sharded_and_restores(mp_run, tmp_path):
                 outputs=EpochOutput(stdout=False), mesh=make_mesh(8))
     assert job2.trained == 3
     assert np.isfinite(job2.train_history[3]['train_loss']['total'])
+
+
+def test_four_process_trajectory_matches(tmp_path):
+    """4 processes x 2 devices: the ('data'=4 x 'model'=2) mesh spans three
+    process boundaries; the trajectory still matches a single-process run
+    on the same 8-device mesh shape (the aligned loader's data order is
+    mesh- and process-count-independent)."""
+    outdir = str(tmp_path / 'mp4')
+    os.makedirs(outdir)
+    _spawn_workers(4, outdir)
+    with open(os.path.join(outdir, 'traj.json')) as f:
+        mp_traj = json.load(f)
+    job = _single_process_run(tmp_path, n_devices=8)
+    for e in (1, 2):
+        sp = job.train_history[e]['train_loss']
+        for k in sp:
+            np.testing.assert_allclose(mp_traj[str(e)][k], sp[k],
+                                       rtol=1e-5, err_msg=k)
+    d = os.path.join(outdir, 'job', 'state.shards')
+    for p in range(4):
+        assert os.path.exists(os.path.join(d, 'shard-%d.npz' % p))
 
 
 def test_multiprocess_json_written_once(mp_run):
