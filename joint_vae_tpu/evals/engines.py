@@ -28,6 +28,7 @@ import numpy as np
 from ..data.loaders import ArrayDataset, DataLoader, get_dataset
 from ..models.cvnet import CVNet
 from ..models.evaluate import evaluate
+from ..parallel.mesh import host_get
 from ..ops.roc import roc_curve, two_sided_from_method, DEFAULT_KEPT_TPR
 from ..ops.scores import (batch_dist_measures, develop_starred_methods,
                           predict_after_evaluate, strip_roc_suffix)
@@ -42,6 +43,19 @@ KEPT_TPR = DEFAULT_KEPT_TPR
 
 def _epoch_of(job: Job, epoch):
     return job.trained if epoch in (None, 'last') else int(epoch)
+
+
+def _multiprocess_tiers(from_where, recording):
+    """Multi-process runs must keep every process on the SAME compute path:
+    the recorder tier depends on per-host filesystem state (host 0 writes
+    recorders, other hosts never see them on a pod), so one host replaying
+    a recorder while the rest run collective-bearing forwards would
+    deadlock.  Recorder reuse and recording are disabled at
+    process_count>1; the json tier stays (job state is replicated
+    in-memory, identical everywhere)."""
+    if jax.process_count() > 1:
+        return tuple(w for w in from_where if w != 'recorders'), False
+    return from_where, recording
 
 
 def _is_wim_method(m: str) -> bool:
@@ -147,11 +161,12 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
     put_b = put_s = jnp.asarray
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import put_global
         tail = [None] * len(dataset.shape)
         sh_b = NamedSharding(mesh, P('data', *tail))          # (B, ...)
         sh_s = NamedSharding(mesh, P(None, 'data', *tail))    # (nb, B, ...)
-        put_b = lambda a: jax.device_put(jnp.asarray(a), sh_b)  # noqa: E731
-        put_s = lambda a: jax.device_put(jnp.asarray(a), sh_s)  # noqa: E731
+        put_b = lambda a: put_global(a, sh_b)  # noqa: E731
+        put_s = lambda a: put_global(a, sh_s)  # noqa: E731
     loader = DataLoader(dataset, batch_size, shuffle=False,
                         seed=((recorder.restore_seed() or 0)
                               if recorder is not None else 0),
@@ -174,8 +189,11 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
             keys = jax.vmap(jax.random.fold_in, (None, 0))(
                 key, jnp.arange(idx, idx + len(run)))
             losses, logits, scores = eval_scan(variables, xs, keys)
+            # flatten (nb, B) -> (nb*B,) inside jit: eager reshape is not
+            # allowed on cross-process global arrays (spmd_mode=allow_jit)
+            flat = _flatten_scores({m: scores[m] for m in methods})
             for m in methods:
-                per_method[m].append(scores[m].reshape(-1))
+                per_method[m].append(flat[m])
         else:
             x, y = batches[idx]
             losses, logits, scores = eval_batch(
@@ -190,7 +208,7 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
         idx += max(len(run), 1)
 
     if recorder is not None and rec_outs:
-        host = jax.device_get([t for t, _, _ in rec_outs])
+        host = host_get([t for t, _, _ in rec_outs])
         for (losses, logits), (_, ys, stacked) in zip(host, rec_outs):
             for j, y in enumerate(ys):
                 rec = {k_: np.asarray(v[j] if stacked else v)
@@ -198,8 +216,20 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
                 rec['logits'] = np.asarray(logits[j] if stacked else logits).T
                 rec['y_true'] = np.asarray(y)
                 recorder.append_batch(**rec)
-    out = jax.device_get({m: jnp.concatenate(v) for m, v in per_method.items()})
+    out = host_get(_concat_scores(per_method))
     return {m: np.asarray(v) for m, v in out.items()}
+
+
+@jax.jit
+def _flatten_scores(scores):
+    # (nb, B, ...) per-dispatch stacks -> (nb*B, ...)
+    return jax.tree_util.tree_map(
+        lambda v: v.reshape((-1,) + v.shape[2:]), scores)
+
+
+@jax.jit
+def _concat_scores(per_method):
+    return {m: jnp.concatenate(v) for m, v in per_method.items()}
 
 
 def _recorder_tensors(recorder: LossRecorder):
@@ -224,7 +254,14 @@ def _scores_from_recorder(job: Job, recorder: LossRecorder,
 def _save_recorder(rec: LossRecorder, path: str):
     """Never degrade a stored recorder (ref recorders accumulate per
     epoch dir): keep the old file when it holds more samples; fold
-    old-only keys in when the sample counts match."""
+    old-only keys in when the sample counts match.
+
+    Multi-process: host 0 writes only (concurrent writers would race the
+    file; engines disable the recorder tiers there anyway — see
+    _multiprocess_tiers)."""
+    from ..save_load.checkpoint import is_write_process
+    if not is_write_process():
+        return
     base = path[:-4]  # same set stored in either format counts
     for ext in ('.jvr', '.npz'):
         p = base + ext
@@ -296,6 +333,7 @@ def ood_detection_rates(job: Job, testset: Optional[ArrayDataset] = None,
             except Exception as e:
                 logging.debug('skipping oodset %s: %s', n, e)
 
+    from_where, recording = _multiprocess_tiers(from_where, recording)
     key = key if key is not None else jax.random.PRNGKey(epoch)
     sdir = _sample_dir(job, epoch)
 
@@ -435,6 +473,7 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
              recording: bool = True,
              key: Optional[jax.Array] = None,
              from_where: Optional[Sequence[str]] = None,
+             mesh=None,
              outputs=None) -> Dict[str, float]:
     """Classification accuracy per predict method (ref cvae.py:1187-1446).
 
@@ -453,6 +492,7 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
         _, testset = get_dataset(name, splits=['test'])
     if from_where is None:
         from_where = ('json', 'recorders', 'compute')
+    from_where, recording = _multiprocess_tiers(from_where, recording)
 
     n_want = (min(len(testset), num_batch * batch_size) if num_batch
               else len(testset))
@@ -514,6 +554,16 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
                    for m in pm_tuple if m != 'already'}
         return out.losses, out.logits, correct
 
+    put_x = put_y = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import put_global
+        tail = [None] * len(testset.shape)
+        sh_x = NamedSharding(mesh, P('data', *tail))
+        sh_y = NamedSharding(mesh, P('data'))
+        put_x = lambda a: put_global(a, sh_x)  # noqa: E731
+        put_y = lambda a: put_global(a, sh_y)  # noqa: E731
+
     loader = DataLoader(testset, batch_size, shuffle=False, drop_last=False)
     n_correct = {m: 0 for m in predict_methods}
     n_total = 0
@@ -530,8 +580,8 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
         if num_batch is not None and i >= num_batch:
             break
         k = jax.random.fold_in(key, i)
-        losses, logits, correct = eval_batch(variables, jnp.asarray(x),
-                                             jnp.asarray(y), k)
+        losses, logits, correct = eval_batch(variables, put_x(x),
+                                             put_y(y), k)
         if estimated is not None and 'already' in predict_methods:
             y_hat = estimated[i * batch_size:i * batch_size + len(y)]
             correct = dict(correct)
@@ -541,12 +591,12 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
         if rec is not None:
             rec_batches.append((losses, logits, np.asarray(y)))
 
-    for correct in jax.device_get(counts):
+    for correct in host_get(counts):
         for m in predict_methods:
             if m in correct:
                 n_correct[m] += int(correct[m])
     if rec is not None and rec_batches:
-        host = jax.device_get([(l, lo) for l, lo, _ in rec_batches])
+        host = host_get([(l, lo) for l, lo, _ in rec_batches])
         for (losses, logits), (_, _, y) in zip(host, rec_batches):
             r = {k_: np.asarray(v) for k_, v in losses.items()}
             r['logits'] = np.asarray(logits).T

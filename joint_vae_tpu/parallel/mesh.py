@@ -124,6 +124,37 @@ def put_tree(tree, shardings):
                                   is_leaf=lambda x: x is None)
 
 
+def put_global(a, sharding) -> jax.Array:
+    """One host array (a full global copy on every process) -> a sharded
+    jax.Array.  Single-process: plain device_put.  Multi-process: each
+    process slices its addressable shards out of its host copy
+    (make_array_from_callback — no cross-process verification collective;
+    the caller guarantees every process holds the same bytes, e.g. the
+    aligned full-dataset loaders)."""
+    host = np.asarray(a)
+    if jax.process_count() == 1:
+        return jax.device_put(host, sharding)
+    return jax.make_array_from_callback(host.shape, sharding,
+                                        lambda idx: host[idx])
+
+
+def host_get(tree):
+    """device->host pull that also works for cross-process global arrays
+    (plain ``jax.device_get`` raises on arrays with non-addressable
+    shards).  Fully-replicated globals read their local copy; sharded
+    globals are gathered with a collective — so every process must call
+    this on the same tree, SPMD-style."""
+    def pull(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            if x.is_fully_replicated:
+                return np.asarray(x)
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(
+                x, tiled=True))
+        return np.asarray(x) if isinstance(x, jax.Array) else x
+    return jax.tree_util.tree_map(pull, tree)
+
+
 def distributed_init(coordinator_address: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):

@@ -118,17 +118,13 @@ def train_model(job: Job,
     state = job.state
 
     multiprocess = jax.process_count() > 1
-    if multiprocess:
-        # state is sharded over a mesh spanning processes; the eval engines
-        # feed single-device and cannot consume it — multi-process runs are
-        # train-only (evaluate from the saved checkpoint afterwards)
-        if mesh is None:
-            raise ValueError('multi-process training needs an explicit mesh')
-        if testset is not None or oodsets or validation:
-            raise NotImplementedError(
-                'in-training evaluation is single-process only; run '
-                'multi-process training with testset=None and evaluate '
-                'from the checkpoint')
+    if multiprocess and mesh is None:
+        raise ValueError('multi-process training needs an explicit mesh')
+    # in-training eval engines run mesh-fed under multi-process (global
+    # batches via put_global, recorder tiers disabled — engines.py
+    # _multiprocess_tiers); single-process keeps its validated feeding
+    # (GSPMD reshards plain device batches against the sharded state)
+    eng_mesh = mesh if multiprocess else None
     if mesh is not None:
         from ..parallel.mesh import state_shardings, batch_sharding, put_tree
         state = put_tree(state, state_shardings(mesh, state))
@@ -187,10 +183,12 @@ def train_model(job: Job,
         if ood_now and testset is not None:
             ood_detection_rates(job, testset, oodsets,
                                 batch_size=test_batch_size, epoch=epoch,
-                                num_batch=eval_num_batch, outputs=outputs)
+                                num_batch=eval_num_batch, outputs=outputs,
+                                mesh=eng_mesh)
         if full_test and testset is not None and cfg.predict_methods:
             accuracy(job, testset, batch_size=test_batch_size, epoch=epoch,
-                     num_batch=eval_num_batch, outputs=outputs)
+                     num_batch=eval_num_batch, outputs=outputs,
+                     mesh=eng_mesh)
 
         # per-epoch LR decay (ref optimizer.update_lr, optimizers.py:123-127)
         state = state.replace(
@@ -276,7 +274,8 @@ def train_model(job: Job,
 
         if validationset is not None:
             checkpoint['validation_loss'] = _mean_losses(
-                model, state, validationset, test_batch_size, epoch)[0]
+                model, state, validationset, test_batch_size, epoch,
+                mesh=eng_mesh)[0]
         # test losses/measures at full-test epochs and the last epoch (the
         # history-derived summary keys — rmse/dB/test_loss at epoch — feed
         # make_dict_from_model, ref dictify.py:656-676)
@@ -284,7 +283,7 @@ def train_model(job: Job,
                 epoch == epochs - 1
                 or (epoch - first_epoch) % full_test_every == full_test_every - 1):
             tl, tm = _mean_losses(model, state, testset, test_batch_size,
-                                  epoch)
+                                  epoch, mesh=eng_mesh)
             checkpoint['test_loss'] = tl
             checkpoint['test_measures'] = tm
         job.train_history[epoch + 1] = checkpoint
@@ -300,10 +299,12 @@ def train_model(job: Job,
     job.state = state
     if signal_handler.sig <= 3 and testset is not None:
         if cfg.predict_methods and final_test:
-            accuracy(job, testset, batch_size=test_batch_size, outputs=outputs)
+            accuracy(job, testset, batch_size=test_batch_size,
+                     outputs=outputs, mesh=eng_mesh)
         if oodsets and final_ood:
             ood_detection_rates(job, testset, oodsets,
-                                batch_size=test_batch_size, outputs=outputs)
+                                batch_size=test_batch_size, outputs=outputs,
+                                mesh=eng_mesh)
         if save_dir:
             save_job(job, save_dir)
     return job
@@ -313,13 +314,15 @@ _MEAN_LOSS_CACHE: Dict[int, object] = {}
 
 
 def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
-                 batch_size: int, epoch: int):
+                 batch_size: int, epoch: int, mesh=None):
     """-> (mean per-component losses, mean measures incl. rmse/dB) with
     labels (validation/test history tracking).
 
     The jitted program is cached per model (sigma_state passed as an
     argument) — defining a fresh closure per call would recompile the
-    whole eval every epoch."""
+    whole eval every epoch.  ``mesh``: multi-process runs feed global
+    batches (every process iterates the same full loader); outputs are
+    batch means, replicated, so the host pull works on every process."""
     eval_batch = _MEAN_LOSS_CACHE.get(id(model))
     if eval_batch is None:
         @jax.jit
@@ -332,14 +335,24 @@ def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
         if len(_MEAN_LOSS_CACHE) > 16:
             _MEAN_LOSS_CACHE.pop(next(iter(_MEAN_LOSS_CACHE)))
 
+    put_x = put_y = jnp.asarray
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel.mesh import put_global
+        sh_x = NamedSharding(mesh, P('data', *([None] * len(dataset.shape))))
+        sh_y = NamedSharding(mesh, P('data'))
+        put_x = lambda a: put_global(a, sh_x)  # noqa: E731
+        put_y = lambda a: put_global(a, sh_y)  # noqa: E731
+
     sums: Dict[str, float] = {}
     msums: Dict[str, float] = {}
     n = 0
     loader = DataLoader(dataset, batch_size, shuffle=False)
+    from ..parallel.mesh import host_get
     for i, (x, y) in enumerate(loader):
         k = jax.random.fold_in(jax.random.PRNGKey(epoch), i)
-        m, meas = jax.device_get(eval_batch(state.variables, state.sigma_state,
-                                            jnp.asarray(x), jnp.asarray(y), k))
+        m, meas = host_get(eval_batch(state.variables, state.sigma_state,
+                                      put_x(x), put_y(y), k))
         for k_, v in m.items():
             sums[k_] = sums.get(k_, 0.0) + float(v)
         for k_, v in meas.items():

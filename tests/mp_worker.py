@@ -43,25 +43,65 @@ def make_job():
     return job
 
 
+def make_oodset(n=64, seed=9):
+    import numpy as np
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    rng = np.random.default_rng(seed)
+    x = rng.uniform(0, 1, (n, 1, 6, 6)).astype(np.float32)
+    return ArrayDataset(x, np.zeros(n, np.int32), 'noise')
+
+
+def train_with_eval(job, mesh, outdir, epochs):
+    """The full production loop: training plus in-training validation,
+    per-epoch test accuracy and OOD detection (the engines run mesh-fed
+    under multi-process; single-process exercises the identical call)."""
+    from joint_vae_tpu.train.trainer import train_model
+    from joint_vae_tpu.utils.print_log import EpochOutput
+    train_model(job, make_dataset(), make_dataset(64, seed=1),
+                [make_oodset()], epochs=epochs, batch_size=16,
+                test_batch_size=16, validation=16,
+                full_test_every=1, ood_detection_every=1,
+                final_test=True, final_ood=True,
+                outputs=EpochOutput(stdout=False), mesh=mesh,
+                save_dir=os.path.join(outdir, 'job') if outdir else None)
+    return job
+
+
+def eval_summary(job):
+    """Scalars comparable across runs: per-epoch train/validation losses,
+    test accuracy, OOD AUCs."""
+    out = {'traj': {str(e): job.train_history[e]['train_loss']
+                    for e in job.train_history if isinstance(e, int)},
+           'validation': {str(e): job.train_history[e].get('validation_loss')
+                          for e in job.train_history if isinstance(e, int)},
+           'testing': {str(e): {m: r.get('accuracy')
+                                for m, r in job.testing[e].items()
+                                if isinstance(r, dict)}
+                       for e in job.testing},
+           'ood': {str(e): {s: {m: r.get('auc')
+                                for m, r in rs.items()
+                                if isinstance(r, dict)}
+                            for s, rs in job.ood_results[e].items()}
+                   for e in job.ood_results}}
+    return out
+
+
 def run(outdir: str, epochs: int = 2):
     import jax
     from joint_vae_tpu.parallel.mesh import make_mesh
-    from joint_vae_tpu.train.trainer import train_model
-    from joint_vae_tpu.utils.print_log import EpochOutput
 
     job = make_job()
     # all devices across all processes: 2 per process -> ('data' x 'model'=2)
     # spans process boundaries at any fleet size (2 procs -> 2x2, 4 -> 4x2)
     mesh = make_mesh(jax.device_count(), model_axis=2)
-    train_model(job, make_dataset(), None, None, epochs=epochs,
-                batch_size=16, final_test=False, final_ood=False,
-                outputs=EpochOutput(stdout=False), mesh=mesh,
-                save_dir=os.path.join(outdir, 'job'))
+    train_with_eval(job, mesh, outdir, epochs)
     traj = {str(e): job.train_history[e]['train_loss']
             for e in range(1, epochs + 1)}
     if jax.process_index() == 0:
         with open(os.path.join(outdir, 'traj.json'), 'w') as f:
             json.dump(traj, f)
+        with open(os.path.join(outdir, 'results.json'), 'w') as f:
+            json.dump(eval_summary(job), f)
     return traj
 
 

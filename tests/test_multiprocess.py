@@ -72,18 +72,12 @@ def mp_run(tmp_path_factory):
 
 
 def _single_process_run(tmp_path, epochs=2, n_devices=4):
-    import jax
     from joint_vae_tpu.parallel.mesh import make_mesh
-    from joint_vae_tpu.train.trainer import train_model
-    from joint_vae_tpu.utils.print_log import EpochOutput
-    from tests.mp_worker import make_dataset, make_job
+    from tests.mp_worker import make_job, train_with_eval
 
     job = make_job()
     mesh = make_mesh(n_devices, model_axis=2)
-    train_model(job, make_dataset(), None, None, epochs=epochs,
-                batch_size=16, final_test=False, final_ood=False,
-                outputs=EpochOutput(stdout=False), mesh=mesh,
-                save_dir=os.path.join(str(tmp_path), 'job'))
+    train_with_eval(job, mesh, str(tmp_path), epochs)
     return job
 
 
@@ -135,6 +129,38 @@ def test_multiprocess_checkpoint_is_sharded_and_restores(mp_run, tmp_path):
                 outputs=EpochOutput(stdout=False), mesh=make_mesh(8))
     assert job2.trained == 3
     assert np.isfinite(job2.train_history[3]['train_loss']['total'])
+
+
+def test_multiprocess_in_training_eval_matches(mp_run, tmp_path):
+    """The full production loop under 2 processes — in-training validation
+    losses, per-epoch test accuracy and OOD AUCs — matches the
+    single-process run (same data order, same rng folds; only collective
+    reduction order differs, so counts may flip by at most a sample)."""
+    from tests.mp_worker import eval_summary
+    with open(os.path.join(mp_run, 'results.json')) as f:
+        mp_res = json.load(f)
+    sp = eval_summary(_single_process_run(tmp_path))
+    for e, vl in sp['validation'].items():
+        if vl is None:
+            continue
+        for k, v in vl.items():
+            np.testing.assert_allclose(mp_res['validation'][e][k], v,
+                                       rtol=1e-4, err_msg='val ' + k)
+    # the loss comparison above is the bit-level correctness anchor;
+    # accuracy/AUC are rank statistics of a 2-epoch near-chance model whose
+    # per-class scores are nearly tied, so ulp-level collective reduction
+    # differences legitimately flip argmaxes — loose bounds only catch
+    # structural bugs (wrong data order / sharding / rng)
+    for e, accs in sp['testing'].items():
+        for m, a in accs.items():
+            assert abs(mp_res['testing'][e][m] - a) <= 0.1, \
+                (e, m, mp_res['testing'][e][m], a)
+    assert sp['ood'], 'single-process run produced no OOD results'
+    for e, sets in sp['ood'].items():
+        for s, ms in sets.items():
+            for m, auc in ms.items():
+                assert abs(mp_res['ood'][e][s][m] - auc) <= 0.06, \
+                    (e, s, m, mp_res['ood'][e][s][m], auc)
 
 
 def test_four_process_trajectory_matches(tmp_path):
