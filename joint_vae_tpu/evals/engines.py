@@ -161,12 +161,19 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
     put_b = put_s = jnp.asarray
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import put_global
+        from ..parallel.mesh import eval_batch_putters, put_global
         tail = [None] * len(dataset.shape)
-        sh_b = NamedSharding(mesh, P('data', *tail))          # (B, ...)
+        put_b, _ = eval_batch_putters(mesh, 1 + len(dataset.shape))
         sh_s = NamedSharding(mesh, P(None, 'data', *tail))    # (nb, B, ...)
-        put_b = lambda a: put_global(a, sh_b)  # noqa: E731
-        put_s = lambda a: put_global(a, sh_s)  # noqa: E731
+        rep = NamedSharding(mesh, P())
+        nd = mesh.shape['data']
+
+        def put_s(a):
+            # stacked full batches shard on axis 1; a batch size that does
+            # not divide the data axis goes in replicated (exact, slower —
+            # pick a divisible batch size; eval_batch_putters docstring)
+            a = np.asarray(a)
+            return put_global(a, sh_s if a.shape[1] % nd == 0 else rep)
     loader = DataLoader(dataset, batch_size, shuffle=False,
                         seed=((recorder.restore_seed() or 0)
                               if recorder is not None else 0),
@@ -556,13 +563,8 @@ def accuracy(job: Job, testset: Optional[ArrayDataset] = None,
 
     put_x = put_y = jnp.asarray
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import put_global
-        tail = [None] * len(testset.shape)
-        sh_x = NamedSharding(mesh, P('data', *tail))
-        sh_y = NamedSharding(mesh, P('data'))
-        put_x = lambda a: put_global(a, sh_x)  # noqa: E731
-        put_y = lambda a: put_global(a, sh_y)  # noqa: E731
+        from ..parallel.mesh import eval_batch_putters
+        put_x, put_y = eval_batch_putters(mesh, 1 + len(testset.shape))
 
     loader = DataLoader(testset, batch_size, shuffle=False, drop_last=False)
     n_correct = {m: 0 for m in predict_methods}
@@ -638,6 +640,7 @@ def misclassification_detection_rates(job: Job,
     """Detect misclassifications by thresholding confidence scores
     (ref cvae.py:1913-2080).  The recorder tier replays recorded tensors
     without model forwards (ref from_where=('json', 'recorders'))."""
+    from_where, _ = _multiprocess_tiers(from_where, False)
     cfg = job.model_cfg
     epoch = _epoch_of(job, epoch)
     pms = (cfg.predict_methods if predict_methods == 'all'

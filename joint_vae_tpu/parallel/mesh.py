@@ -112,16 +112,9 @@ def put_tree(tree, shardings):
     every process built the same state from the same seed/checkpoint)."""
     if jax.process_count() == 1:
         return jax.device_put(tree, shardings)
-
-    def put(leaf, sh):
-        if leaf is None:
-            return None
-        host = np.asarray(leaf)
-        return jax.make_array_from_callback(host.shape, sh,
-                                            lambda idx: host[idx])
-
-    return jax.tree_util.tree_map(put, tree, shardings,
-                                  is_leaf=lambda x: x is None)
+    return jax.tree_util.tree_map(
+        lambda leaf, sh: None if leaf is None else put_global(leaf, sh),
+        tree, shardings, is_leaf=lambda x: x is None)
 
 
 def put_global(a, sharding) -> jax.Array:
@@ -138,12 +131,44 @@ def put_global(a, sharding) -> jax.Array:
                                         lambda idx: host[idx])
 
 
+def eval_batch_putters(mesh: Mesh, ndim: int):
+    """(put_x, put_y) for feeding eval batches over the 'data' axis.
+
+    Array construction (device_put / make_array_from_callback) rejects
+    leading dims that do not divide the axis size — and drop_last=False
+    eval loaders routinely end on such a tail batch.  Tail batches go in
+    FULLY REPLICATED instead: results are exact (no padding, no masking),
+    at the cost of every device computing the whole tail once and one
+    extra trace of the eval program for the replicated layout."""
+    sh_x = NamedSharding(mesh, P('data', *[None] * (ndim - 1)))
+    sh_y = NamedSharding(mesh, P('data'))
+    rep = NamedSharding(mesh, P())
+    nd = mesh.shape['data']
+
+    def putter(sh):
+        def put(a):
+            host = np.asarray(a)
+            return put_global(host, sh if host.shape[0] % nd == 0 else rep)
+        return put
+
+    return putter(sh_x), putter(sh_y)
+
+
 def host_get(tree):
     """device->host pull that also works for cross-process global arrays
     (plain ``jax.device_get`` raises on arrays with non-addressable
     shards).  Fully-replicated globals read their local copy; sharded
     globals are gathered with a collective — so every process must call
-    this on the same tree, SPMD-style."""
+    this on the same tree, SPMD-style.  When nothing in the tree crosses
+    a process boundary this delegates to ``jax.device_get``, which
+    prefetches every leaf with copy_to_host_async before pulling (one
+    overlapped transfer instead of a blocking round-trip per leaf —
+    the difference dominates on the tunneled TPU)."""
+    leaves = jax.tree_util.tree_leaves(tree)
+    if not any(isinstance(x, jax.Array) and not x.is_fully_addressable
+               for x in leaves):
+        return jax.device_get(tree)
+
     def pull(x):
         if isinstance(x, jax.Array) and not x.is_fully_addressable:
             if x.is_fully_replicated:

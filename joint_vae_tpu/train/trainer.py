@@ -337,12 +337,8 @@ def _mean_losses(model: CVNet, state, dataset: ArrayDataset,
 
     put_x = put_y = jnp.asarray
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import put_global
-        sh_x = NamedSharding(mesh, P('data', *([None] * len(dataset.shape))))
-        sh_y = NamedSharding(mesh, P('data'))
-        put_x = lambda a: put_global(a, sh_x)  # noqa: E731
-        put_y = lambda a: put_global(a, sh_y)  # noqa: E731
+        from ..parallel.mesh import eval_batch_putters
+        put_x, put_y = eval_batch_putters(mesh, 1 + len(dataset.shape))
 
     sums: Dict[str, float] = {}
     msums: Dict[str, float] = {}

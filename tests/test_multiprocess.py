@@ -81,10 +81,18 @@ def _single_process_run(tmp_path, epochs=2, n_devices=4):
     return job
 
 
-def test_multiprocess_trajectory_matches_single_process(mp_run, tmp_path):
+@pytest.fixture(scope='module')
+def sp_job(tmp_path_factory):
+    """ONE single-process reference run shared by every comparison test
+    (three tests compare against the identical 4-device config — rerunning
+    it per test triples a multi-minute cost on the 1-core host)."""
+    return _single_process_run(str(tmp_path_factory.mktemp('sp')))
+
+
+def test_multiprocess_trajectory_matches_single_process(mp_run, sp_job):
     with open(os.path.join(mp_run, 'traj.json')) as f:
         mp_traj = json.load(f)
-    job = _single_process_run(tmp_path)
+    job = sp_job
     for e in (1, 2):
         sp = job.train_history[e]['train_loss']
         mp = mp_traj[str(e)]
@@ -93,7 +101,7 @@ def test_multiprocess_trajectory_matches_single_process(mp_run, tmp_path):
             np.testing.assert_allclose(mp[k], sp[k], rtol=1e-5, err_msg=k)
 
 
-def test_multiprocess_checkpoint_is_sharded_and_restores(mp_run, tmp_path):
+def test_multiprocess_checkpoint_is_sharded_and_restores(mp_run, sp_job):
     """The 2-process job dir has host-0 JSONs + one shard file per process;
     it restores in THIS (single) process onto a different mesh and matches
     the single-process run's params."""
@@ -111,7 +119,7 @@ def test_multiprocess_checkpoint_is_sharded_and_restores(mp_run, tmp_path):
     # stitched arrays == single-process run's state (same data order, same
     # init; collective order may round differently in the last ulp)
     arrays = load_checkpoint_sharded(os.path.join(job_dir, 'state.shards'))
-    ref = flatten_pytree(_single_process_run(tmp_path).state.params)
+    ref = flatten_pytree(sp_job.state.params)
     for k, v in ref.items():
         got = arrays['params/' + k]
         np.testing.assert_allclose(got, v, rtol=3e-5, atol=1e-7, err_msg=k)
@@ -131,7 +139,7 @@ def test_multiprocess_checkpoint_is_sharded_and_restores(mp_run, tmp_path):
     assert np.isfinite(job2.train_history[3]['train_loss']['total'])
 
 
-def test_multiprocess_in_training_eval_matches(mp_run, tmp_path):
+def test_multiprocess_in_training_eval_matches(mp_run, sp_job):
     """The full production loop under 2 processes — in-training validation
     losses, per-epoch test accuracy and OOD AUCs — matches the
     single-process run (same data order, same rng folds; only collective
@@ -139,7 +147,7 @@ def test_multiprocess_in_training_eval_matches(mp_run, tmp_path):
     from tests.mp_worker import eval_summary
     with open(os.path.join(mp_run, 'results.json')) as f:
         mp_res = json.load(f)
-    sp = eval_summary(_single_process_run(tmp_path))
+    sp = eval_summary(sp_job)
     for e, vl in sp['validation'].items():
         if vl is None:
             continue

@@ -134,6 +134,41 @@ def test_sample_axis_mesh_eval_matches_unsharded():
                                    plain['o'][m]['mean'], rtol=1e-6)
 
 
+def test_mesh_eval_with_uneven_tail_batch():
+    """drop_last=False eval loaders end on tail batches whose size need not
+    divide the mesh 'data' axis; those go in fully replicated
+    (parallel/mesh.py::eval_batch_putters) and the scores/AUC still match
+    the meshless engine."""
+    from joint_vae_tpu.data.loaders import ArrayDataset
+    from joint_vae_tpu.evals.engines import accuracy, ood_detection_rates
+
+    job, _ = _setup()
+
+    def synth(name, seed, n):
+        r = np.random.default_rng(seed)
+        return ArrayDataset(
+            r.uniform(0, 1, (n, *INPUT_SHAPE)).astype(np.float32),
+            r.integers(0, C, n).astype(np.int32), name, synthetic=True)
+
+    mesh = make_mesh(8, model_axis=2)        # data axis 4
+    # n=30, batch 8 -> tail of 6; 6 % 4 != 0 (and 30 % 4 != 0)
+    kw = dict(testset=synth('t', 1, n=30), oodsets=[synth('o', 2, n=30)],
+              batch_size=8, method=['elbo', 'iws'], recording=False,
+              update_self_ood=False, from_where=('compute',))
+    sharded = ood_detection_rates(job, mesh=mesh, **kw)
+    plain = ood_detection_rates(job, **kw)
+    for m in ('elbo', 'iws'):
+        assert sharded['o'][m]['n'] == 30
+        assert sharded['o'][m]['auc'] == plain['o'][m]['auc']
+        np.testing.assert_allclose(sharded['o'][m]['mean'],
+                                   plain['o'][m]['mean'], rtol=1e-6)
+    akw = dict(testset=synth('t', 1, n=30), batch_size=8, recording=False,
+               update_self_testing=False, from_where=('compute',))
+    a_mesh = accuracy(job, mesh=mesh, **akw)
+    a_plain = accuracy(job, **akw)
+    assert a_mesh == a_plain
+
+
 def test_sample_axis_mesh_at_L128():
     """The reference's standard eval operating point is L=128 test samples
     (ref config.ini:28; grids to 256, grid.ini:22-24): a 4-way ('sample',)
