@@ -7,10 +7,16 @@ epoch.  Whole-array ingestion (this framework's model) must not pay the
 opposite cost — a single-threaded float32 decode of the full tree on every
 run (~16 GB host RAM + hours for imagenet1k@64px).  Instead:
 
-- first touch decodes the tree ONCE with a multiprocessing pool straight
-  into ``<root>/.jvt_cache/<tag>-<C>x<H>x<W>-<hash>.u8`` (uint8, 4x smaller
-  than float32; workers write disjoint slices of the same memmap, so peak
-  RSS stays at a few decode buffers regardless of dataset size);
+- first touch decodes the tree ONCE with a pool of decode subprocesses
+  straight into ``<root>/.jvt_cache/<tag>-<C>x<H>x<W>-<hash>.u8`` (uint8,
+  4x smaller than float32; workers write disjoint slices of the same
+  memmap, so peak RSS stays at a few decode buffers regardless of dataset
+  size).  Workers are plain ``subprocess`` children started with ``-S``
+  (no site/sitecustomize, so no multi-second jax import and no TPU-tunnel
+  touch) importing only numpy+PIL — NOT a ``multiprocessing`` fork pool:
+  ingest runs inside an already jax-threaded process, and forking a
+  multi-threaded process deadlocks the child on inherited locks
+  (observed live in the test suite);
 - subsequent runs open the cache as a read-only ``np.memmap`` in
   milliseconds; batches normalize to float32 [0,1] lazily per batch
   (loaders.to_float / the DeviceDataset normalizes in-step on device);
@@ -23,8 +29,9 @@ last (atomic rename), so a crashed ingest never presents a complete cache.
 
 import json
 import logging
-import multiprocessing
 import os
+import subprocess
+import sys
 import tempfile
 import zlib
 from typing import List, Optional, Sequence, Tuple
@@ -88,26 +95,59 @@ def _decode_one(path: str, shape) -> np.ndarray:
     return arr
 
 
-# worker globals (initialized per pool process; fork-safe and cheap)
-_W = {}
+# decode-worker program: run with `python -S` (no site/sitecustomize, so
+# no jax import, no TPU-tunnel touch) + the parent's site-packages dir on
+# sys.path for numpy/PIL only.  argv: <site-packages dir> <jobs json>.
+# The jobs file carries the memmap path/shape and (index, path) entries;
+# the worker writes its disjoint memmap rows and reports failures one per
+# stdout line (exit 1 when any).
+_WORKER_SRC = r"""
+import json, sys
+sys.path.insert(0, sys.argv[1])
+import numpy as np
+from PIL import Image
+spec = json.load(open(sys.argv[2]))
+c, h, w = spec['shape']
+mm = np.memmap(spec['mm'], dtype=np.uint8, mode='r+',
+               shape=(spec['n'], c, h, w))
+failed = 0
+for i, p in spec['entries']:
+    try:
+        img = Image.open(p).convert('RGB' if c == 3 else 'L').resize((w, h))
+        a = np.asarray(img, np.uint8)
+        mm[i] = a[None] if a.ndim == 2 else a.transpose(2, 0, 1)
+    except Exception as e:           # keep the slot zeroed, report
+        failed += 1
+        print('{}: {}'.format(p, e), flush=True)
+mm.flush()
+sys.exit(1 if failed else 0)
+"""
 
 
-def _worker_init(mm_path, n, shape):
-    _W['mm'] = np.memmap(mm_path, dtype=np.uint8, mode='r+',
-                         shape=(n,) + tuple(shape))
-    _W['shape'] = tuple(shape)
-
-
-def _worker_decode(args):
-    start, paths = args
-    mm = _W['mm']
-    for j, p in enumerate(paths):
-        try:
-            mm[start + j] = _decode_one(p, _W['shape'])
-        except Exception as e:       # keep the slot zeroed, report
-            return start + j, '{}: {}'.format(p, e)
-    mm.flush()
-    return len(paths), None
+def _spawn_decoders(mm_path, files, n, shape, workers, cdir) -> List[str]:
+    """Decode ``files`` into ``mm_path`` with ``workers`` subprocesses over
+    contiguous index ranges; returns per-file error strings."""
+    site_dir = os.path.dirname(os.path.dirname(np.__file__))
+    per = (n + workers - 1) // workers
+    procs = []
+    for w0 in range(0, n, per):
+        entries = [[i, files[i][0]] for i in range(w0, min(w0 + per, n))]
+        fd, jf = tempfile.mkstemp(dir=cdir, suffix='.jobs')
+        with os.fdopen(fd, 'w') as f:
+            json.dump({'mm': mm_path, 'n': n, 'shape': list(shape),
+                       'entries': entries}, f)
+        p = subprocess.Popen([sys.executable, '-S', '-c', _WORKER_SRC,
+                              site_dir, jf],
+                             stdout=subprocess.PIPE,
+                             stderr=subprocess.STDOUT, text=True)
+        procs.append((p, jf))
+    errors: List[str] = []
+    for p, jf in procs:
+        out, _ = p.communicate()
+        os.unlink(jf)
+        if p.returncode != 0:
+            errors.extend(l for l in out.splitlines() if l.strip())
+    return errors
 
 
 def _cache_paths(base: str, files, shape):
@@ -191,23 +231,20 @@ def ingest_image_folder(base: str, shape,
         or (os.cpu_count() or 1)
     with open(mm_path, 'wb') as f:
         f.truncate(n * c * h * w)
-    jobs = [(i, [p for p, _ in files[i:i + chunk]])
-            for i in range(0, n, chunk)]
-    errors = []
+    errors: List[str] = []
     if workers > 1 and n > chunk:
-        ctx = multiprocessing.get_context('fork')
-        with ctx.Pool(workers, initializer=_worker_init,
-                      initargs=(mm_path, n, shape)) as pool:
-            for _, err in pool.imap_unordered(_worker_decode, jobs):
-                if err:
-                    errors.append(err)
+        errors = _spawn_decoders(mm_path, files, n, shape, workers, cdir)
     else:
-        _worker_init(mm_path, n, shape)
-        for job in jobs:
-            _, err = _worker_decode(job)
-            if err:
-                errors.append(err)
-        _W.clear()
+        # 1-core hosts: in-process loop (worker startup would only hurt)
+        mm = np.memmap(mm_path, dtype=np.uint8, mode='r+',
+                       shape=(n, c, h, w))
+        for i, (p, _) in enumerate(files):
+            try:
+                mm[i] = _decode_one(p, shape)
+            except Exception as e:   # keep the slot zeroed, report
+                errors.append('{}: {}'.format(p, e))
+        mm.flush()
+        del mm
     if errors:
         os.unlink(mm_path)
         raise RuntimeError('ingest failed on {} file(s), e.g. {}'.format(

@@ -126,8 +126,11 @@ def test_load_image_folder_uses_cache(tmp_path):
 
 
 def test_parallel_pool_ingest_matches_serial(tmp_path):
-    """Force the multiprocessing pool path (workers=2, chunk smaller than
-    the file count) and compare against the serial decode."""
+    """Force the subprocess-worker path (workers=2, chunk smaller than the
+    file count) and compare against the serial decode.  (A fork-based
+    multiprocessing pool here deadlocked the forked child on inherited
+    locks of the jax-threaded parent — ingest uses plain `python -S`
+    subprocess workers instead, which also never import jax.)"""
     base = _make_tree(str(tmp_path / 'tree'), n_per_class=10)
     xs, ys, _ = ingest_image_folder(base, SHAPE, workers=2, chunk=4)
     base2 = _make_tree(str(tmp_path / 'tree2'), n_per_class=10)
