@@ -37,6 +37,46 @@ def apply_platform(args):
     enable_compilation_cache()
 
 
+def add_mesh_args(parser):
+    """Mesh/multi-host flags shared by the train and ft CLIs.  The
+    reference scaled out by SLURM job arrays (SURVEY section 2); the
+    TPU-native equivalent is one jax.sharding.Mesh over every chip of
+    every host, fed by the trainer's ``mesh=`` path."""
+    parser.add_argument('--mesh', nargs='?', const='all', default=None,
+                        metavar='N',
+                        help="run over a ('data','model') device mesh of N "
+                             'devices (default: all); implied by '
+                             '--distributed')
+    parser.add_argument('--model-axis', type=int, default=1,
+                        help="size of the mesh 'model' axis (prior "
+                             'dictionary / classifier head sharding)')
+    parser.add_argument('--sample-axis', type=int, default=1,
+                        help="size of the mesh 'sample' axis (shards the "
+                             'latent-sample dim L during eval)')
+    parser.add_argument('--distributed', action='store_true',
+                        help='initialize jax.distributed (multi-host pod); '
+                             'run this same command on every host')
+    return parser
+
+
+def mesh_from_args(args):
+    """-> jax.sharding.Mesh or None from add_mesh_args flags.  Multi-host
+    contexts (--distributed or an auto-detected pod) always get a mesh —
+    train_model/finetune refuse process_count>1 without one."""
+    import jax
+    if getattr(args, 'distributed', False):
+        from ..parallel.mesh import distributed_init
+        distributed_init()
+    if args.mesh is None and jax.process_count() == 1:
+        if args.model_axis > 1 or args.sample_axis > 1:
+            raise SystemExit('--model-axis/--sample-axis need --mesh')
+        return None
+    from ..parallel.mesh import make_mesh
+    n = None if args.mesh in (None, 'all') else int(args.mesh)
+    return make_mesh(n, model_axis=args.model_axis,
+                     sample_axis=args.sample_axis)
+
+
 def find_job_dirs(root):
     """Every directory under root holding a params.json (a job dir) —
     shared by the import/export --scan walkers."""

@@ -25,7 +25,7 @@ from ..ft.scheduler import Scheduler
 from ..save_load.fetch import find_by_job_number
 from ..utils.parameters import load_config_section
 from ..utils.print_log import set_log
-from . import add_platform_arg, apply_platform
+from . import add_mesh_args, add_platform_arg, apply_platform, mesh_from_args
 
 
 def _run_poscod(args, job, dflt):
@@ -43,16 +43,17 @@ def _run_poscod(args, job, dflt):
     moving = create_moving_set(
         dataset, moving_size=int(dflt('moving-size', 512)),
         ood_mix=1.0, oodsets=ood_names, seed=args.seed, task=args.task)
+    mesh = getattr(args, 'mesh_obj', None)
     pc = PoscodJob(job=job).finetune(testset, moving,
                                      epochs=int(dflt('epochs', 5)),
                                      batch_size=args.batch_size,
-                                     seed=args.seed)
-    ind_scores = pc.llr_scores(testset, args.test_batch_size)
+                                     seed=args.seed, mesh=mesh)
+    ind_scores = pc.llr_scores(testset, args.test_batch_size, mesh=mesh)
     epoch = job.trained
     job.ood_results.setdefault(epoch, {})
     for n in ood_names:
         _, ood = get_dataset(n, splits=['test'])
-        s = pc.llr_scores(ood, args.test_batch_size)
+        s = pc.llr_scores(ood, args.test_batch_size, mesh=mesh)
         r = roc_curve(jnp.asarray(ind_scores), jnp.asarray(s),
                       kept_tpr=DEFAULT_KEPT_TPR)
         # 'n' is the OOD sample count — the reuse tier compares it against
@@ -146,6 +147,7 @@ def main(argv=None):
                         '(ref ft/poscod.py)')
     p.add_argument('-v', '--verbose', action='count', default=0)
     p.add_argument('--debug', action='store_true')
+    add_mesh_args(p)
     add_platform_arg(p)
     args = p.parse_args(argv)
     if args.args_from_file:
@@ -159,6 +161,7 @@ def main(argv=None):
         args = p.parse_args(line.split(), namespace=args)
     args.task += args.sampling_task_shift
     apply_platform(args)
+    args.mesh_obj = mesh_from_args(args)
     set_log(args.verbose, args.debug)
     if args.seed is None:
         # ref ft/__main__.py:160-161: sampling seed defaults to job# + 7
@@ -304,7 +307,8 @@ def _job_main(args, dflt):
         record_latents(wim, inspect_sets, args.test_batch_size,
                        jax.random.PRNGKey(args.seed),
                        os.path.join(job.saved_dir, 'samples',
-                                    '{:04d}'.format(job.trained), 'init'))
+                                    '{:04d}'.format(job.trained), 'init'),
+                       mesh=getattr(args, 'mesh_obj', None))
 
     with Scheduler(seed=args.seed, task=args.task):
         finetune(wim, trainset, moving, testset, oodsets,
@@ -313,7 +317,8 @@ def _job_main(args, dflt):
                  train_size=int(dflt('train-size', 100000)),
                  batch_size=args.batch_size,
                  test_batch_size=args.test_batch_size,
-                 save_dir=job.saved_dir, seed=args.seed)
+                 save_dir=job.saved_dir, seed=args.seed,
+                 mesh=getattr(args, 'mesh_obj', None))
     # moving-set composition into the persisted wim params so the flat
     # dict's wim_sets/wim_mix/wim_padding filters resolve (ref filters.ini
     # wim_* keys; dictify reads tp['wim'])
@@ -331,7 +336,8 @@ def _job_main(args, dflt):
         record_latents(wim, inspect_sets, args.test_batch_size,
                        jax.random.PRNGKey(args.seed),
                        os.path.join(job.saved_dir, 'samples',
-                                    '{:04d}'.format(job.trained)))
+                                    '{:04d}'.format(job.trained)),
+                       mesh=getattr(args, 'mesh_obj', None))
         _report_latent_shift(job.saved_dir, job.trained, testset.name,
                              classes=getattr(testset, 'classes', None),
                              model=args.inspection_model)

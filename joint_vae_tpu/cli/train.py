@@ -49,8 +49,9 @@ def save_dir_for(job, job_dir: str, latent_sampling: int,
 def main(argv=None):
     args = get_args(argv, 'train')
     set_log(args.verbose, args.debug)
-    from . import apply_platform
+    from . import apply_platform, mesh_from_args
     apply_platform(args)
+    mesh = mesh_from_args(args)
     for flag, v in (('--conv-padding', args.conv_padding),
                     ('--force-cross-y', args.force_cross_y)):
         if v:
@@ -172,7 +173,7 @@ def main(argv=None):
                 seed=args.seed, fine_tuning=args.fine_tuning,
                 final_test=not args.no_final_test,
                 final_ood=not args.no_final_ood,
-                device_data=args.device_data)
+                device_data=args.device_data, mesh=mesh)
     return 0
 
 

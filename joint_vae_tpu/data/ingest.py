@@ -146,7 +146,12 @@ def _spawn_decoders(mm_path, files, n, shape, workers, cdir) -> List[str]:
         out, _ = p.communicate()
         os.unlink(jf)
         if p.returncode != 0:
-            errors.extend(l for l in out.splitlines() if l.strip())
+            lines = [l for l in out.splitlines() if l.strip()]
+            # A worker killed without output (OOM-kill, segfault, startup
+            # crash) must still poison the ingest, or a COMPLETE cache with
+            # an all-zeros slice would be presented — silent corruption.
+            errors.extend(lines or
+                          ['decode worker exited {}'.format(p.returncode)])
     return errors
 
 

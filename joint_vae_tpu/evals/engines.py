@@ -47,14 +47,21 @@ def _epoch_of(job: Job, epoch):
 
 def _multiprocess_tiers(from_where, recording):
     """Multi-process runs must keep every process on the SAME compute path:
-    the recorder tier depends on per-host filesystem state (host 0 writes
-    recorders, other hosts never see them on a pod), so one host replaying
-    a recorder while the rest run collective-bearing forwards would
-    deadlock.  Recorder reuse and recording are disabled at
-    process_count>1; the json tier stays (job state is replicated
-    in-memory, identical everywhere)."""
+    the recorder *replay* tier depends on per-host filesystem state (host 0
+    writes recorders, other hosts never see them on a pod), so one host
+    replaying a recorder while the rest run collective-bearing forwards
+    would deadlock.  Recorder reuse is disabled at process_count>1; the
+    json tier stays (job state is replicated in-memory, identical
+    everywhere).
+
+    Recorder *capture* stays ON: the scores/losses are gathered to every
+    host anyway (host_get runs a process_allgather collective that all
+    processes execute on the same tensors), and only the write process
+    touches the filesystem (_save_recorder's is_write_process guard) — so
+    a pod run leaves the same record files a single-process run would,
+    keeping the post-hoc tiers (arrays, inspection, mutual-info) alive."""
     if jax.process_count() > 1:
-        return tuple(w for w in from_where if w != 'recorders'), False
+        return tuple(w for w in from_where if w != 'recorders'), recording
     return from_where, recording
 
 
@@ -168,12 +175,24 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
         rep = NamedSharding(mesh, P())
         nd = mesh.shape['data']
 
+        warned = []
+
         def put_s(a):
             # stacked full batches shard on axis 1; a batch size that does
             # not divide the data axis goes in replicated (exact, slower —
             # pick a divisible batch size; eval_batch_putters docstring)
             a = np.asarray(a)
-            return put_global(a, sh_s if a.shape[1] % nd == 0 else rep)
+            if a.shape[1] % nd:
+                if not warned:
+                    warned.append(True)
+                    logging.warning(
+                        'eval batch size %d does not divide the mesh data '
+                        'axis (%d): every batch runs fully replicated '
+                        '(exact but each device computes the whole batch) '
+                        "— pick a batch size divisible by mesh.shape['data']",
+                        a.shape[1], nd)
+                return put_global(a, rep)
+            return put_global(a, sh_s)
     loader = DataLoader(dataset, batch_size, shuffle=False,
                         seed=((recorder.restore_seed() or 0)
                               if recorder is not None else 0),
@@ -283,9 +302,21 @@ def _save_recorder(rec: LossRecorder, path: str):
                          old.recorded_samples, rec.recorded_samples)
             return
         if old.recorded_samples == rec.recorded_samples:
-            for k in old.keys():
-                if k not in rec:
-                    rec._tensors[k] = old.get(k)
+            if jax.process_count() > 1:
+                # pod runs disable the replay tier (_multiprocess_tiers),
+                # so a later engine recomputes what a single-process run
+                # would have replayed — letting it overwrite would leave
+                # fresh-ε tensors where single-process keeps the first
+                # recording.  Tie keeps the OLD tensors (record files
+                # identical across process counts); new-only keys fold in.
+                for k in rec.keys():
+                    if k not in old:
+                        old._tensors[k] = rec.get(k)
+                rec = old
+            else:
+                for k in old.keys():
+                    if k not in rec:
+                        rec._tensors[k] = old.get(k)
     rec.save(path)
     # the saved file supersedes any other-format twin (keys folded in
     # above); remove it so find_record's newest-wins rule can't resurrect
@@ -636,10 +667,14 @@ def misclassification_detection_rates(job: Job,
                                       key: Optional[jax.Array] = None,
                                       from_where: Sequence[str] = (
                                           'recorders', 'compute'),
+                                      mesh=None,
                                       outputs=None) -> Dict[str, dict]:
     """Detect misclassifications by thresholding confidence scores
     (ref cvae.py:1913-2080).  The recorder tier replays recorded tensors
-    without model forwards (ref from_where=('json', 'recorders'))."""
+    without model forwards (ref from_where=('json', 'recorders')).
+    ``mesh``: the compute tier feeds mesh-sharded global batches like
+    accuracy/ood_detection_rates (required under process_count>1 against
+    cross-process state)."""
     from_where, _ = _multiprocess_tiers(from_where, False)
     cfg = job.model_cfg
     epoch = _epoch_of(job, epoch)
@@ -674,11 +709,12 @@ def misclassification_detection_rates(job: Job,
             return {}
         has_odin = any(m.startswith('odin') for m in mms)
         eval_batch, eval_scan, odin = _make_eval_fn(
-            job.model, job.state.sigma_state, has_odin, mms)
+            job.model, job.state.sigma_state, has_odin, mms, mesh=mesh)
         rec = LossRecorder(batch_size)
         key = key if key is not None else jax.random.PRNGKey(epoch + 2)
         _collect_scores(job, testset, list(mms), batch_size, rec,
-                        eval_batch, eval_scan, odin, key, num_batch)
+                        eval_batch, eval_scan, odin, key, num_batch,
+                        mesh=mesh)
         # persist the fresh recording even when no prior record file
         # existed (find_record only returns pre-existing files)
         if rec_path is None and sdir:

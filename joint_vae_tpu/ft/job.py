@@ -87,8 +87,14 @@ def load_wim_job(job_dir: str, key=None, **alternate_prior) -> WIMJob:
 
 
 def _both_prior_losses(wim: WIMJob, dataset: ArrayDataset, batch_size: int,
-                       key, L: Optional[int] = None) -> Dict[str, np.ndarray]:
-    """Full-set losses incl. '@' twins and sample-mean logits."""
+                       key, L: Optional[int] = None,
+                       mesh=None) -> Dict[str, np.ndarray]:
+    """Full-set losses incl. '@' twins and sample-mean logits.
+
+    ``mesh``: batches feed mesh-sharded (eval_batch_putters; required
+    against cross-process state) and the device outputs accumulate until
+    ONE host_get at the end — the SPMD-safe gather every process runs."""
+    from ..parallel.mesh import host_get
     state = wim.job.state
 
     @jax.jit
@@ -97,20 +103,27 @@ def _both_prior_losses(wim: WIMJob, dataset: ArrayDataset, batch_size: int,
             variables, x, rng=k, sigma_state=state.sigma_state, L=L)
         return losses, logits
 
+    put_x = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import eval_batch_putters
+        put_x, _ = eval_batch_putters(mesh, 1 + len(dataset.shape))
+
     acc: Dict[str, list] = {}
     logits_l = []
+    ys = []
     loader = DataLoader(dataset, batch_size, shuffle=False)
     for i, (x, y) in enumerate(loader):
         k = jax.random.fold_in(key, i)
-        losses, logits = eval_batch(state.variables, jnp.asarray(x), k)
+        losses, logits = eval_batch(state.variables, put_x(x), k)
         for kk, vv in losses.items():
-            acc.setdefault(kk, []).append(np.asarray(vv))
-        logits_l.append(np.asarray(logits))
-        acc.setdefault('y_true', []).append(np.asarray(y))
-    out = {kk: np.concatenate(v, axis=-1) for kk, v in acc.items()
-           if kk != 'y_true'}
-    out['y_true'] = np.concatenate(acc['y_true'])
-    out['logits'] = np.concatenate(logits_l, axis=0)
+            acc.setdefault(kk, []).append(vv)
+        logits_l.append(logits)
+        ys.append(np.asarray(y))
+    acc_h, logits_h = host_get((acc, logits_l))
+    out = {kk: np.concatenate([np.asarray(a) for a in v], axis=-1)
+           for kk, v in acc_h.items()}
+    out['y_true'] = np.concatenate(ys)
+    out['logits'] = np.concatenate([np.asarray(a) for a in logits_h], axis=0)
     return out
 
 
@@ -138,10 +151,15 @@ def wim_scores_for_set(wim: WIMJob, losses: Dict[str, np.ndarray],
 
 def record_latents(wim: WIMJob, datasets: Sequence[ArrayDataset],
                    batch_size: int, key, out_dir: str,
-                   max_batches: int = 8) -> None:
+                   max_batches: int = 8, mesh=None) -> None:
     """SampleRecorder dumps of encoder means per set, with both priors'
     centroids as auxiliaries — the input of the post-hoc PCA / latent-shift
-    inspection (ref ft/__main__.py:209-221 feeding ft/inspection.py)."""
+    inspection (ref ft/__main__.py:209-221 feeding ft/inspection.py).
+
+    Multi-process: every process runs the forwards + gathers (host_get is
+    a collective), host 0 writes the files."""
+    from ..parallel.mesh import host_get
+    from ..save_load.checkpoint import is_write_process
     from ..save_load.recorders import SampleRecorder
     job = wim.job
     state = job.state
@@ -153,23 +171,33 @@ def record_latents(wim: WIMJob, datasets: Sequence[ArrayDataset],
                        sigma_state=state.sigma_state, L=1)
         return out.mu
 
-    centroids = np.asarray(state.params['prior']['mean'], np.float32)
+    put_x = jnp.asarray
+    if mesh is not None:
+        from ..parallel.mesh import ensure_placed, eval_batch_putters
+        job.state = state = ensure_placed(state, mesh)
+        put_x, _ = eval_batch_putters(mesh, 1 + len(datasets[0].shape))
+
+    centroids = np.asarray(host_get(state.params['prior']['mean']),
+                           np.float32)
     alternate = (np.asarray(wim.alternate_prior_params['mean'], np.float32)
                  if wim.alternate_prior_params is not None else None)
     for ds in datasets:
         rec = SampleRecorder()
         loader = DataLoader(ds, batch_size, shuffle=False)
+        mus, ys = [], []
         for i, (x, y) in enumerate(loader):
             if i >= max_batches:
                 break
-            mu = mu_of(state.variables, jnp.asarray(x),
-                       jax.random.fold_in(key, i))
-            rec.append_batch(mu=np.asarray(mu, np.float32),
-                             y=np.asarray(y))
+            mus.append(mu_of(state.variables, put_x(x),
+                             jax.random.fold_in(key, i)))
+            ys.append(np.asarray(y))
+        for mu, y in zip(host_get(mus), ys):
+            rec.append_batch(mu=np.asarray(mu, np.float32), y=y)
         rec.append_batch(centroids=centroids)
         if alternate is not None:
             rec.append_batch(alternate=alternate)
-        rec.save(os.path.join(out_dir, 'sample-{}.npz'.format(ds.name)))
+        if is_write_process():
+            rec.save(os.path.join(out_dir, 'sample-{}.npz'.format(ds.name)))
 
 
 def finetune(wim: WIMJob,
@@ -186,8 +214,15 @@ def finetune(wim: WIMJob,
              ood_methods: Optional[Sequence[str]] = None,
              save_dir: Optional[str] = None,
              seed: int = 0,
+             mesh=None,
              outputs=None) -> WIMJob:
-    """Run the WIM fine-tuning flow; updates wim.job in place."""
+    """Run the WIM fine-tuning flow; updates wim.job in place.
+
+    ``mesh``: optional jax.sharding.Mesh — exactly the trainer's contract
+    (train/trainer.py::train_model): state placed with the framework's
+    sharding rules, fine-tune batches sharded over 'data' (multi-process:
+    aligned global batches, bit-identical data order to a single-process
+    run), pre/post OOD snapshots mesh-fed, host-0-only file writes."""
     cfg = wim.cfg
     assert wim.alternate_prior_cfg is not None, 'set_alternate_prior first'
     moving_batch_size = moving_batch_size or batch_size
@@ -195,6 +230,54 @@ def finetune(wim: WIMJob,
                    else WIM_OOD_METHODS_PER_TYPE.get(cfg.type, ['elbo', 'zdist']))
     job = wim.job
     epoch0 = job.trained
+
+    from ..parallel.mesh import host_get
+    from ..save_load.checkpoint import is_write_process
+    multiprocess = jax.process_count() > 1
+    if multiprocess and mesh is None:
+        raise ValueError('multi-process fine-tuning needs an explicit mesh')
+    # engines run mesh-fed only under multi-process (single-process sharded
+    # state accepts plain device batches; GSPMD reshards — same contract as
+    # train/trainer.py)
+    eng_mesh = mesh if multiprocess else None
+
+    # mesh placement + optimizer re-init — the placed state feeds both the
+    # pre-tuning engines and the fine-tune loop.  With a mesh the init runs
+    # under jit (eager optax init on cross-process globals is rejected);
+    # the fresh moments inherit the params' shardings.
+    tx = build_optimizer(job.opt_cfg)
+    if mesh is not None:
+        from ..parallel.mesh import batch_sharding, ensure_placed
+        state = ensure_placed(job.state, mesh)
+        state = state.replace(opt_state=jax.jit(tx.init)(state.params))
+        nd = mesh.shape['data']
+        if batch_size % nd or moving_batch_size % nd:
+            raise ValueError(
+                'batch sizes ({}, moving {}) must divide the mesh data '
+                'axis ({})'.format(batch_size, moving_batch_size, nd))
+        x_sh = batch_sharding(mesh, 1 + len(trainset.shape))
+        y_sh = batch_sharding(mesh, 1)
+        if multiprocess:
+            from ..parallel.mesh import put_global
+
+            def put_x(x):
+                # every process runs the same full-dataset loader; ship
+                # only the addressable slice (parallel/mesh.put_global) —
+                # data order bit-identical to a single-process run
+                return put_global(np.asarray(x), x_sh)
+
+            def put_y(y):
+                return put_global(np.asarray(y), y_sh)
+        else:
+            def put_x(x):
+                return jax.device_put(np.asarray(x), x_sh)
+
+            def put_y(y):
+                return jax.device_put(np.asarray(y), y_sh)
+    else:
+        state = job.state.replace(opt_state=tx.init(job.state.params))
+        put_x = put_y = jnp.asarray
+    job.state = state
 
     # ---- pre-tuning baseline into samples/<epoch>/init (ref ft/job.py:302-313)
     if save_dir:
@@ -211,7 +294,7 @@ def finetune(wim: WIMJob,
                                           if not is_wim_method(m)],
                                   update_self_ood=False, recording=True,
                                   record_dir=init_dir,
-                                  from_where=('compute',))
+                                  from_where=('compute',), mesh=eng_mesh)
         from ..save_load.checkpoint import save_json
         save_json(pre, os.path.join(init_dir, 'ood.json'))
 
@@ -220,8 +303,6 @@ def finetune(wim: WIMJob,
         rng = np.random.default_rng(seed)
         idx = rng.permutation(len(trainset))[:train_size]
         trainset = trainset.subset(idx)
-    tx = build_optimizer(job.opt_cfg)
-    state = job.state.replace(opt_state=tx.init(job.state.params))
 
     train_loader = DataLoader(trainset, batch_size, shuffle=True, seed=seed,
                               drop_last=True)
@@ -243,13 +324,14 @@ def finetune(wim: WIMJob,
                 mov_iter = iter(moving_loader)
                 xm, _ = next(mov_iter)
             k = jax.random.fold_in(key, step_i)
-            state, metrics = finetune_step(state, jnp.asarray(x),
-                                           jnp.asarray(y), jnp.asarray(xm), k)
+            state, metrics = finetune_step(state, put_x(x), put_y(y),
+                                           put_x(xm), k)
             step_i += 1
         if step_i == 0:
             raise ValueError(
                 'no fine-tuning batches: train set ({} samples) smaller '
                 'than the batch size ({})'.format(len(trainset), batch_size))
+        metrics = host_get(metrics)
         logging.info('wim epoch %d: total=%.4f (in=%.4f mix=%.4f)', epoch,
                      float(metrics['total']), float(metrics['in_total']),
                      float(metrics['mix_total']))
@@ -262,7 +344,8 @@ def finetune(wim: WIMJob,
 
     # ---- post-tuning evaluation with WIM scores (ref ft/job.py:433-477)
     key_eval = jax.random.fold_in(key, 10_000)
-    ind_losses = _both_prior_losses(wim, testset, test_batch_size, key_eval)
+    ind_losses = _both_prior_losses(wim, testset, test_batch_size, key_eval,
+                                    mesh=eng_mesh)
     ind_scores = wim_scores_for_set(wim, ind_losses, methods)
 
     epoch_key = job.trained
@@ -270,7 +353,8 @@ def finetune(wim: WIMJob,
     ood_loss_sets = {}
     for i, ood in enumerate(oodsets):
         ood_losses = _both_prior_losses(wim, ood, test_batch_size,
-                                        jax.random.fold_in(key_eval, i + 1))
+                                        jax.random.fold_in(key_eval, i + 1),
+                                        mesh=eng_mesh)
         ood_loss_sets[ood.name] = ood_losses
         ood_scores = wim_scores_for_set(wim, ood_losses, methods)
         job.ood_results[epoch_key].setdefault(ood.name, {})
@@ -316,7 +400,9 @@ def finetune(wim: WIMJob,
                             'precision': np.asarray(r['precision']).tolist()}
             job.testing[epoch_key]['already'] = entry
 
-    # save recorders (ind + ood sets) for array aggregation
+    # save recorders (ind + ood sets) for array aggregation; multi-process
+    # runs gathered the full global losses on every host (host_get in
+    # _both_prior_losses) — host 0 writes
     if save_dir:
         sdir = os.path.join(save_dir, 'samples', '{:04d}'.format(epoch_key))
         for set_name, losses_ in [(testset.name, ind_losses),
@@ -332,7 +418,9 @@ def finetune(wim: WIMJob,
             rec.append_batch(**{k: v for k, v in losses_.items()
                                 if k not in ('logits',)},
                              logits=losses_['logits'].T, **extra)
-            rec.save(os.path.join(sdir, record_filename(set_name)))
+            if is_write_process():
+                rec.save(os.path.join(sdir, record_filename(set_name)))
         save_job(job, save_dir)
-        save_wim_prior(wim, save_dir)
+        if is_write_process():
+            save_wim_prior(wim, save_dir)
     return wim

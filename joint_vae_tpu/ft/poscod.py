@@ -28,10 +28,13 @@ POSCOD_HEAD_FILE = 'poscod_head.npz'
 
 
 def save_poscod_head(pc: 'PoscodJob', job_dir: str):
-    if pc.head is None:
+    from ..save_load.checkpoint import is_write_process
+    if pc.head is None or not is_write_process():
         return
+    from ..parallel.mesh import host_get
+    head = host_get(pc.head)
     np.savez(os.path.join(job_dir, POSCOD_HEAD_FILE),
-             w=np.asarray(pc.head['w']), b=np.asarray(pc.head['b']))
+             w=np.asarray(head['w']), b=np.asarray(head['b']))
 
 
 def load_poscod_job(job_dir: str, key=None) -> 'PoscodJob':
@@ -50,6 +53,7 @@ class PoscodJob:
     job: Job
     head: Optional[Dict[str, jax.Array]] = None
     _mu_jit: Optional[object] = None
+    _placed: bool = False
 
     def _mu(self, x, key):
         if self._mu_jit is None:
@@ -67,18 +71,53 @@ class PoscodJob:
             self._mu_jit = mu_fn
         return self._mu_jit(self.job.state.variables, x, key)
 
+    def _putter(self, dataset: ArrayDataset, mesh):
+        """Mesh-aware batch feed + frozen-state placement (same contract
+        as ft/job.py::finetune: multi-process runs every loader on every
+        process, only addressable slices ship)."""
+        if mesh is None:
+            return jnp.asarray
+        from ..parallel.mesh import ensure_placed, eval_batch_putters
+        if not self._placed:
+            self.job.state = ensure_placed(self.job.state, mesh)
+            self._placed = True
+            self._mu_jit = None        # re-trace against the placed state
+        put_x, _ = eval_batch_putters(mesh, 1 + len(dataset.shape))
+        return put_x
+
     def finetune(self, ind: ArrayDataset, moving: ArrayDataset,
                  epochs: int = 5, batch_size: int = 128, lr: float = 1e-3,
-                 seed: int = 0):
-        """Train the 1-logit head with BCE (ind=1, moving=0)."""
+                 seed: int = 0, mesh=None):
+        """Train the 1-logit head with BCE (ind=1, moving=0).
+
+        ``mesh``: the frozen net's forwards feed mesh-sharded batches; the
+        head (K+1 scalars) stays replicated, its grads all-reduced by GSPMD.
+        Multi-process: every process runs the same loaders (aligned global
+        batches), so the trajectory is bit-comparable to single-process."""
+        if jax.process_count() > 1 and mesh is None:
+            raise ValueError('multi-process poscod needs an explicit mesh')
+        put_x = self._putter(ind, mesh)
         K = self.job.model_cfg.latent_dim
         head = {'w': jnp.zeros((K,)), 'b': jnp.zeros(())}
         tx = optax.adam(lr)
         opt_state = tx.init(head)
+        if mesh is not None and jax.process_count() > 1:
+            # jit inputs must be global arrays cross-process — replicate
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            from ..parallel.mesh import put_global
+            rep = NamedSharding(mesh, P())
+            head, opt_state = jax.tree_util.tree_map(
+                lambda l: put_global(np.asarray(l), rep), (head, opt_state))
         key = jax.random.PRNGKey(seed)
 
         @jax.jit
-        def step(head, opt_state, mu, labels):
+        def step(head, opt_state, mu_i, mu_m):
+            # concat + labels INSIDE jit: eager concatenate is rejected on
+            # cross-process global arrays (spmd_mode=allow_jit)
+            mu = jnp.concatenate([mu_i, mu_m])
+            labels = jnp.concatenate([jnp.ones(mu_i.shape[0]),
+                                      jnp.zeros(mu_m.shape[0])])
+
             def loss_fn(h):
                 logit = mu @ h['w'] + h['b']
                 return jnp.mean(optax.sigmoid_binary_cross_entropy(
@@ -92,22 +131,26 @@ class PoscodJob:
             lm = DataLoader(moving, batch_size, seed=seed + epoch + 1)
             for i, ((xi, _), (xm, _)) in enumerate(zip(li, lm)):
                 k = jax.random.fold_in(key, epoch * 10000 + i)
-                mu_i = self._mu(jnp.asarray(xi), k)
-                mu_m = self._mu(jnp.asarray(xm), jax.random.fold_in(k, 1))
-                mu = jnp.concatenate([mu_i, mu_m])
-                labels = jnp.concatenate([jnp.ones(len(mu_i)),
-                                          jnp.zeros(len(mu_m))])
-                head, opt_state, loss = step(head, opt_state, mu, labels)
+                mu_i = self._mu(put_x(xi), k)
+                mu_m = self._mu(put_x(xm), jax.random.fold_in(k, 1))
+                head, opt_state, loss = step(head, opt_state, mu_i, mu_m)
         self.head = head
         return self
 
     def llr_scores(self, dataset: ArrayDataset, batch_size: int = 256,
-                   seed: int = 0) -> np.ndarray:
+                   seed: int = 0, mesh=None) -> np.ndarray:
         assert self.head is not None, 'finetune first'
+        from ..parallel.mesh import host_get
+        put_x = self._putter(dataset, mesh)
+
+        @jax.jit
+        def score(head, mu):
+            return mu @ head['w'] + head['b']
+
         out = []
         key = jax.random.PRNGKey(seed)
         for i, (x, _) in enumerate(DataLoader(dataset, batch_size,
                                               shuffle=False)):
-            mu = self._mu(jnp.asarray(x), jax.random.fold_in(key, i))
-            out.append(np.asarray(mu @ self.head['w'] + self.head['b']))
-        return np.concatenate(out)
+            mu = self._mu(put_x(x), jax.random.fold_in(key, i))
+            out.append(score(self.head, mu))
+        return np.concatenate([np.asarray(a) for a in host_get(out)])

@@ -99,6 +99,18 @@ def state_shardings(mesh: Mesh, state):
     return jax.tree_util.tree_map_with_path(spec, state)
 
 
+def ensure_placed(tree, mesh: Mesh):
+    """Place a state pytree on the mesh with the framework's sharding rules
+    — unless some leaf already lives on this mesh (re-placement of a
+    cross-process global would crash on the host copy)."""
+    for leaf in jax.tree_util.tree_leaves(tree):
+        if (isinstance(leaf, jax.Array)
+                and isinstance(leaf.sharding, NamedSharding)
+                and leaf.sharding.mesh == mesh):
+            return tree
+    return put_tree(tree, state_shardings(mesh, tree))
+
+
 def put_tree(tree, shardings):
     """device_put a host-replicated pytree onto (possibly cross-process)
     shardings.
@@ -139,19 +151,35 @@ def eval_batch_putters(mesh: Mesh, ndim: int):
     eval loaders routinely end on such a tail batch.  Tail batches go in
     FULLY REPLICATED instead: results are exact (no padding, no masking),
     at the cost of every device computing the whole tail once and one
-    extra trace of the eval program for the replicated layout."""
+    extra trace of the eval program for the replicated layout.
+
+    If the FIRST batch already takes the fallback (loaders yield full
+    batches first, so every batch will), a one-time warning flags the
+    silent perf cliff — pick a batch size divisible by the data axis."""
     sh_x = NamedSharding(mesh, P('data', *[None] * (ndim - 1)))
     sh_y = NamedSharding(mesh, P('data'))
     rep = NamedSharding(mesh, P())
     nd = mesh.shape['data']
+    seen = []
 
-    def putter(sh):
+    def putter(sh, is_x):
         def put(a):
             host = np.asarray(a)
-            return put_global(host, sh if host.shape[0] % nd == 0 else rep)
+            if host.shape[0] % nd == 0:
+                seen.append(True)
+                return put_global(host, sh)
+            if is_x and not seen:
+                import logging
+                seen.append(True)
+                logging.warning(
+                    'eval batch size %d does not divide the mesh data axis '
+                    '(%d): batches run fully replicated (exact but each '
+                    'device computes the whole batch) — pick a batch size '
+                    "divisible by mesh.shape['data']", host.shape[0], nd)
+            return put_global(host, rep)
         return put
 
-    return putter(sh_x), putter(sh_y)
+    return putter(sh_x, True), putter(sh_y, False)
 
 
 def host_get(tree):

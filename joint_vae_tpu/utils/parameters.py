@@ -213,6 +213,8 @@ def add_training_args(parser: argparse.ArgumentParser):
     t.add_argument('--no-final-test', action='store_true')
     t.add_argument('--no-final-ood', action='store_true')
 
+    from ..cli import add_mesh_args
+    add_mesh_args(t)
     t.add_argument('--platform', choices=['cpu', 'tpu', 'gpu'], default=None,
                    help='force the jax backend (ref --device/--force-cpu)')
     t.add_argument('--device', dest='platform_device', default=None,

@@ -105,16 +105,58 @@ def run(outdir: str, epochs: int = 2):
     return traj
 
 
+def run_wim(job, mesh, outdir):
+    """WIM fine-tuning over the (possibly cross-process) mesh — VERDICT r4
+    item 1: same finetune() call single- and multi-process, aligned data
+    order, host-0 writes (init records, post records, wim_prior, JSONs)."""
+    import jax
+    import numpy as np
+    from joint_vae_tpu.ft.datasets import MixtureDataset
+    from joint_vae_tpu.ft.job import finetune
+    from joint_vae_tpu.ft.wim import WIMJob
+    from joint_vae_tpu.parallel.mesh import host_get
+
+    job.train_history = {'epochs': 1}
+    wim = WIMJob(job=job)
+    wim.set_alternate_prior(key=jax.random.PRNGKey(3),
+                            distribution='gaussian', init_mean=8.0,
+                            num_priors=1)
+    te = make_dataset(64, seed=1)
+    ood = make_oodset(64)
+    moving = MixtureDataset(mix={'ind': 0.5, 'ood': 0.5}, length=64,
+                            ind=te, ood=ood)
+    finetune(wim, make_dataset(), moving, te, [ood], epochs=1, alpha=0.1,
+             batch_size=16, test_batch_size=16, seed=0, mesh=mesh,
+             save_dir=os.path.join(outdir, 'wimjob') if outdir else None)
+    params = host_get(job.state.params)
+    flat = {}
+    for path, v in jax.tree_util.tree_leaves_with_path(params):
+        flat[jax.tree_util.keystr(path)] = \
+            np.asarray(v).astype(float).ravel().tolist()[:8]
+    return {'ood': {s: {m: r.get('auc') for m, r in rs.items()}
+                    for s, rs in job.ood_results[job.trained].items()},
+            'params_head': flat}
+
+
 def main():
     pid, n, port, outdir = (int(sys.argv[1]), int(sys.argv[2]),
                             sys.argv[3], sys.argv[4])
+    mode = sys.argv[5] if len(sys.argv) > 5 else 'train'
     from joint_vae_tpu.parallel.mesh import distributed_init
     pc, pi = distributed_init(coordinator_address='localhost:' + port,
                               num_processes=n, process_id=pid)
     assert (pc, pi) == (n, pid), (pc, pi)
     import jax
     assert jax.device_count() == 2 * n, jax.device_count()
-    run(outdir)
+    if mode == 'wim':
+        from joint_vae_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(jax.device_count(), model_axis=2)
+        out = run_wim(make_job(), mesh, outdir)
+        if jax.process_index() == 0:
+            with open(os.path.join(outdir, 'wim.json'), 'w') as f:
+                json.dump(out, f)
+    else:
+        run(outdir)
 
 
 if __name__ == '__main__':

@@ -38,7 +38,7 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _spawn_workers(n, outdir, timeout=600):
+def _spawn_workers(n, outdir, timeout=600, mode='train'):
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
            if k not in ('PALLAS_AXON_POOL_IPS', 'JAX_PLATFORMS', 'XLA_FLAGS')}
@@ -47,7 +47,7 @@ def _spawn_workers(n, outdir, timeout=600):
                PYTHONPATH=REPO + os.pathsep + env.get('PYTHONPATH', ''))
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(HERE, 'mp_worker.py'),
-         str(i), str(n), port, outdir],
+         str(i), str(n), port, outdir, mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
         for i in range(n)]
     outs = []
@@ -82,11 +82,18 @@ def _single_process_run(tmp_path, epochs=2, n_devices=4):
 
 
 @pytest.fixture(scope='module')
-def sp_job(tmp_path_factory):
+def sp(tmp_path_factory):
     """ONE single-process reference run shared by every comparison test
-    (three tests compare against the identical 4-device config — rerunning
-    it per test triples a multi-minute cost on the 1-core host)."""
-    return _single_process_run(str(tmp_path_factory.mktemp('sp')))
+    (several tests compare against the identical 4-device config —
+    rerunning it per test multiplies a multi-minute cost on the 1-core
+    host).  -> (job, outdir)."""
+    d = str(tmp_path_factory.mktemp('sp'))
+    return _single_process_run(d), d
+
+
+@pytest.fixture(scope='module')
+def sp_job(sp):
+    return sp[0]
 
 
 def test_multiprocess_trajectory_matches_single_process(mp_run, sp_job):
@@ -199,3 +206,74 @@ def test_multiprocess_json_written_once(mp_run):
     with open(p) as f:
         hist = json.load(f)
     assert hist['epochs'] == 2
+
+
+def _load_records(job_dir):
+    """{relpath: {key: array}} for every record-*.{jvr,npz} under samples/."""
+    from joint_vae_tpu.save_load.recorders import LossRecorder
+    out = {}
+    sroot = os.path.join(job_dir, 'samples')
+    for dirpath, _, files in os.walk(sroot):
+        for f in sorted(files):
+            if f.startswith('record-'):
+                rec = LossRecorder.load(os.path.join(dirpath, f))
+                rel = os.path.relpath(os.path.join(dirpath, f), sroot)
+                out[rel] = {k: rec.get(k) for k in rec.keys()}
+    return out
+
+
+def _assert_records_match(mp_recs, sp_recs):
+    assert mp_recs, 'multi-process run wrote no record files'
+    assert set(mp_recs) == set(sp_recs), (set(mp_recs), set(sp_recs))
+    for rel, tensors in sp_recs.items():
+        got = mp_recs[rel]
+        assert set(got) == set(tensors), (rel, set(got), set(tensors))
+        for k, v in tensors.items():
+            if np.issubdtype(np.asarray(v).dtype, np.integer):
+                np.testing.assert_array_equal(got[k], v,
+                                              err_msg='{}/{}'.format(rel, k))
+            else:
+                np.testing.assert_allclose(got[k], v, rtol=2e-4, atol=1e-5,
+                                           err_msg='{}/{}'.format(rel, k))
+
+
+def test_multiprocess_recorders_match_single_process(mp_run, sp):
+    """VERDICT r4 item 3: recorder CAPTURE stays on under multi-process —
+    host 0 writes the same samples/<epoch>/record-* files (same sets, same
+    keys, same tensors to reduction-order tolerance) a single-process run
+    leaves, keeping the post-hoc tiers alive for pod runs."""
+    _, sp_dir = sp
+    _assert_records_match(_load_records(os.path.join(mp_run, 'job')),
+                          _load_records(os.path.join(sp_dir, 'job')))
+
+
+def test_multiprocess_wim_matches_single_process(tmp_path):
+    """2-process WIM fine-tuning over a cross-process ('data'=2 x 'model'=2)
+    mesh bit-matches the same finetune() on a single-process 4-device mesh
+    (same tolerance regime as the trainer tests): final params, OOD AUCs of
+    the WIM score grammar, and the record files under samples/."""
+    from joint_vae_tpu.parallel.mesh import make_mesh
+    from tests.mp_worker import make_job, run_wim
+
+    outdir = str(tmp_path / 'mp')
+    os.makedirs(outdir)
+    _spawn_workers(2, outdir, mode='wim')
+    with open(os.path.join(outdir, 'wim.json')) as f:
+        mp_res = json.load(f)
+
+    sp_dir = str(tmp_path / 'sp')
+    os.makedirs(sp_dir)
+    sp_res = run_wim(make_job(), make_mesh(4, model_axis=2), sp_dir)
+
+    assert sp_res['ood'], 'single-process WIM produced no OOD results'
+    for s, ms in sp_res['ood'].items():
+        for m, auc in ms.items():
+            assert abs(mp_res['ood'][s][m] - auc) <= 5e-3, \
+                (s, m, mp_res['ood'][s][m], auc)
+    for k, v in sp_res['params_head'].items():
+        np.testing.assert_allclose(mp_res['params_head'][k], v,
+                                   rtol=3e-5, atol=1e-7, err_msg=k)
+    # host-0 artifacts: wim prior + init/post records match single-process
+    assert os.path.exists(os.path.join(outdir, 'wimjob', 'wim_prior.npz'))
+    _assert_records_match(_load_records(os.path.join(outdir, 'wimjob')),
+                          _load_records(os.path.join(sp_dir, 'wimjob')))
