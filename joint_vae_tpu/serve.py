@@ -121,7 +121,14 @@ def calibrated_thresholds(job: Job, methods: Sequence[str],
                 idx = [i for i, t in enumerate(tprs)
                        if abs(t - tpr) < 1e-6]
                 if idx:
-                    found.append(float(r['thresholds'][idx[0]]))
+                    thr = float(r['thresholds'][idx[0]])
+                    if not np.isfinite(thr):
+                        # a degenerate ROC (e.g. a tiny OOD set whose most
+                        # permissive cut is -inf) carries no gating
+                        # information — folding it in via min() would
+                        # silently disable the whole gate
+                        continue
+                    found.append(thr)
                     ups = r.get('thresholds_up')
                     found_up.append(float(ups[idx[0]]) if ups
                                     else float('inf'))
