@@ -154,9 +154,18 @@ def _load_image_folder(root: str, shape, split: str,
     never pays one either).  JVT_INGEST_CACHE=0 restores the direct
     in-process decode (still uint8)."""
     base = os.path.join(root, split)
+    if not os.path.isdir(base) and split == 'test':
+        # ImageNet-layout trees name the eval split 'val' (ref sets.ini
+        # imagenet split kwargs / torchvision ImageNet)
+        base = os.path.join(root, 'val')
     if not os.path.isdir(base):
         base = root
     if not os.path.isdir(base):
+        return None
+    if base == root and any(
+            os.path.isdir(os.path.join(root, s)) for s in ('train', 'val')):
+        # a split-structured tree must never fall back to the whole root
+        # (the split dirs would be read as class folders)
         return None
     allowed = None
     if class_file and os.path.exists(class_file):

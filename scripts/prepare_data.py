@@ -145,6 +145,55 @@ def cmd_make_fixtures(args):
                 arr = rng.integers(0, 255, (48, 64, 3), dtype=np.uint8)
                 Image.fromarray(arr).save(
                     os.path.join(cdir, '{:04d}.jpg'.format(i)))
+
+    # mnist/fashion/letters idx files — byte-exact ubyte format
+    # (ref torchvision MNIST raw layout); the train split uses the .gz
+    # variant and the test split the raw one so both reader codepaths
+    # (data/loaders.py::_read_idx) get exercised
+    import gzip
+    import struct
+
+    def write_idx(path, arr):
+        op = gzip.open if path.endswith('.gz') else open
+        with op(path, 'wb') as f:
+            f.write(struct.pack('>I', 0x0800 + arr.ndim))
+            f.write(struct.pack('>' + 'I' * arr.ndim, *arr.shape))
+            f.write(arr.astype(np.uint8).tobytes())
+
+    for name, n_cls, lo in (('mnist', 10, 0), ('fashion', 10, 0),
+                            ('letters', 26, 1)):     # EMNIST letters: 1..26
+        root = os.path.join(d, name)
+        os.makedirs(root, exist_ok=True)
+        for prefix, n, ext in (('train', 12, '.gz'), ('t10k', 8, '')):
+            write_idx(os.path.join(
+                root, '{}-images-idx3-ubyte{}'.format(prefix, ext)),
+                rng.integers(0, 255, (n, 28, 28), dtype=np.uint8))
+            write_idx(os.path.join(
+                root, '{}-labels-idx1-ubyte{}'.format(prefix, ext)),
+                rng.integers(lo, lo + n_cls, (n,), dtype=np.uint8))
+
+    # cifar-100 python pickle (fine_labels key, one file per split)
+    b100 = os.path.join(d, 'cifar100', 'cifar-100-python')
+    os.makedirs(b100, exist_ok=True)
+    for fn, n in (('train', 12), ('test', 8)):
+        with open(os.path.join(b100, fn), 'wb') as f:
+            pickle.dump({b'data': rng.integers(0, 255, (n, 3072),
+                                               dtype=np.uint8),
+                         b'fine_labels': rng.integers(0, 100, n).tolist()},
+                        f)
+
+    # ImageFolder restricted by wnid class file (imagenet2; ref
+    # ImageFolderWithClassesInFile, utils/torch_load.py:250-294) — plus a
+    # decoy class NOT in data/imagenet2.txt that the reader must skip
+    for split, n in (('train', 3), ('val', 2)):
+        for wnid in ('n03657121', 'n07697313', 'n99999999'):
+            cdir = os.path.join(d, 'imagenet2', split, wnid)
+            os.makedirs(cdir, exist_ok=True)
+            for i in range(n):
+                arr = rng.integers(0, 255, (64, 48, 3), dtype=np.uint8)
+                Image.fromarray(arr).save(
+                    os.path.join(cdir, '{}_{}.JPEG'.format(wnid, i))
+                    .replace('.JPEG', '.jpg'))
     print('fixtures written under', d)
     return 0
 
