@@ -175,16 +175,26 @@ def main():
         eval_batch, eval_scan, _ = _make_eval_fn(
             job.model, state.sigma_state, False, methods)
         nb = 16
-        xs = jnp.asarray(rng.uniform(0, 1, (nb, BATCH, *cfg.input_shape))
-                         .astype(np.float32))
         keys = jax.vmap(jax.random.fold_in, (None, 0))(
             jax.random.PRNGKey(0), jnp.arange(nb))
         variables = state.variables
-        _, _, scores = eval_scan(variables, xs, keys)
+
+        # fresh device-side stack per rep: the scoring program donates its
+        # input (engines._make_eval_fn), exactly like production where
+        # every batch stack is a new buffer; generation is O(bytes), noise
+        # next to 16 scored batches
+        @jax.jit
+        def make_xs(k):
+            return jax.random.uniform(
+                k, (nb, BATCH, *cfg.input_shape), jnp.float32)
+
+        _, _, scores = eval_scan(variables, make_xs(jax.random.PRNGKey(7)),
+                                 keys)
         float(scores['iws'][0, 0])
         reps = max(STEPS // nb, 1)
         t0 = time.perf_counter()
-        for _ in range(reps):
+        for r in range(reps):
+            xs = make_xs(jax.random.fold_in(jax.random.PRNGKey(7), r))
             _, _, scores = eval_scan(variables, xs, keys)
         final = float(scores['iws'][0, 0])
         dt = time.perf_counter() - t0

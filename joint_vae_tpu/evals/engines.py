@@ -17,6 +17,7 @@ record files under ``samples/<epoch>/`` when present ('recorders' tier) and
 recompute otherwise ('compute' tier).
 """
 
+import functools
 import logging
 import os
 from typing import Dict, List, Optional, Sequence
@@ -136,9 +137,17 @@ def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
                   if methods else {})
         return losses, out.logits, scores
 
-    eval_batch = jax.jit(_one)
+    # donate the input batch/stack: nothing re-reads x after scoring, and
+    # freeing the (nb, B, C, H, W) stack up front (~200 MB at batch 1024)
+    # relieves the HBM pressure the large-batch sweet-spot runs into
+    # (docs/BENCH.md round-5 sweep).  JVT_EVAL_DONATE=0 restores aliasing
+    # off (probe scripts that re-feed one buffer need it off).
+    donate = os.environ.get('JVT_EVAL_DONATE', '1').strip().lower() \
+        not in ('0', 'off', 'false', 'no')
+    dn = (1,) if donate else ()
+    eval_batch = jax.jit(_one, donate_argnums=dn)
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=dn)
     def eval_scan(variables, xs, keys):
         def body(carry, inp):
             x, k = inp

@@ -2,6 +2,7 @@
 with decode_mean=False, C=100, L=16, 7 measures."""
 import sys as _sys; _sys.path.insert(0, '/root/repo')
 import os
+os.environ.setdefault('JVT_EVAL_DONATE', '0')  # probes re-feed one buffer
 import time
 import numpy as np
 import jax

@@ -2,6 +2,7 @@
 plus the Pallas fused-IWAE opt-in comparison at C=1000."""
 import sys as _sys; _sys.path.insert(0, '/root/repo')
 import os
+os.environ.setdefault('JVT_EVAL_DONATE', '0')  # probes re-feed one buffer
 import time
 import numpy as np
 import jax

@@ -19,6 +19,7 @@ Env: JVT_PROBE_BATCHES (flagship batch list), JVT_BENCH_STEPS.
 import dataclasses
 import json
 import os
+os.environ.setdefault('JVT_EVAL_DONATE', '0')  # probes re-feed one buffer
 import sys
 import time
 

@@ -15,6 +15,7 @@ Run on the TPU: python scripts/probes/probe_eval_r3.py
 """
 import json
 import os
+os.environ.setdefault('JVT_EVAL_DONATE', '0')  # probes re-feed one buffer
 import sys
 import time
 
