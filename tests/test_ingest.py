@@ -137,3 +137,31 @@ def test_parallel_pool_ingest_matches_serial(tmp_path):
     xr, yr, _ = ingest_image_folder(base2, SHAPE, workers=1, chunk=1000)
     np.testing.assert_array_equal(np.asarray(xs), np.asarray(xr))
     np.testing.assert_array_equal(ys, yr)
+
+
+def test_silent_worker_death_poisons_ingest(tmp_path, monkeypatch):
+    """ADVICE r4 (medium): a decode worker killed WITHOUT any stdout
+    (OOM-kill, segfault) must fail the ingest — not present a COMPLETE
+    cache whose slice is all zeros."""
+    import subprocess
+
+    base = _make_tree(str(tmp_path / 'tree'), n_per_class=10)
+
+    class DeadPopen:
+        returncode = -9                       # SIGKILL, no output
+
+        def __init__(self, *a, **kw):
+            pass
+
+        def communicate(self, timeout=None):
+            return '', None
+
+    monkeypatch.setattr(subprocess, 'Popen', DeadPopen)
+    with pytest.raises(RuntimeError, match='decode worker exited -9'):
+        ingest_image_folder(base, SHAPE, workers=2, chunk=4)
+    cdir = os.path.join(base, '.jvt_cache')
+    left = os.listdir(cdir) if os.path.isdir(cdir) else []
+    assert not any(f.endswith(('.u8', '.json')) for f in left), left
+    # and a later honest ingest still works
+    x, y, _ = ingest_image_folder(base, SHAPE, workers=1, chunk=1000)
+    assert len(x) == 20 and (np.asarray(x).sum() > 0)
