@@ -137,12 +137,12 @@ def _make_eval_fn(model: CVNet, sigma_state, with_odin: bool,
                   if methods else {})
         return losses, out.logits, scores
 
-    # donate the input batch/stack: nothing re-reads x after scoring, and
-    # freeing the (nb, B, C, H, W) stack up front (~200 MB at batch 1024)
-    # relieves the HBM pressure the large-batch sweet-spot runs into
-    # (docs/BENCH.md round-5 sweep).  JVT_EVAL_DONATE=0 restores aliasing
-    # off (probe scripts that re-feed one buffer need it off).
-    donate = os.environ.get('JVT_EVAL_DONATE', '1').strip().lower() \
+    # JVT_EVAL_DONATE=1 donates the input batch/stack — MEASURED INERT
+    # (+-0.1%, docs/BENCH.md round 5): the scan consumes xs slices through
+    # its last iteration and no output shares the stack's shape, so XLA
+    # cannot alias it ("donated buffers were not usable").  Kept as a knob
+    # for the probe; off by default to avoid the per-trace warning.
+    donate = os.environ.get('JVT_EVAL_DONATE', '0').strip().lower() \
         not in ('0', 'off', 'false', 'no')
     dn = (1,) if donate else ()
     eval_batch = jax.jit(_one, donate_argnums=dn)
