@@ -211,9 +211,12 @@ def main(argv=None):
     p.add_argument('-v', '--verbose', action='count', default=0)
     p.add_argument('--debug', action='store_true')
     add_platform_arg(p)
+    from . import add_mesh_args, mesh_from_args
+    add_mesh_args(p)
     add_filter_args(p)
     args = p.parse_args(argv)
     apply_platform(args)
+    args.mesh_obj = mesh_from_args(args)
     set_log(args.verbose, args.debug)
 
     if args.cautious:
@@ -351,18 +354,23 @@ def main(argv=None):
             om = 'all' if args.ood_methods is None else args.ood_methods
             mm = ('all' if args.misclass_methods is None
                   else args.misclass_methods)
+            mesh = getattr(args, 'mesh_obj', None)
+            if mesh is not None:
+                from ..parallel.mesh import ensure_placed
+                job.state = ensure_placed(job.state, mesh)
             for ep in wanted_epochs:
                 accuracy(job, testset, batch_size=args.batch_size,
                          num_batch=num_batch, method=pm, epoch=ep,
-                         from_where=where)
+                         from_where=where, mesh=mesh)
                 ood_detection_rates(job, testset, sets,
                                     batch_size=args.batch_size,
-                                    num_batch=num_batch,
+                                    num_batch=num_batch, mesh=mesh,
                                     method=om, epoch=ep, from_where=where)
                 misclassification_detection_rates(
                     job, testset, batch_size=args.batch_size,
                     num_batch=num_batch, predict_methods=pm,
-                    misclass_methods=mm, epoch=ep, from_where=where)
+                    misclass_methods=mm, epoch=ep, from_where=where,
+                    mesh=mesh)
             from ..save_load.jobs import save_job
             save_job(job, m['dir'], save_state=False)
         for ep in wanted_epochs:
