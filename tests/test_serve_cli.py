@@ -34,7 +34,10 @@ def _ds(name, n=64, noise=False, seed=0):
 
 @pytest.fixture(scope='module')
 def job_dir(tmp_path_factory):
-    d = str(tmp_path_factory.mktemp('servejob'))
+    # nested one level: tests resolving by job number walk dirname(job_dir),
+    # which must be THIS module's root, not the shared pytest tmp root
+    # (other modules' job dirs there can carry the same job number)
+    d = os.path.join(str(tmp_path_factory.mktemp('servejob')), 'job')
     cfg = CVNetConfig(input_shape=INPUT_SHAPE, num_labels=C, type='cvae',
                       encoder=(16,), decoder=(16,), classifier=(8,),
                       latent_dim=4, latent_sampling=1,
