@@ -174,7 +174,7 @@ def _run_reference(ref_mod, monkeypatch):
     return ref, sd0
 
 
-def _run_ours(sd0, monkeypatch):
+def _build_our_job(sd0):
     cfg = CVNetConfig(
         input_shape=IN_SHAPE, num_labels=C, type='cvae',
         encoder=(16,), latent_dim=K, decoder=(16,), classifier=(8,),
@@ -189,7 +189,10 @@ def _run_ours(sd0, monkeypatch):
     params.update(_transfer(sd0, cfg))
     job.state = job.state.replace(params=params)
     job.training_parameters['set'] = 'blobs'
+    return job
 
+
+def _apply_our_patches(monkeypatch):
     import joint_vae_tpu.models.evaluate as ev
     import joint_vae_tpu.train.trainer as tr
 
@@ -216,34 +219,49 @@ def _run_ours(sd0, monkeypatch):
     monkeypatch.setattr(ev, 'reparameterize', fake_reparameterize)
     monkeypatch.setattr(tr, 'DataLoader', no_shuffle_dl)
     monkeypatch.setattr(tr, 'split_validation', first_k_split)
+    return tr
 
+
+def _our_train(tr, job, epochs, save_dir=None):
     xt, yt = _data(N_ALL, 11)
     tr.train_model(job, ArrayDataset(xt, yt.astype(np.int32), 'blobs'),
-                   None, None, epochs=EPOCHS, batch_size=BS,
+                   None, None, epochs=epochs, batch_size=BS,
                    test_batch_size=TBS, validation=N_VALID,
                    warmup=WARMUP, warmup_gamma=WARMUP_G,
                    full_test_every=100, ood_detection_every=100,
-                   final_test=False, final_ood=False,
+                   final_test=False, final_ood=False, save_dir=save_dir,
                    outputs=EpochOutput(stdout=False))
     return job
 
 
+def _run_ours(sd0, monkeypatch):
+    tr = _apply_our_patches(monkeypatch)
+    return _our_train(tr, _build_our_job(sd0), EPOCHS)
+
+
 @pytest.fixture(scope='module')
 def trained_pair(ref_mod):
+    # the persistent XLA compile cache serves binaries AOT-compiled for a
+    # different machine type in this sandbox (cpu_aot_loader warnings);
+    # cache-hit vs fresh-compile runs differ by ulps that compound over 12
+    # adam steps to ~1e-2 relative — enough to flip this oracle's
+    # tolerances run-to-run.  Compile fresh for the whole module.
+    jax.config.update('jax_enable_compilation_cache', False)
     mp = pytest.MonkeyPatch()
     try:
         ref, sd0 = _run_reference(ref_mod, mp)
         job = _run_ours(sd0, mp)
     finally:
         mp.undo()
-    return ref, job
+    yield ref, job, sd0
+    jax.config.update('jax_enable_compilation_cache', True)
 
 
 def test_train_loss_history_matches(trained_pair):
     """Per-epoch per-component train-loss means (the composite of ramps,
     sigma updates, grads, adam, per-epoch LR decay) match the reference
     epoch for epoch (ref history[e] <-> ours history[e+1])."""
-    ref, job = trained_pair
+    ref, job, _ = trained_pair
     compared = 0
     for e in range(EPOCHS):
         want = ref.train_history[e]['train_loss']
@@ -269,7 +287,7 @@ def test_validation_loss_history_matches(trained_pair):
     at the true label BEFORE each epoch's training (cvae.py:2356-2374);
     ours evaluates with labels AFTER each epoch — ref[e+1] (pre-state of
     epoch e+1 = post-state of epoch e) <-> ours[e+1]."""
-    ref, job = trained_pair
+    ref, job, _ = trained_pair
     for e in range(1, EPOCHS + 1):
         want = ref.train_history[e]['validation_loss']
         got = job.train_history[e]['validation_loss']
@@ -286,7 +304,7 @@ def test_validation_loss_history_matches(trained_pair):
 def test_sigma_trajectory_and_final_state(trained_pair):
     """The decay-to-rmse sigma schedule applied inside the composite loop:
     final sigma value + per-epoch recorded sigma measure match."""
-    ref, job = trained_pair
+    ref, job, _ = trained_pair
     ours = float(sigma_value(job.model_cfg.sigma_cfg,
                              job.state.sigma_state))
     np.testing.assert_allclose(ours, float(ref.sigma.value),
@@ -307,7 +325,7 @@ def test_sigma_trajectory_and_final_state(trained_pair):
 def test_final_prior_and_params_match(trained_pair):
     """End-of-training state parity: the learned prior means (trained
     through the same 12 adam steps) and the encoder head weights."""
-    ref, job = trained_pair
+    ref, job, _ = trained_pair
     sd = ref.state_dict()
     np.testing.assert_allclose(
         np.asarray(job.state.params['prior']['mean']),
@@ -321,3 +339,44 @@ def test_final_prior_and_params_match(trained_pair):
     np.testing.assert_allclose(job.opt_cfg.lr_at_epoch(EPOCHS - 1),
                                LR * (1 - LR_DECAY) ** (EPOCHS - 1),
                                rtol=1e-6)
+
+
+def test_resume_continues_the_reference_trajectory(trained_pair, tmp_path):
+    """Resume parity in the composite: train 2 epochs -> checkpoint ->
+    load_job -> train the 3rd epoch.  The per-epoch LR fast-forward
+    (lr_at_epoch; ref optimizer.update_scheduler_from_epoch,
+    optimizers.py:129), warmup-ramp persistence (training_parameters
+    merge) and sigma-state restore must land the resumed run on the SAME
+    epoch-3 losses and final state as the reference's continuous 3-epoch
+    run."""
+    from joint_vae_tpu.save_load.jobs import load_job
+    ref, _, sd0 = trained_pair
+    mp = pytest.MonkeyPatch()
+    try:
+        tr = _apply_our_patches(mp)
+        d = str(tmp_path / 'job')
+        job = _our_train(tr, _build_our_job(sd0), 2, save_dir=d)
+        assert job.trained == 2
+        job2 = load_job(d)
+        assert job2.trained == 2
+        assert job2.training_parameters['warmup'] == WARMUP
+        _our_train(tr, job2, EPOCHS, save_dir=d)
+    finally:
+        mp.undo()
+    assert job2.trained == EPOCHS
+    want = ref.train_history[EPOCHS - 1]['train_loss']
+    got = job2.train_history[EPOCHS]['train_loss']
+    for k in sorted(set(want) & set(got)):
+        if k in ('sigma', 'iws') or not np.isfinite(want[k]):
+            continue
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-2, atol=3e-4,
+                                   err_msg='resumed epoch-3 loss ' + k)
+    sd = ref.state_dict()
+    np.testing.assert_allclose(
+        np.asarray(job2.state.params['prior']['mean']),
+        sd['encoder.prior.mean'].numpy(), rtol=5e-3, atol=1e-4,
+        err_msg='resumed prior mean')
+    np.testing.assert_allclose(
+        float(sigma_value(job2.model_cfg.sigma_cfg,
+                          job2.state.sigma_state)),
+        float(ref.sigma.value), rtol=2e-3, err_msg='resumed sigma')
