@@ -179,10 +179,10 @@ def main():
             jax.random.PRNGKey(0), jnp.arange(nb))
         variables = state.variables
 
-        # fresh device-side stack per rep: the scoring program donates its
-        # input (engines._make_eval_fn), exactly like production where
-        # every batch stack is a new buffer; generation is O(bytes), noise
-        # next to 16 scored batches
+        # fresh device-side stack per rep, like production where every
+        # batch stack is a new buffer (also keeps the bench valid with
+        # JVT_EVAL_DONATE=1, whose donation invalidates a reused buffer);
+        # generation is O(bytes), noise next to 16 scored batches
         @jax.jit
         def make_xs(k):
             return jax.random.uniform(

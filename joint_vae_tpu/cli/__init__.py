@@ -64,10 +64,13 @@ def mesh_from_args(args):
     contexts (--distributed or an auto-detected pod) always get a mesh —
     train_model/finetune refuse process_count>1 without one."""
     import jax
-    if getattr(args, 'distributed', False):
+    distributed = getattr(args, 'distributed', False)
+    if distributed:
         from ..parallel.mesh import distributed_init
         distributed_init()
-    if args.mesh is None and jax.process_count() == 1:
+    # --distributed implies a mesh even when the launch resolves to one
+    # process (single-host pod rehearsal must behave like the pod)
+    if args.mesh is None and jax.process_count() == 1 and not distributed:
         if args.model_axis > 1 or args.sample_axis > 1:
             raise SystemExit('--model-axis/--sample-axis need --mesh')
         return None

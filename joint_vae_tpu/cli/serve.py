@@ -7,8 +7,8 @@ CVNet.predict, cvae.py:919-936, with the ood.json-calibrated accept gate).
     python -m joint_vae_tpu.cli.serve path/to/jobdir images_dir/
 
 Inputs: image files (decoded + resized to the model's input shape),
-directories of images (recursed one level, ImageFolder layout accepted),
-and .npy/.npz arrays ((N, C, H, W) float [0, 1] or uint8).  One JSON line
+directories of images (the whole tree is walked, ImageFolder layout
+accepted), and .npy/.npz arrays ((N, C, H, W) float [0, 1] or uint8).  One JSON line
 per input on stdout (or --output FILE): path, label, class name when the
 training set's registry entry carries names, confidence, per-method
 scores, and the accept bit.  A final summary line reports the reject
@@ -138,8 +138,10 @@ def main(argv=None):
     cfg = job.model_cfg
     methods = args.methods
     if not methods:
-        stored = [m for e in sorted(job.ood_results, reverse=True)
-                  if isinstance(e, int)
+        # filter BEFORE sorting: imported/hand-written ood.json can carry
+        # non-int top-level keys, and mixed int/str keys break sorted()
+        stored = [m for e in sorted((e for e in job.ood_results
+                                     if isinstance(e, int)), reverse=True)
                   for ms in job.ood_results[e].values() for m in ms]
         methods = ([stored[0]] if stored
                    else list(cfg.ood_methods[:1]) or ['elbo'])

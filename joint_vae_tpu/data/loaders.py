@@ -163,9 +163,11 @@ def _load_image_folder(root: str, shape, split: str,
     if not os.path.isdir(base):
         return None
     if base == root and any(
-            os.path.isdir(os.path.join(root, s)) for s in ('train', 'val')):
+            os.path.isdir(os.path.join(root, s))
+            for s in ('train', 'val', 'test')):
         # a split-structured tree must never fall back to the whole root
-        # (the split dirs would be read as class folders)
+        # (the split dirs would be read as class folders — e.g. a
+        # test-only tree requested for split='train')
         return None
     allowed = None
     if class_file and os.path.exists(class_file):

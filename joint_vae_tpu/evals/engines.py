@@ -177,14 +177,15 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
     put_b = put_s = jnp.asarray
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel.mesh import eval_batch_putters, put_global
+        from ..parallel.mesh import (eval_batch_putters, put_global,
+                                     warn_replicated_fallback)
         tail = [None] * len(dataset.shape)
-        put_b, _ = eval_batch_putters(mesh, 1 + len(dataset.shape))
+        warn_flag = {}       # shared: one eval warns at most once
+        put_b, _ = eval_batch_putters(mesh, 1 + len(dataset.shape),
+                                      warn_flag=warn_flag)
         sh_s = NamedSharding(mesh, P(None, 'data', *tail))    # (nb, B, ...)
         rep = NamedSharding(mesh, P())
         nd = mesh.shape['data']
-
-        warned = []
 
         def put_s(a):
             # stacked full batches shard on axis 1; a batch size that does
@@ -192,14 +193,7 @@ def _collect_scores(job: Job, dataset: ArrayDataset, methods: Sequence[str],
             # pick a divisible batch size; eval_batch_putters docstring)
             a = np.asarray(a)
             if a.shape[1] % nd:
-                if not warned:
-                    warned.append(True)
-                    logging.warning(
-                        'eval batch size %d does not divide the mesh data '
-                        'axis (%d): every batch runs fully replicated '
-                        '(exact but each device computes the whole batch) '
-                        "— pick a batch size divisible by mesh.shape['data']",
-                        a.shape[1], nd)
+                warn_replicated_fallback(warn_flag, a.shape[1], nd)
                 return put_global(a, rep)
             return put_global(a, sh_s)
     loader = DataLoader(dataset, batch_size, shuffle=False,
@@ -289,11 +283,12 @@ def _scores_from_recorder(job: Job, recorder: LossRecorder,
 def _save_recorder(rec: LossRecorder, path: str):
     """Never degrade a stored recorder (ref recorders accumulate per
     epoch dir): keep the old file when it holds more samples; fold
-    old-only keys in when the sample counts match.
+    old-only keys in when the sample counts match (under multi-process a
+    tie keeps the OLD tensors — see the branch below).
 
     Multi-process: host 0 writes only (concurrent writers would race the
-    file; engines disable the recorder tiers there anyway — see
-    _multiprocess_tiers)."""
+    file); recorder CAPTURE stays on there while replay is disabled
+    (_multiprocess_tiers)."""
     from ..save_load.checkpoint import is_write_process
     if not is_write_process():
         return

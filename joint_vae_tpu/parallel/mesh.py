@@ -143,7 +143,22 @@ def put_global(a, sharding) -> jax.Array:
                                         lambda idx: host[idx])
 
 
-def eval_batch_putters(mesh: Mesh, ndim: int):
+def warn_replicated_fallback(flag: dict, batch: int, nd: int):
+    """One-shot warning for the silent perf cliff of a batch size that
+    does not divide the mesh 'data' axis (every batch then runs fully
+    replicated).  ``flag`` is the caller's warn-state dict; shared across
+    putters so one eval warns at most once."""
+    if not flag.get('warned'):
+        flag['warned'] = True
+        import logging
+        logging.warning(
+            'eval batch size %d does not divide the mesh data axis '
+            '(%d): batches run fully replicated (exact but each '
+            'device computes the whole batch) — pick a batch size '
+            "divisible by mesh.shape['data']", batch, nd)
+
+
+def eval_batch_putters(mesh: Mesh, ndim: int, warn_flag: Optional[dict] = None):
     """(put_x, put_y) for feeding eval batches over the 'data' axis.
 
     Array construction (device_put / make_array_from_callback) rejects
@@ -155,27 +170,25 @@ def eval_batch_putters(mesh: Mesh, ndim: int):
 
     If the FIRST batch already takes the fallback (loaders yield full
     batches first, so every batch will), a one-time warning flags the
-    silent perf cliff — pick a batch size divisible by the data axis."""
+    silent perf cliff — pick a batch size divisible by the data axis.
+    ``warn_flag``: share the warn-once state with other putters of the
+    same eval."""
     sh_x = NamedSharding(mesh, P('data', *[None] * (ndim - 1)))
     sh_y = NamedSharding(mesh, P('data'))
     rep = NamedSharding(mesh, P())
     nd = mesh.shape['data']
-    seen = []
+    flag = warn_flag if warn_flag is not None else {}
 
     def putter(sh, is_x):
         def put(a):
             host = np.asarray(a)
             if host.shape[0] % nd == 0:
-                seen.append(True)
+                flag.setdefault('full_seen', True)
                 return put_global(host, sh)
-            if is_x and not seen:
-                import logging
-                seen.append(True)
-                logging.warning(
-                    'eval batch size %d does not divide the mesh data axis '
-                    '(%d): batches run fully replicated (exact but each '
-                    'device computes the whole batch) — pick a batch size '
-                    "divisible by mesh.shape['data']", host.shape[0], nd)
+            # only a FULL-size first batch signals the every-batch cliff;
+            # a tail after full batches is the expected exact fallback
+            if is_x and not flag.get('full_seen'):
+                warn_replicated_fallback(flag, host.shape[0], nd)
             return put_global(host, rep)
         return put
 

@@ -46,3 +46,13 @@ def test_train_cli_parser_accepts_mesh_flags():
     args = get_args(['--dataset', 'cifar10', '--mesh', '4',
                      '--model-axis', '2'], 'train')
     assert args.mesh == '4' and args.model_axis == 2
+
+
+def test_distributed_alone_implies_a_mesh():
+    """--distributed on a launch that resolves to one process (single-host
+    rehearsal) must still build the mesh, like the pod run would."""
+    import jax
+    m = mesh_from_args(_parse(['--distributed']))
+    assert m is not None and m.size == jax.device_count()
+    m2 = mesh_from_args(_parse(['--distributed', '--model-axis', '2']))
+    assert m2.shape['model'] == 2

@@ -165,3 +165,15 @@ def test_silent_worker_death_poisons_ingest(tmp_path, monkeypatch):
     # and a later honest ingest still works
     x, y, _ = ingest_image_folder(base, SHAPE, workers=1, chunk=1000)
     assert len(x) == 20 and (np.asarray(x).sum() > 0)
+
+
+def test_split_tree_never_falls_back_to_root(tmp_path):
+    """A split-structured tree (only test/ here) requested for another
+    split must return None — falling back to the root would read the
+    split directories themselves as class folders (bogus 1-class data)."""
+    from joint_vae_tpu.data.loaders import _load_image_folder
+    root = str(tmp_path / 'tree')
+    _make_tree(os.path.join(root, 'test'), n_per_class=2)
+    assert _load_image_folder(root, SHAPE, 'train') is None
+    got = _load_image_folder(root, SHAPE, 'test')
+    assert got is not None and len(got[0]) == 4
