@@ -133,9 +133,18 @@ def run_wim(job, mesh, outdir):
     for path, v in jax.tree_util.tree_leaves_with_path(params):
         flat[jax.tree_util.keystr(path)] = \
             np.asarray(v).astype(float).ravel().tolist()[:8]
+
+    # poscod over the same mesh on the post-WIM net (ft/poscod mesh path:
+    # frozen-net forwards mesh-fed, replicated head, gathered llr scores)
+    from joint_vae_tpu.ft.poscod import PoscodJob
+    pc = PoscodJob(job=job).finetune(te, ood, epochs=2, batch_size=16,
+                                     seed=0, mesh=mesh)
+    llr = pc.llr_scores(ood, batch_size=16, mesh=mesh)
     return {'ood': {s: {m: r.get('auc') for m, r in rs.items()}
                     for s, rs in job.ood_results[job.trained].items()},
-            'params_head': flat}
+            'params_head': flat,
+            'poscod_w': np.asarray(host_get(pc.head['w'])).tolist(),
+            'poscod_llr': np.asarray(llr[:16]).tolist()}
 
 
 def main():

@@ -247,23 +247,25 @@ def test_multiprocess_recorders_match_single_process(mp_run, sp):
                           _load_records(os.path.join(sp_dir, 'job')))
 
 
-def test_multiprocess_wim_matches_single_process(tmp_path):
-    """2-process WIM fine-tuning over a cross-process ('data'=2 x 'model'=2)
-    mesh bit-matches the same finetune() on a single-process 4-device mesh
-    (same tolerance regime as the trainer tests): final params, OOD AUCs of
-    the WIM score grammar, and the record files under samples/."""
+@pytest.mark.parametrize('n', [2, 4])
+def test_multiprocess_wim_matches_single_process(tmp_path, n):
+    """n-process WIM fine-tuning + Poscod over a cross-process
+    ('data' x 'model'=2) mesh bit-matches the same finetune() on a
+    single-process mesh of the same shape (VERDICT r4 item 1's tolerance
+    regime): final params, OOD AUCs of the WIM score grammar, the poscod
+    head/llr scores, and the record files under samples/."""
     from joint_vae_tpu.parallel.mesh import make_mesh
     from tests.mp_worker import make_job, run_wim
 
     outdir = str(tmp_path / 'mp')
     os.makedirs(outdir)
-    _spawn_workers(2, outdir, mode='wim')
+    _spawn_workers(n, outdir, mode='wim')
     with open(os.path.join(outdir, 'wim.json')) as f:
         mp_res = json.load(f)
 
     sp_dir = str(tmp_path / 'sp')
     os.makedirs(sp_dir)
-    sp_res = run_wim(make_job(), make_mesh(4, model_axis=2), sp_dir)
+    sp_res = run_wim(make_job(), make_mesh(2 * n, model_axis=2), sp_dir)
 
     assert sp_res['ood'], 'single-process WIM produced no OOD results'
     for s, ms in sp_res['ood'].items():
@@ -273,6 +275,10 @@ def test_multiprocess_wim_matches_single_process(tmp_path):
     for k, v in sp_res['params_head'].items():
         np.testing.assert_allclose(mp_res['params_head'][k], v,
                                    rtol=3e-5, atol=1e-7, err_msg=k)
+    np.testing.assert_allclose(mp_res['poscod_w'], sp_res['poscod_w'],
+                               rtol=3e-5, atol=1e-7, err_msg='poscod head')
+    np.testing.assert_allclose(mp_res['poscod_llr'], sp_res['poscod_llr'],
+                               rtol=3e-5, atol=1e-6, err_msg='poscod llr')
     # host-0 artifacts: wim prior + init/post records match single-process
     assert os.path.exists(os.path.join(outdir, 'wimjob', 'wim_prior.npz'))
     _assert_records_match(_load_records(os.path.join(outdir, 'wimjob')),
