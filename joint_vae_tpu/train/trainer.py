@@ -273,9 +273,12 @@ def train_model(job: Job,
         }
 
         if validationset is not None:
-            checkpoint['validation_loss'] = _mean_losses(
-                model, state, validationset, test_batch_size, epoch,
-                mesh=eng_mesh)[0]
+            vl, vm = _mean_losses(model, state, validationset,
+                                  test_batch_size, epoch, mesh=eng_mesh)
+            checkpoint['validation_loss'] = vl
+            # measures (mse/rmse/dB) feed min-mse early stopping (ref
+            # testing.py:31-37 reads validation_measures)
+            checkpoint['validation_measures'] = vm
         # test losses/measures at full-test epochs and the last epoch (the
         # history-derived summary keys — rmse/dB/test_loss at epoch — feed
         # make_dict_from_model, ref dictify.py:656-676)

@@ -2,27 +2,54 @@
 from the training history (ref utils/testing.py:5-45); cached in
 train_params.json as 'early-min-loss'."""
 
-from typing import Dict, Optional
+from typing import Dict, Optional, Sequence
+
+#: loss-dict metrics live in *_loss; anything else (mse, rmse, dB) in the
+#: *_measures dict the trainer checkpoints next to it (ref testing.py:31-37
+#: builds metrics['mse'] from validation_measures)
+_LOSS_METRICS = ('total', 'kl', 'cross_x', 'cross_y', 'zdist', 'var_kl')
 
 
 def early_stopping_epoch(train_history: Dict, metric: str = 'total',
-                         source: str = 'validation_loss',
-                         fallback_source: str = 'test_loss') -> Optional[int]:
-    """Epoch (1-based) with minimal ``history[source][metric]``."""
+                         source: str = 'validation',
+                         fallback_source: str = 'test',
+                         epochs: Optional[Sequence[int]] = None
+                         ) -> Optional[int]:
+    """Epoch (1-based) minimizing the metric.
+
+    ``source``/``fallback_source`` name the history family ('validation' /
+    'test'); loss-component metrics read ``<source>_loss``, measure
+    metrics (mse, rmse, dB) read ``<source>_measures`` (ref
+    testing.py:31-37).  ``epochs`` restricts the candidates (the
+    reference only considers epochs carrying stored test/OOD results,
+    testing.py:16-17)."""
+    key = '_loss' if metric in _LOSS_METRICS else '_measures'
     best, best_epoch = None, None
     for epoch in sorted(k for k in train_history if isinstance(k, int)):
-        entry = train_history[epoch]
-        losses = entry.get(source) or entry.get(fallback_source)
-        if not losses or metric not in losses:
+        if epochs is not None and epoch not in epochs:
             continue
-        v = losses[metric]
+        entry = train_history[epoch]
+        vals = entry.get(source + key) or entry.get(fallback_source + key)
+        if not vals or metric not in vals:
+            continue
+        v = vals[metric]
         if best is None or v < best:
             best, best_epoch = v, epoch
     return best_epoch
 
 
 def cache_early_stopping(job, metric: str = 'total') -> Optional[int]:
-    e = early_stopping_epoch(job.train_history, metric=metric)
+    """Reference-faithful selection for a stored job: candidates are the
+    epochs carrying test/OOD results (ref testing.py:16-17) when any
+    exist; a results-free job falls back to every history epoch (a
+    deviation — the reference returns None there, which would silently
+    disable --early-stopping on fresh jobs)."""
+    result_epochs = ({e for e in getattr(job, 'ood_results', {}) or {}
+                      if isinstance(e, int)}
+                     | {e for e in getattr(job, 'testing', {}) or {}
+                        if isinstance(e, int)})
+    e = early_stopping_epoch(job.train_history, metric=metric,
+                             epochs=result_epochs or None)
     if e is not None:
         job.training_parameters['early-min-loss'] = e
     return e

@@ -1,0 +1,98 @@
+"""Early-stopping parity: our epoch selection against the reference's own
+``utils/testing.py::early_stopping`` run as an oracle on shared history
+(min-loss and min-mse strategies, result-epoch restriction, validation->
+test fallback)."""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
+
+from joint_vae_tpu.utils.testing import (cache_early_stopping,
+                                         early_stopping_epoch)
+
+torch = pytest.importorskip('torch')
+
+
+@pytest.fixture(scope='module')
+def ref_early_stopping():
+    from test_evaluate_vs_reference import _stub_torchvision
+    _stub_torchvision()
+    sys.path.insert(0, '/root/reference')
+    try:
+        from utils.testing import early_stopping
+    finally:
+        sys.path.remove('/root/reference')
+    return early_stopping
+
+
+def _history(losses, mses, valid='validation'):
+    """Reference-shaped history: epoch 0 holds the pre-training eval
+    (cvae.py:2294-2374) — its presence decides valid_k globally; epochs
+    1..n carry the per-epoch values (worse-than-everything at 0 keeps it
+    out of both selectors)."""
+    hist = {'epochs': len(losses),
+            0: {valid + '_loss': {'total': max(losses) + 1.0},
+                valid + '_measures': {'mse': max(mses) + 1.0}}}
+    for e in range(1, len(losses) + 1):
+        hist[e] = {valid + '_loss': {'total': losses[e - 1]},
+                   valid + '_measures': {'mse': mses[e - 1]}}
+    return hist
+
+
+def _ref_model(hist, result_epochs, mtype='cvae'):
+    m = types.SimpleNamespace()
+    m.type = mtype
+    m.train_history = hist
+    m.ood_results = {e: {} for e in result_epochs}
+    m.testing = {e: {} for e in result_epochs}
+    m.job_number = 1
+    return m
+
+
+def _our_job(hist, result_epochs):
+    j = types.SimpleNamespace()
+    j.train_history = hist
+    j.ood_results = {e: {} for e in result_epochs}
+    j.testing = {e: {} for e in result_epochs}
+    j.training_parameters = {}
+    return j
+
+
+LOSSES = [5.0, 3.0, 4.0, 2.5, 6.0]
+MSES = [0.9, 0.4, 0.2, 0.5, 0.3]
+
+
+@pytest.mark.parametrize('which,metric', [('loss', 'total'), ('mse', 'mse')])
+@pytest.mark.parametrize('result_epochs', [
+    (1, 2, 3, 4, 5),          # everything reported
+    (2, 4),                   # sparse reports: only these are candidates
+])
+def test_epoch_selection_matches(ref_early_stopping, which, metric,
+                                 result_epochs):
+    hist = _history(LOSSES, MSES)
+    want = ref_early_stopping(_ref_model(hist, result_epochs), which=which)
+    got = cache_early_stopping(_our_job(hist, result_epochs), metric=metric)
+    assert got == want, (which, result_epochs, got, want)
+
+
+def test_validation_to_test_fallback_matches(ref_early_stopping):
+    """Without validation, the reference falls back to test_loss
+    (testing.py:22-26); so do we."""
+    hist = _history(LOSSES, MSES, valid='test')
+    epochs = (1, 2, 3, 4, 5)
+    want = ref_early_stopping(_ref_model(hist, epochs), which='loss')
+    got = cache_early_stopping(_our_job(hist, epochs))
+    assert got == want == int(np.argmin(LOSSES)) + 1
+
+
+def test_results_free_job_is_a_documented_deviation():
+    """The reference returns None for a job with no stored results
+    (testing.py:16-19); we fall back to the full history (more useful for
+    fresh jobs) — asserted here so the deviation stays deliberate."""
+    hist = _history(LOSSES, MSES)
+    assert cache_early_stopping(_our_job(hist, ())) == 4
+    assert early_stopping_epoch(hist, metric='mse') == 3
