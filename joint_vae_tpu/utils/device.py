@@ -17,13 +17,27 @@ import numpy as np
 _max_batch_cache: Dict[Tuple, int] = {}
 
 
+def _cpu_flags_fingerprint() -> str:
+    """The host's CPU feature flags (x86: /proc/cpuinfo 'flags'), '' when
+    unavailable — part of the compile-cache directory fingerprint."""
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith(('flags', 'Features')):
+                    return ' '.join(sorted(line.split(':', 1)[1].split()))
+    except OSError:
+        pass
+    return ''
+
+
 def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
     """Point XLA's persistent compilation cache at a writable directory so
     repeat CLI invocations skip the 20-40s first compile (no reference
     counterpart — torch has no AOT compile to cache).
 
     Resolution order: explicit ``path`` > ``JVT_COMPILE_CACHE`` env var >
-    ``~/.cache/joint_vae_tpu/xla``.  ``JVT_COMPILE_CACHE=0`` (or any of the
+    ``~/.cache/joint_vae_tpu/xla-<host-cpu-fingerprint>`` (fingerprinted
+    so one machine type never executes another's AOT entries).  ``JVT_COMPILE_CACHE=0`` (or any of the
     usual falsy spellings: off/false/no/none, case-insensitive) disables.  Returns the directory in use, or None when disabled or the
     backend/filesystem refuses (never fatal — the cache is an optimization).
     """
@@ -32,8 +46,18 @@ def enable_compilation_cache(path: Optional[str] = None) -> Optional[str]:
                                                'none', 'disable', 'disabled'):
         return None
     if not p:
+        # segregate the default cache per host CPU type: XLA:CPU loads AOT
+        # entries compiled on a different machine with only a warning, and
+        # executing them can SIGILL (cpu_aot_loader.cc) — observed killing
+        # a worker in this sandbox.  A shared-filesystem cache written by
+        # one machine type must never be served to another.
+        import hashlib
+        import platform
+        fp = hashlib.sha1('|'.join(
+            (platform.machine(), platform.processor() or '',
+             _cpu_flags_fingerprint())).encode()).hexdigest()[:12]
         p = os.path.join(os.path.expanduser('~'), '.cache',
-                         'joint_vae_tpu', 'xla')
+                         'joint_vae_tpu', 'xla-' + fp)
     try:
         os.makedirs(p, exist_ok=True)
         import jax
