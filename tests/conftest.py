@@ -19,8 +19,26 @@ _flags = os.environ.get('XLA_FLAGS', '')
 if 'xla_force_host_platform_device_count' not in _flags:
     os.environ['XLA_FLAGS'] = (_flags + ' --xla_force_host_platform_device_count=8').strip()
 
-# Persistent compilation cache across pytest runs.
-os.environ.setdefault('JAX_COMPILATION_CACHE_DIR', '/root/repo/.jax_cache')
+# Persistent compilation cache across pytest runs — fingerprinted per
+# host CPU type: the repo volume is shared across rounds that may run on
+# different machine instances, and XLA:CPU executing a foreign AOT entry
+# can SIGILL (it only warns via cpu_aot_loader; observed killing an mp
+# worker).  Same policy as utils/device.enable_compilation_cache.
+if 'JAX_COMPILATION_CACHE_DIR' not in os.environ:
+    import hashlib
+    import platform
+    try:
+        with open('/proc/cpuinfo') as _f:
+            _flags = next((' '.join(sorted(l.split(':', 1)[1].split()))
+                           for l in _f if l.startswith(('flags', 'Features'))),
+                          '')
+    except OSError:
+        _flags = ''
+    _fp = hashlib.sha1('|'.join((platform.machine(),
+                                 platform.processor() or '',
+                                 _flags)).encode()).hexdigest()[:12]
+    os.environ['JAX_COMPILATION_CACHE_DIR'] = \
+        '/root/repo/.jax_cache-' + _fp
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES', '-1')
 os.environ.setdefault('JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS', '0.1')
 
