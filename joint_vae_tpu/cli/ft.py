@@ -310,6 +310,14 @@ def _job_main(args, dflt):
                                     '{:04d}'.format(job.trained), 'init'),
                        mesh=getattr(args, 'mesh_obj', None))
 
+    from ..utils.print_log import EpochOutput
+    outputs = EpochOutput()
+    if job.saved_dir:
+        from ..save_load.checkpoint import is_write_process
+        if is_write_process():
+            os.makedirs(job.saved_dir, exist_ok=True)
+            outputs.add_file(os.path.join(job.saved_dir, 'output.out'))
+
     with Scheduler(seed=args.seed, task=args.task):
         finetune(wim, trainset, moving, testset, oodsets,
                  epochs=int(dflt('epochs', 1)),
@@ -318,7 +326,7 @@ def _job_main(args, dflt):
                  batch_size=args.batch_size,
                  test_batch_size=args.test_batch_size,
                  save_dir=job.saved_dir, seed=args.seed,
-                 mesh=getattr(args, 'mesh_obj', None))
+                 mesh=getattr(args, 'mesh_obj', None), outputs=outputs)
     # moving-set composition into the persisted wim params so the flat
     # dict's wim_sets/wim_mix/wim_padding filters resolve (ref filters.ini
     # wim_* keys; dictify reads tp['wim'])

@@ -314,10 +314,18 @@ def finetune(wim: WIMJob,
         lambda st, xi, yi, xm, k: wim.finetune_batch(
             st, xi, yi, xm, alpha, rng=k, tx=tx, train_L=cfg.latent_sampling))
 
+    # batched host metric pulls, like the trainer: a round-trip per batch
+    # is ruinous on tunneled/remote devices (train/trainer.py metrics_every)
+    me = 1 if jax.default_backend() == 'cpu' else 8
+    per_epoch = len(train_loader)
     step_i = 0
     for epoch in range(epochs):
         mov_iter = iter(moving_loader)
-        for x, y in train_loader:
+        pending = []
+        running = {}
+        import time as _time
+        t0 = _time.time()
+        for i, (x, y) in enumerate(train_loader):
             try:
                 xm, _ = next(mov_iter)
             except StopIteration:
@@ -327,14 +335,32 @@ def finetune(wim: WIMJob,
             state, metrics = finetune_step(state, put_x(x), put_y(y),
                                            put_x(xm), k)
             step_i += 1
+            pending.append(metrics)
+            if len(pending) < me and i != per_epoch - 1:
+                continue
+            # live rows per batch window (ref ft/job.py:356-424 prints the
+            # running fine-tune losses through its outputs table)
+            for mts in host_get(pending):
+                for kk, v in mts.items():
+                    running[kk] = running.get(kk, 0.0) + float(v)
+            pending = []
+            if outputs is not None:
+                mean = {kk: running[kk] / (i + 1) for kk in running}
+                outputs.results(i, per_epoch, epoch + 1, epochs,
+                                preambule='wim',
+                                losses={'total': mean.get('total'),
+                                        'in': mean.get('in_total'),
+                                        'mix': mean.get('mix_total')},
+                                time_per_i=(_time.time() - t0) / (i + 1),
+                                batch_size=batch_size)
         if step_i == 0:
             raise ValueError(
                 'no fine-tuning batches: train set ({} samples) smaller '
                 'than the batch size ({})'.format(len(trainset), batch_size))
-        metrics = host_get(metrics)
         logging.info('wim epoch %d: total=%.4f (in=%.4f mix=%.4f)', epoch,
-                     float(metrics['total']), float(metrics['in_total']),
-                     float(metrics['mix_total']))
+                     running.get('total', float('nan')) / max(per_epoch, 1),
+                     running.get('in_total', float('nan')) / max(per_epoch, 1),
+                     running.get('mix_total', float('nan')) / max(per_epoch, 1))
     job.state = state
     job.training_parameters.setdefault('fine_tuning', []).append(
         {'type': 'wim', 'epochs': epochs, 'alpha': alpha,
