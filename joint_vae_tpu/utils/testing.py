@@ -4,11 +4,6 @@ train_params.json as 'early-min-loss'."""
 
 from typing import Dict, Optional, Sequence
 
-#: loss-dict metrics live in *_loss; anything else (mse, rmse, dB) in the
-#: *_measures dict the trainer checkpoints next to it (ref testing.py:31-37
-#: builds metrics['mse'] from validation_measures)
-_LOSS_METRICS = ('total', 'kl', 'cross_x', 'cross_y', 'zdist', 'var_kl')
-
 
 def early_stopping_epoch(train_history: Dict, metric: str = 'total',
                          source: str = 'validation',
@@ -18,21 +13,27 @@ def early_stopping_epoch(train_history: Dict, metric: str = 'total',
     """Epoch (1-based) minimizing the metric.
 
     ``source``/``fallback_source`` name the history family ('validation' /
-    'test'); loss-component metrics read ``<source>_loss``, measure
-    metrics (mse, rmse, dB) read ``<source>_measures`` (ref
-    testing.py:31-37).  ``epochs`` restricts the candidates (the
-    reference only considers epochs carrying stored test/OOD results,
-    testing.py:16-17)."""
-    key = '_loss' if metric in _LOSS_METRICS else '_measures'
+    'test'); the metric is looked up in ``<source>_loss`` first, then in
+    ``<source>_measures`` (mse/rmse/dB live there — ref testing.py:31-37
+    builds metrics['mse'] from validation_measures).  ``epochs`` restricts
+    the candidates (the reference only considers epochs carrying stored
+    test/OOD results, testing.py:16-17)."""
     best, best_epoch = None, None
     for epoch in sorted(k for k in train_history if isinstance(k, int)):
         if epochs is not None and epoch not in epochs:
             continue
         entry = train_history[epoch]
-        vals = entry.get(source + key) or entry.get(fallback_source + key)
-        if not vals or metric not in vals:
+        v = None
+        for fam in (source, fallback_source):
+            for key in ('_loss', '_measures'):
+                vals = entry.get(fam + key)
+                if vals and metric in vals:
+                    v = vals[metric]
+                    break
+            if v is not None:
+                break
+        if v is None:
             continue
-        v = vals[metric]
         if best is None or v < best:
             best, best_epoch = v, epoch
     return best_epoch
