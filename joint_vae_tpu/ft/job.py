@@ -11,6 +11,7 @@ here the WIMJob wraps a Job and the steps are explicit jitted programs.
 
 import logging
 import os
+import time
 from typing import Dict, Optional, Sequence
 
 import jax
@@ -323,8 +324,7 @@ def finetune(wim: WIMJob,
         mov_iter = iter(moving_loader)
         pending = []
         running = {}
-        import time as _time
-        t0 = _time.time()
+        t0 = time.time()
         for i, (x, y) in enumerate(train_loader):
             try:
                 xm, _ = next(mov_iter)
@@ -351,7 +351,7 @@ def finetune(wim: WIMJob,
                                 losses={'total': mean.get('total'),
                                         'in': mean.get('in_total'),
                                         'mix': mean.get('mix_total')},
-                                time_per_i=(_time.time() - t0) / (i + 1),
+                                time_per_i=(time.time() - t0) / (i + 1),
                                 batch_size=batch_size)
         if step_i == 0:
             raise ValueError(
