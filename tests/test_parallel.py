@@ -199,3 +199,31 @@ def test_sample_axis_mesh_at_L128():
         assert sharded['o'][m]['auc'] == plain['o'][m]['auc']
         np.testing.assert_allclose(sharded['o'][m]['mean'],
                                    plain['o'][m]['mean'], rtol=1e-6)
+
+
+def test_replicated_fallback_warns_once_and_not_on_tails(caplog):
+    """A full-size batch that cannot shard warns exactly once (shared flag
+    across the x/y putters); a tail after full batches stays silent."""
+    import logging as _logging
+    from joint_vae_tpu.parallel.mesh import eval_batch_putters, make_mesh
+    mesh = make_mesh(4)
+
+    # non-divisible full batches: one warning total
+    flag = {}
+    put_x, put_y = eval_batch_putters(mesh, 2, warn_flag=flag)
+    with caplog.at_level(_logging.WARNING):
+        for _ in range(3):
+            put_x(np.ones((6, 3)))
+            put_y(np.ones((6,)))
+    warnings = [r for r in caplog.records
+                if 'fully replicated' in r.getMessage()]
+    assert len(warnings) == 1
+
+    # divisible batches then a tail: no warning at all
+    caplog.clear()
+    put_x, put_y = eval_batch_putters(mesh, 2)
+    with caplog.at_level(_logging.WARNING):
+        put_x(np.ones((8, 3)))
+        put_x(np.ones((3, 3)))          # tail
+    assert not [r for r in caplog.records
+                if 'fully replicated' in r.getMessage()]

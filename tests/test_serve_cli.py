@@ -113,3 +113,23 @@ def test_serve_cli_output_file_and_job_number(job_dir, tmp_path, capsys):
     assert rc == 0
     lines = [json.loads(l) for l in open(out_path)]
     assert len(lines) == 5 and lines[-1]['summary']
+
+
+def test_default_method_pick_tolerates_mixed_epoch_keys(job_dir, tmp_path,
+                                                        capsys):
+    """Imported/hand-written ood.json can carry non-int top-level keys;
+    the default gate-method pick must filter before sorting."""
+    import json as _json
+    p = os.path.join(job_dir, 'ood.json')
+    with open(p) as f:
+        d = _json.load(f)
+    d['note'] = {'not': 'an epoch'}
+    with open(p, 'w') as f:
+        _json.dump(d, f)
+    npy = tmp_path / 'm.npy'
+    np.save(npy, _ds('blobs', n=4, seed=9).data)
+    rc = _run([job_dir, str(npy), '--summary-only'])
+    assert rc == 0
+    out = [l for l in capsys.readouterr().out.splitlines()
+           if l.startswith('{')]
+    assert _json.loads(out[-1])['methods'] == ['elbo']
