@@ -315,7 +315,7 @@ def _job_main(args, dflt):
     if job.saved_dir:
         from ..save_load.checkpoint import is_write_process
         if is_write_process():
-            os.makedirs(job.saved_dir, exist_ok=True)
+            # add_file creates the parent directory itself
             outputs.add_file(os.path.join(job.saved_dir, 'output.out'))
 
     with Scheduler(seed=args.seed, task=args.task):

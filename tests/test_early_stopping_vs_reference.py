@@ -96,3 +96,41 @@ def test_results_free_job_is_a_documented_deviation():
     hist = _history(LOSSES, MSES)
     assert cache_early_stopping(_our_job(hist, ())) == 4
     assert early_stopping_epoch(hist, metric='mse') == 3
+
+
+def test_fresh_job_placeholder_does_not_disable_selection():
+    """new_job seeds testing={0: placeholders} (mirroring the reference's
+    pre-training entry); the candidate restriction must intersect with the
+    epochs the history actually holds, or --early-stopping silently
+    no-ops on every fresh job."""
+    import jax
+    from joint_vae_tpu.models.cvnet import CVNetConfig
+    from joint_vae_tpu.ops.sigma import SigmaConfig
+    from joint_vae_tpu.save_load.jobs import new_job
+    job = new_job(CVNetConfig(input_shape=(1, 4, 4), num_labels=2,
+                              type='cvae', encoder=(4,), decoder=(4,),
+                              classifier=(4,), latent_dim=2, gamma=1.0,
+                              sigma=SigmaConfig(value=0.5)),
+                  key=jax.random.PRNGKey(0))
+    assert 0 in job.testing                     # the placeholder exists
+    # OUR trainer writes history epochs 1..N only (no pre-training entry)
+    job.train_history = {'epochs': len(LOSSES)}
+    for e in range(1, len(LOSSES) + 1):
+        job.train_history[e] = {'validation_loss': {'total': LOSSES[e - 1]}}
+    assert cache_early_stopping(job) == int(np.argmin(LOSSES)) + 1
+
+
+def test_no_cross_family_leakage_for_missing_metric():
+    """A pre-round-5 history (validation_loss stored, validation_measures
+    absent) asked for min-mse must return None — falling through to
+    test_measures would select the early-stopping epoch ON THE TEST SET."""
+    hist = {'epochs': 3}
+    for e in (1, 2, 3):
+        hist[e] = {'validation_loss': {'total': LOSSES[e - 1]},
+                   'test_measures': {'mse': MSES[e - 1]}}
+    assert early_stopping_epoch(hist, metric='mse') is None
+    # and with validation_measures present, validation wins (argmin of the
+    # reversed mse sequence lands on epoch 1, NOT the test-set argmin 3)
+    for e in (1, 2, 3):
+        hist[e]['validation_measures'] = {'mse': MSES[3 - e]}
+    assert early_stopping_epoch(hist, metric='mse') == 1

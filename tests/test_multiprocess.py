@@ -41,16 +41,14 @@ def _free_port() -> int:
 def _spawn_workers(n, outdir, timeout=600, mode='train'):
     port = str(_free_port())
     env = {k: v for k, v in os.environ.items()
-           if k not in ('PALLAS_AXON_POOL_IPS', 'JAX_PLATFORMS', 'XLA_FLAGS',
-                        'JAX_COMPILATION_CACHE_DIR')}
+           if k not in ('PALLAS_AXON_POOL_IPS', 'JAX_PLATFORMS', 'XLA_FLAGS')}
     env.update(JAX_PLATFORMS='cpu',
                XLA_FLAGS='--xla_force_host_platform_device_count=2',
-               # the persistent cache holds AOT binaries compiled for a
-               # different machine type (cpu_aot_loader warns of SIGILL);
-               # a worker intermittently died executing one with no
-               # Python traceback — compile fresh in workers
-               JAX_ENABLE_COMPILATION_CACHE='false',
                PYTHONPATH=REPO + os.pathsep + env.get('PYTHONPATH', ''))
+    # workers inherit JAX_COMPILATION_CACHE_DIR, which conftest.py now
+    # fingerprints per host CPU type — same-machine runs stay warm while a
+    # foreign machine's AOT entries (which SIGILLed a worker once) can
+    # never be served
     procs = [subprocess.Popen(
         [sys.executable, os.path.join(HERE, 'mp_worker.py'),
          str(i), str(n), port, outdir, mode],

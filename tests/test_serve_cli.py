@@ -122,13 +122,19 @@ def test_default_method_pick_tolerates_mixed_epoch_keys(job_dir, tmp_path,
     import json as _json
     p = os.path.join(job_dir, 'ood.json')
     with open(p) as f:
-        d = _json.load(f)
-    d['note'] = {'not': 'an epoch'}
-    with open(p, 'w') as f:
-        _json.dump(d, f)
-    npy = tmp_path / 'm.npy'
-    np.save(npy, _ds('blobs', n=4, seed=9).data)
-    rc = _run([job_dir, str(npy), '--summary-only'])
+        original = f.read()
+    try:
+        d = _json.loads(original)
+        d['note'] = {'not': 'an epoch'}
+        with open(p, 'w') as f:
+            _json.dump(d, f)
+        npy = tmp_path / 'm.npy'
+        np.save(npy, _ds('blobs', n=4, seed=9).data)
+        rc = _run([job_dir, str(npy), '--summary-only'])
+    finally:
+        # job_dir is module-scoped: never leak the junk key to later tests
+        with open(p, 'w') as f:
+            f.write(original)
     assert rc == 0
     out = [l for l in capsys.readouterr().out.splitlines()
            if l.startswith('{')]
